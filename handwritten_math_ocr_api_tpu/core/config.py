@@ -1,0 +1,242 @@
+"""Configuration for the TPU-native handwritten-math OCR framework.
+
+One dataclass-based config module shared by training, eval and serving
+(the reference duplicated static config classes between its two stacks:
+``src/config.py`` and ``app/src/config.py``). Values mirror the reference
+hyperparameters (reference: src/config.py:17-50) so that converted
+checkpoints and published metrics are comparable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Tuple
+
+# Special tokens — order defines their ids (reference: src/config.py:43-47,
+# src/utils.py:101-112: specials first, then sorted corpus tokens).
+PAD_TOKEN = "<pad>"
+SOS_TOKEN = "<sos>"
+EOS_TOKEN = "<eos>"
+UNK_TOKEN = "<unk>"
+SPECIAL_TOKENS = (PAD_TOKEN, SOS_TOKEN, EOS_TOKEN, UNK_TOKEN)
+PAD_ID, SOS_ID, EOS_ID, UNK_ID = 0, 1, 2, 3
+
+
+@dataclasses.dataclass(frozen=True)
+class SwinConfig:
+    """Swin-Tiny hyperparameters (torchvision swin_t topology).
+
+    The reference consumes torchvision's pretrained ``swin_t`` with a
+    1-channel patch-embed rebuilt by RGB-mean (reference:
+    src/model_swin.py:17-34). We re-implement the architecture TPU-first.
+    """
+
+    embed_dim: int = 96
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    num_heads: Tuple[int, ...] = (3, 6, 12, 24)
+    window_size: int = 7
+    mlp_ratio: float = 4.0
+    patch_size: int = 4
+    in_channels: int = 1
+    dropout: float = 0.0
+    attn_dropout: float = 0.0
+    stochastic_depth: float = 0.2  # linearly scaled across blocks
+
+    @property
+    def num_features(self) -> int:
+        return self.embed_dim * 2 ** (len(self.depths) - 1)  # 768
+
+
+@dataclasses.dataclass(frozen=True)
+class ResNetConfig:
+    """ResNet-18 encoder hyperparameters (reference: src/model.py:13-44)."""
+
+    in_channels: int = 1
+    stage_channels: Tuple[int, ...] = (64, 128, 256, 512)
+    stage_blocks: Tuple[int, ...] = (2, 2, 2, 2)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Full image->LaTeX model configuration.
+
+    Defaults follow the reference (src/config.py:17-32): 96x320 grayscale
+    input, d_model=256, 8 heads, ffn 512, dropout 0.2, 8 decoder layers,
+    max sequence length 150.
+    """
+
+    img_h: int = 96
+    img_w: int = 320
+    d_model: int = 256
+    nhead: int = 8
+    dim_feedforward: int = 512
+    dropout: float = 0.2
+    num_decoder_layers: int = 8
+    max_seq_len: int = 150
+    vocab_size: int = 544  # overwritten once a vocab is built/loaded
+    encoder: str = "swin_t"  # one of: swin_t | resnet18 | res18trans
+    num_encoder_layers: int = 8  # transformer layers for res18trans variant
+    swin: SwinConfig = dataclasses.field(default_factory=SwinConfig)
+    resnet: ResNetConfig = dataclasses.field(default_factory=ResNetConfig)
+    # Compute dtype for the forward pass. bf16 feeds the MXU at full rate;
+    # params are kept f32 and cast per-op.
+    dtype: str = "bfloat16"
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.nhead
+
+    @property
+    def encoder_len(self) -> int:
+        """Number of encoder output tokens fed to cross-attention."""
+        if self.encoder == "swin_t":
+            # Four stride-2 reductions after the stride-4 patch embed: /32.
+            return (self.img_h // 32) * (self.img_w // 32)  # 3*10 = 30
+        # ResNet paths pool height to 1 and keep W/32 columns
+        # (reference: src/model.py:34 AdaptiveAvgPool2d((1, None))).
+        return self.img_w // 32  # 10
+
+    def replace(self, **kw) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Dataset paths and loader settings (reference: src/config.py:4-15,35-37).
+
+    CSV contract: ``{split}_labels.csv`` with columns
+    ``image_filename, latex_label``; images under ``{split}_formulas/``
+    (reference: data/README.md:3-10).
+    """
+
+    data_root: str = os.environ.get("MATHOCR_DATA_ROOT", "data")
+    batch_size: int = 64
+    num_workers: int = 4
+    shuffle_seed: int = 0
+    # Train-only augmentation (reference: src/data_loader.py:51
+    # RandomAffine(degrees=2, shear=2, scale=(0.95, 1.05))).
+    aug_degrees: float = 2.0
+    aug_shear: float = 2.0
+    aug_scale: Tuple[float, float] = (0.95, 1.05)
+
+    def img_dir(self, split: str) -> str:
+        return os.path.join(self.data_root, f"{split}_formulas")
+
+    def label_path(self, split: str) -> str:
+        return os.path.join(self.data_root, f"{split}_labels.csv")
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training hyperparameters (reference: src/train.py:13-39, src/config.py:35-40)."""
+
+    learning_rate: float = 3e-4
+    epochs: int = 20
+    label_smoothing: float = 0.1
+    grad_clip_norm: float = 1.0
+    # ReduceLROnPlateau equivalents (reference: src/train.py:18).
+    plateau_factor: float = 0.5
+    plateau_patience: int = 3
+    early_stop_patience: int = 5
+    checkpoint_every: int = 5
+    checkpoint_dir: str = os.environ.get("MATHOCR_CKPT_DIR", "checkpoints")
+    seed: int = 0
+    # Parallelism: axis sizes over the device mesh. data * tensor must
+    # divide the device count; use mesh_shape=None to auto-fill data axis.
+    data_axis: int = -1  # -1: all remaining devices
+    tensor_axis: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeConfig:
+    """Autoregressive decode settings.
+
+    The reference configured beam_size=5 but never implemented beam search
+    (src/config.py:50, src/inference.py:5-7); we implement both greedy and
+    beam. Length buckets bound XLA recompilation for ragged batches.
+    """
+
+    max_seq_len: int = 150
+    beam_size: int = 5
+    length_buckets: Tuple[int, ...] = (32, 64, 96, 150)
+    batch_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64)
+
+
+@dataclasses.dataclass(frozen=True)
+class ServeConfig:
+    """Serving config, env-overridable (reference: app/src/main.py:89-136)."""
+
+    host: str = "0.0.0.0"
+    port: int = 8080
+    api_title: str = "Handwritten Math Formula Recognition API"
+    api_description: str = (
+        "Convert handwritten mathematical formulas to LaTeX using deep learning"
+    )
+    api_version: str = "1.0.0"
+    model_dir: str = "trained-model"
+    api_key: str = ""
+    cors_origins: Tuple[str, ...] = ("*",)
+    trusted_hosts: Tuple[str, ...] = ("*",)
+    max_file_size: int = 10 * 1024 * 1024
+    allowed_extensions: Tuple[str, ...] = (
+        ".jpg", ".jpeg", ".png", ".bmp", ".tiff", ".webp",
+    )
+    # Rate limits (reference defaults: app/src/main.py:120-126).
+    rate_limit_per_minute: int = 20
+    rate_limit_per_hour: int = 200
+    rate_limit_per_day: int = 1000
+    max_concurrent_requests: int = 10
+    redis_url: str = ""
+    # Batching engine.
+    max_batch_size: int = 64
+    batch_timeout_ms: float = 5.0
+    max_batch_images: int = 10  # per /predict/batch request
+
+    @classmethod
+    def from_env(cls) -> "ServeConfig":
+        env = os.environ
+        defaults = cls()
+
+        def _split(name: str, default: Tuple[str, ...]) -> Tuple[str, ...]:
+            raw = env.get(name)
+            if not raw:
+                return default
+            return tuple(s.strip() for s in raw.split(",") if s.strip())
+
+        return cls(
+            host=env.get("HOST", defaults.host),
+            port=int(env.get("PORT", defaults.port)),
+            model_dir=env.get("MODEL_DIR", defaults.model_dir),
+            api_key=env.get("MODEL_API_KEY", defaults.api_key),
+            cors_origins=_split("CORS_ORIGINS", defaults.cors_origins),
+            trusted_hosts=_split("TRUSTED_HOSTS", defaults.trusted_hosts),
+            rate_limit_per_minute=int(
+                env.get("RATE_LIMIT_PER_MINUTE", defaults.rate_limit_per_minute)
+            ),
+            rate_limit_per_hour=int(
+                env.get("RATE_LIMIT_PER_HOUR", defaults.rate_limit_per_hour)
+            ),
+            rate_limit_per_day=int(
+                env.get("RATE_LIMIT_PER_DAY", defaults.rate_limit_per_day)
+            ),
+            max_concurrent_requests=int(
+                env.get("MAX_CONCURRENT_REQUESTS", defaults.max_concurrent_requests)
+            ),
+            redis_url=env.get("REDIS_URL", defaults.redis_url),
+            max_batch_size=int(env.get("MAX_BATCH_SIZE", defaults.max_batch_size)),
+            batch_timeout_ms=float(
+                env.get("BATCH_TIMEOUT_MS", defaults.batch_timeout_ms)
+            ),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Top-level bundle."""
+
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    decode: DecodeConfig = dataclasses.field(default_factory=DecodeConfig)
+    serve: ServeConfig = dataclasses.field(default_factory=ServeConfig)

@@ -1,0 +1,15 @@
+"""Test harness config: force an 8-device virtual CPU mesh.
+
+Multi-chip sharding paths are validated on CPU via
+``xla_force_host_platform_device_count`` (no TPU needed for the suite);
+the driver's dryrun and bench exercise the real chip.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
