@@ -3,13 +3,20 @@
 Multi-chip sharding paths are validated on CPU via
 ``xla_force_host_platform_device_count`` (no TPU needed for the suite);
 the driver's dryrun and bench exercise the real chip.
+
+Note: the environment pins ``JAX_PLATFORMS=axon`` via sitecustomize, so the
+env var alone is not enough — ``jax.config.update`` wins.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,114 @@
+"""Swin encoder component tests: static index/mask construction vs brute
+force, shape pipeline for the 96x320 input, and invariance properties."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from handwritten_math_ocr_api_tpu.core.config import ModelConfig, SwinConfig
+from handwritten_math_ocr_api_tpu.models import swin
+from handwritten_math_ocr_api_tpu.models.model import encode, forward, init_model
+
+TINY = SwinConfig(embed_dim=8, depths=(1, 1), num_heads=(2, 2), window_size=4,
+                  stochastic_depth=0.0)
+
+
+def test_relative_position_index_bruteforce():
+    ws = 3
+    idx = swin.relative_position_index(ws)
+    # brute force over coordinate pairs
+    coords = [(i, j) for i in range(ws) for j in range(ws)]
+    for a, (ia, ja) in enumerate(coords):
+        for b, (ib, jb) in enumerate(coords):
+            expected = (ia - ib + ws - 1) * (2 * ws - 1) + (ja - jb + ws - 1)
+            assert idx[a, b] == expected
+    assert idx.max() == (2 * ws - 1) ** 2 - 1
+
+
+def test_shift_mask_structure():
+    # 8x8 map, window 4, shift 2 -> 4 windows; only windows touching the
+    # wrap-around regions get nonzero entries
+    mask = swin.shift_attention_mask(8, 8, 4, 2, 2)
+    assert mask.shape == (4, 16, 16)
+    assert np.all((mask == 0) | (mask == -100.0))
+    assert np.all(mask[0] == 0)  # top-left window: single region
+    assert (mask[1:] == -100.0).any()
+    # symmetric blocking
+    assert np.allclose(mask, np.transpose(mask, (0, 2, 1)))
+
+
+def test_no_shift_mask_is_none():
+    assert swin.shift_attention_mask(8, 8, 4, 0, 0) is None
+
+
+def test_window_partition_roundtrip():
+    x = jnp.arange(2 * 8 * 12 * 5, dtype=jnp.float32).reshape(2, 8, 12, 5)
+    w = swin.window_partition(x, 4)
+    assert w.shape == (2 * 2 * 3, 16, 5)
+    back = swin.window_unpartition(w, 4, 2, 8, 12)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_swin_output_shape_96x320():
+    cfg = ModelConfig(dtype="float32")
+    key = jax.random.PRNGKey(0)
+    params = swin.init_swin_params(key, cfg.swin)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 96, 320, 1))
+    out = swin.swin_apply(params, x, cfg.swin)
+    # stride-32 trunk: 3*10 tokens of 768 features (src/model_swin.py:40-44)
+    assert out.shape == (1, 30, 768)
+
+
+def test_full_model_forward_shapes_all_encoders():
+    for enc in ["swin_t", "resnet18", "res18trans"]:
+        cfg = ModelConfig(
+            encoder=enc, vocab_size=40, dtype="float32",
+            num_decoder_layers=2, num_encoder_layers=2,
+            swin=TINY, max_seq_len=16,
+        )
+        params, state = init_model(jax.random.PRNGKey(0), cfg)
+        images = jax.random.normal(jax.random.PRNGKey(1), (2, 96, 320, 1))
+        captions = jnp.ones((2, 12), jnp.int32)
+        logits, _ = forward(params, state, cfg, images, captions)
+        assert logits.shape == (2, 11, 40)  # teacher-forced on captions[:, :-1]
+
+        memory, _ = encode(params, state, cfg, images)
+        assert memory.shape[0] == 2 and memory.shape[2] == cfg.d_model
+        expected_len = 30 if enc == "swin_t" else 10
+        if enc == "swin_t":
+            # tiny swin has 2 stages -> stride 8: (96/8)*(320/8)
+            expected_len = (96 // 8) * (320 // 8)
+        assert memory.shape[1] == expected_len
+
+
+def test_shifted_window_attention_differs_from_unshifted():
+    cfg = SwinConfig(embed_dim=8, depths=(1,), num_heads=(2,), window_size=4)
+    key = jax.random.PRNGKey(0)
+    p = swin._block_init(key, 8, 2, 4, 4.0)["attn"]
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 8))
+    a = swin.window_attention(p, x, 4, 0, 2)
+    b = swin.window_attention(p, x, 4, 2, 2)
+    assert a.shape == b.shape == x.shape
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_patch_merging_gather_order():
+    """2x2 gather must be [ee, oe, eo, oo] over (H, W) — torchvision order."""
+    C = 4
+    x = jnp.arange(1 * 4 * 4 * C, dtype=jnp.float32).reshape(1, 4, 4, C)
+    p = {
+        "norm": {"scale": jnp.ones(4 * C), "bias": jnp.zeros(4 * C)},
+        # identity-ish reduction: pick out each quadrant's first channel
+        "reduction": {"w": jnp.eye(4 * C, 2 * C)},
+    }
+    out = swin.patch_merging(p, x)
+    assert out.shape == (1, 2, 2, 2 * C)
+    # manual: position (0,0) gathers x[0,0], x[1,0], x[0,1], x[1,1]
+    gathered = jnp.concatenate(
+        [x[0, 0, 0], x[0, 1, 0], x[0, 0, 1], x[0, 1, 1]])
+    mean = gathered.mean()
+    var = gathered.var()
+    normed = (gathered - mean) / np.sqrt(var + 1e-5)
+    expected = normed @ np.eye(4 * C, 2 * C)
+    np.testing.assert_allclose(np.asarray(out[0, 0, 0]), expected, atol=1e-5)
