@@ -1,0 +1,148 @@
+"""High-level decode API: the reference's three predict surfaces, unified.
+
+The reference shipped three divergent ``predict`` functions
+(src/inference.py:7 batched greedy -> list[str]; src/predict.py:49 scalar
+CLI -> token list; app/src/im2latex.py:15 serving -> (latex, confidence)).
+``DecodeEngine`` provides all three behaviors over ONE compiled decode
+implementation, with batch-size bucketing to bound XLA recompilation.
+Output length needs no bucketing: the decode while-loop exits early on
+device when every row is finished.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import Config, DecodeConfig, ModelConfig
+from ..core.tokenizer import Tokenizer, clean_latex_output
+from ..models import model as model_mod
+from .beam import BeamResult, beam_decode
+from .greedy import GreedyResult, greedy_decode
+
+# Reference fallback when decode emits nothing (app/src/im2latex.py:47-48).
+EMPTY_RESULT_FALLBACK = (
+    r"\text{Unable to detect a formula from the image. Please verify the model.}"
+)
+
+
+def pick_bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class DecodeEngine:
+    """Compiled, bucketed image->LaTeX decoding."""
+
+    def __init__(self, params, state, cfg: ModelConfig,
+                 decode_cfg: Optional[DecodeConfig] = None,
+                 tokenizer: Optional[Tokenizer] = None,
+                 use_pallas: bool = False):
+        self.params = params
+        self.state = state
+        self.cfg = cfg
+        self.decode_cfg = decode_cfg or DecodeConfig()
+        self.tokenizer = tokenizer
+        self.use_pallas = use_pallas
+        self._greedy_fns: Dict[int, callable] = {}
+        self._beam_fns: Dict[Tuple[int, int], callable] = {}
+
+    # -- compiled kernels --------------------------------------------------
+
+    def _greedy_fn(self, batch: int):
+        if batch not in self._greedy_fns:
+            cfg, state, up = self.cfg, self.state, self.use_pallas
+            max_len = self.decode_cfg.max_seq_len
+
+            @jax.jit
+            def fn(params, images):
+                memory, _ = model_mod.encode(params, state, cfg, images,
+                                             use_pallas=up)
+                return greedy_decode(params["decoder"], cfg, memory, max_len,
+                                     use_pallas=up)
+
+            self._greedy_fns[batch] = fn
+        return self._greedy_fns[batch]
+
+    def _beam_fn(self, batch: int, beam: int):
+        key = (batch, beam)
+        if key not in self._beam_fns:
+            cfg, state, up = self.cfg, self.state, self.use_pallas
+            max_len = self.decode_cfg.max_seq_len
+
+            @jax.jit
+            def fn(params, images):
+                memory, _ = model_mod.encode(params, state, cfg, images,
+                                             use_pallas=up)
+                return beam_decode(params["decoder"], cfg, memory, beam,
+                                   max_len, use_pallas=up)
+
+            self._beam_fns[key] = fn
+        return self._beam_fns[key]
+
+    # -- internals ----------------------------------------------------------
+
+    def _pad_batch(self, images: np.ndarray) -> Tuple[jnp.ndarray, int, int]:
+        """Pad (B, H, W, 1) to the next batch bucket."""
+        B = images.shape[0]
+        bucket = pick_bucket(B, self.decode_cfg.batch_buckets)
+        if bucket > B:
+            pad = np.zeros((bucket - B, *images.shape[1:]), images.dtype)
+            images = np.concatenate([images, pad], axis=0)
+        return jnp.asarray(images), B, bucket
+
+    def decode_tokens(self, images: np.ndarray,
+                      beam_size: Optional[int] = None):
+        """images: (B, H, W, 1) normalized float32. Returns GreedyResult or
+        BeamResult trimmed to the true batch size."""
+        x, B, bucket = self._pad_batch(np.asarray(images))
+        if beam_size and beam_size > 1:
+            res: BeamResult = self._beam_fn(bucket, beam_size)(self.params, x)
+            return BeamResult(res.tokens[:B], res.scores[:B], res.lengths[:B])
+        res: GreedyResult = self._greedy_fn(bucket)(self.params, x)
+        return GreedyResult(res.tokens[:B], res.lengths[:B],
+                            res.logprob_sum[:B], res.token_count[:B])
+
+    # -- reference-compatible surfaces ---------------------------------------
+
+    def predict_batch(self, images: np.ndarray,
+                      beam_size: Optional[int] = None) -> List[str]:
+        """Batched decode -> list of space-joined LaTeX token strings
+        (reference: src/inference.py:7-41)."""
+        res = self.decode_tokens(images, beam_size)
+        return self.tokenizer.decode_batch(np.asarray(res.tokens))
+
+    def predict_single(self, image: np.ndarray,
+                       beam_size: Optional[int] = None) -> Tuple[str, float]:
+        """Serving decode -> (cleaned latex, confidence)
+        (reference: app/src/im2latex.py:15-57): confidence =
+        exp(mean per-step log(prob + 1e-10)), eos step included in the sum
+        but not the denominator; fallback string + 0.0 when nothing decoded."""
+        if image.ndim == 3:
+            image = image[None]
+        res = self.decode_tokens(image)  # greedy, as the reference serving path
+        if isinstance(res, BeamResult):  # pragma: no cover - greedy only
+            raise AssertionError
+        count = int(res.token_count[0])
+        if count == 0:
+            return EMPTY_RESULT_FALLBACK, 0.0
+        avg_logp = float(res.logprob_sum[0]) / count
+        confidence = float(np.exp(avg_logp))
+        latex = self.tokenizer.decode(np.asarray(res.tokens[0]))
+        return clean_latex_output(latex), confidence
+
+    def warmup(self, batch_sizes: Sequence[int] = (1,),
+               beam_sizes: Sequence[int] = ()) -> None:
+        """Pre-compile decode programs for the given bucket sizes."""
+        h, w = self.cfg.img_h, self.cfg.img_w
+        for b in batch_sizes:
+            dummy = np.zeros((b, h, w, 1), np.float32)
+            self.decode_tokens(dummy)
+            for k in beam_sizes:
+                self.decode_tokens(dummy, beam_size=k)
