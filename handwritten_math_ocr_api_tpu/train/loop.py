@@ -1,0 +1,175 @@
+"""Training loop: epoch driver with val metrics, plateau LR, early stop,
+periodic + best checkpointing, optional MLflow logging.
+
+Control flow mirrors the reference (src/train.py:13-81 /
+src/train_mlflow.py): per-epoch val pass computes edit-distance/CER/BLEU
+from the argmax of teacher-forced logits (not a full decode — same as
+src/train.py:50-57), scheduler steps on val loss, checkpoints land every
+``checkpoint_every`` epochs plus a best-by-edit-distance copy, and training
+stops after ``early_stop_patience`` epochs without improvement. Resuming
+(``resume_from``) continues epochs/optimizer/scheduler where they left off
+(reference: src/train.py:83-149).
+
+MLflow is optional (not installed in this image): when importable and
+``mlflow_experiment`` is set, params/metrics/checkpoints are logged like
+src/train_mlflow.py:34-109 did.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, Iterable, Optional
+
+import jax
+import numpy as np
+
+from ..core.config import Config
+from ..core.tokenizer import Tokenizer
+from ..eval.metrics import compute_metrics
+from ..parallel import mesh as mesh_lib
+from . import checkpoint as ckpt_lib
+from .optim import PlateauScheduler, get_learning_rate, set_learning_rate
+from .step import TrainState, create_train_state, make_eval_step, make_train_step
+
+log = logging.getLogger(__name__)
+
+
+def _try_mlflow(experiment: Optional[str]):
+    if not experiment:
+        return None
+    try:
+        import mlflow
+
+        mlflow.set_experiment(experiment)
+        return mlflow
+    except ImportError:
+        log.warning("mlflow not installed; skipping experiment logging")
+        return None
+
+
+def train_model(
+    cfg: Config,
+    train_loader: Iterable,
+    val_loader: Iterable,
+    tokenizer: Tokenizer,
+    *,
+    mesh=None,
+    resume_from: Optional[str] = None,
+    mlflow_experiment: Optional[str] = None,
+    use_pallas: bool = False,
+) -> TrainState:
+    """Returns the final TrainState. Loaders yield dicts with
+    ``image`` (B, H, W, 1) float32 and ``caption`` (B, max_seq_len) int32."""
+    tc, mc = cfg.train, cfg.model
+    rng = jax.random.PRNGKey(tc.seed)
+    state, optimizer = create_train_state(rng, mc, tc)
+    train_step = make_train_step(mc, tc, optimizer, use_pallas=use_pallas)
+    eval_step = make_eval_step(mc, tc, use_pallas=use_pallas)
+    scheduler = PlateauScheduler(factor=tc.plateau_factor,
+                                 patience=tc.plateau_patience)
+    start_epoch = 0
+    best_edit_dist = float("inf")
+
+    if mesh is None and len(jax.devices()) > 1:
+        mesh = mesh_lib.make_mesh(data=-1, tensor=tc.tensor_axis)
+    if mesh is not None:
+        state = state.replace(
+            params=mesh_lib.shard_params(state.params, mesh))
+
+    if resume_from:
+        state, meta = ckpt_lib.load_checkpoint(tc.checkpoint_dir,
+                                               resume_from, state)
+        start_epoch = int(meta.get("epoch", 0))
+        best_edit_dist = float(meta.get("metric_value", float("inf")))
+        if meta.get("scheduler"):
+            scheduler = PlateauScheduler.from_state_dict(meta["scheduler"])
+        log.info("resumed from %s at epoch %d", resume_from, start_epoch)
+
+    mlflow = _try_mlflow(mlflow_experiment)
+    if mlflow:
+        mlflow.start_run()
+        mlflow.log_params({
+            "learning_rate": tc.learning_rate, "epochs": tc.epochs,
+            "label_smoothing": tc.label_smoothing,
+            "encoder": mc.encoder, "d_model": mc.d_model,
+        })
+
+    data_rng = jax.random.PRNGKey(tc.seed + 1)
+    no_improvement = 0
+    try:
+        for epoch in range(start_epoch, tc.epochs):
+            t0 = time.time()
+            # ---- train pass ----
+            train_losses = []
+            for batch in train_loader:
+                images, captions = batch["image"], batch["caption"]
+                if mesh is not None:
+                    images, captions = mesh_lib.shard_batch(
+                        (images, captions), mesh)
+                state, metrics = train_step(state, images, captions, data_rng)
+                train_losses.append(metrics["loss"])
+            train_loss = float(np.mean(jax.device_get(train_losses)))
+
+            # ---- val pass: loss + argmax metrics (src/train.py:42-57) ----
+            val_losses, all_preds, all_tgts = [], [], []
+            for batch in val_loader:
+                images, captions = batch["image"], batch["caption"]
+                if mesh is not None:
+                    images, captions = mesh_lib.shard_batch(
+                        (images, captions), mesh)
+                loss, preds = eval_step(state, images, captions)
+                val_losses.append(float(loss))
+                preds = np.asarray(jax.device_get(preds))
+                tgts = np.asarray(jax.device_get(captions))[:, 1:]
+                all_preds.extend(tokenizer.decode_batch(preds))
+                all_tgts.extend(tokenizer.decode_batch(tgts))
+            val_loss = float(np.mean(val_losses)) if val_losses else 0.0
+            metrics = compute_metrics(all_preds, all_tgts)
+
+            # ---- schedule + logging ----
+            lr = get_learning_rate(state.opt_state)
+            new_lr = scheduler.step(val_loss, lr)
+            if new_lr != lr:
+                state = state.replace(opt_state=set_learning_rate(
+                    state.opt_state, new_lr))
+                log.info("plateau: lr %.2e -> %.2e", lr, new_lr)
+
+            log.info(
+                "epoch %d/%d | train %.4f | val %.4f | edit %.2f | cer %.4f "
+                "| bleu %.4f | %.1fs",
+                epoch + 1, tc.epochs, train_loss, val_loss,
+                metrics["edit_distance"], metrics["cer"], metrics["bleu"],
+                time.time() - t0)
+            if mlflow:
+                mlflow.log_metrics({
+                    "train_loss": train_loss, "val_loss": val_loss,
+                    "edit_distance": metrics["edit_distance"],
+                    "cer": metrics["cer"], "bleu": metrics["bleu"],
+                    "lr": new_lr,
+                }, step=epoch + 1)
+
+            # ---- checkpointing (src/train.py:64-72) ----
+            sched_sd = scheduler.state_dict()
+            if (epoch + 1) % tc.checkpoint_every == 0:
+                ckpt_lib.save_checkpoint(
+                    tc.checkpoint_dir, f"checkpoint_epoch_{epoch + 1}",
+                    state, epoch + 1, metrics["edit_distance"], sched_sd)
+            if metrics["edit_distance"] < best_edit_dist:
+                best_edit_dist = metrics["edit_distance"]
+                no_improvement = 0
+                ckpt_lib.save_checkpoint(
+                    tc.checkpoint_dir, "best_model", state, epoch + 1,
+                    best_edit_dist, sched_sd)
+                log.info("new best edit distance: %.2f", best_edit_dist)
+            else:
+                no_improvement += 1
+                log.info("no improvement %d/%d", no_improvement,
+                         tc.early_stop_patience)
+            if no_improvement >= tc.early_stop_patience:
+                log.info("early stopping at epoch %d", epoch + 1)
+                break
+    finally:
+        if mlflow:
+            mlflow.end_run()
+    return state

@@ -1,0 +1,94 @@
+"""Train/eval steps: pure jitted functions over a TrainState pytree.
+
+Semantics mirror the reference loop body (src/train.py:28-57): teacher-
+forced forward on captions[:, :-1], label-smoothed CE against
+captions[:, 1:] ignoring pad, global-norm grad clip 1.0, Adam update.
+AMP autocast/GradScaler are replaced by straight bf16 compute (no loss
+scaling needed — see train/optim.py).
+
+Parallelism: the step is written sharding-agnostically; placing params
+(parallel/mesh.py TP rules) and batches (P('data')) on a mesh makes
+``jax.jit`` emit the psum/all-gather collectives automatically. Gradients
+for replicated params are reduced over 'data' by GSPMD.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..core.config import PAD_ID, ModelConfig, TrainConfig
+from ..models import model as model_mod
+from .losses import smoothed_cross_entropy, token_accuracy
+from .optim import make_optimizer
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    model_state: Any  # BN running stats ({} for swin)
+    step: jnp.ndarray
+
+
+def create_train_state(key, model_cfg: ModelConfig,
+                       train_cfg: TrainConfig) -> Tuple[TrainState, optax.GradientTransformation]:
+    params, model_state = model_mod.init_model(key, model_cfg)
+    optimizer = make_optimizer(train_cfg)
+    opt_state = optimizer.init(params)
+    return TrainState(params=params, opt_state=opt_state,
+                      model_state=model_state,
+                      step=jnp.zeros((), jnp.int32)), optimizer
+
+
+def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
+                    optimizer: optax.GradientTransformation,
+                    use_pallas: bool = False) -> Callable:
+    def train_step(state: TrainState, images, captions, rng
+                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            logits, new_ms = model_mod.forward(
+                params, state.model_state, model_cfg, images, captions,
+                deterministic=False, rng=rng, training=True,
+                use_pallas=use_pallas)
+            loss = smoothed_cross_entropy(
+                logits, captions[:, 1:], PAD_ID, train_cfg.label_smoothing)
+            return loss, (new_ms, logits)
+
+        (loss, (new_ms, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = optimizer.update(grads, state.opt_state,
+                                            state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "accuracy": token_accuracy(logits, captions[:, 1:], PAD_ID),
+            "grad_norm": optax.global_norm(grads),
+        }
+        new_state = state.replace(
+            params=new_params, opt_state=new_opt,
+            model_state=new_ms if new_ms else state.model_state,
+            step=state.step + 1)
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
+                   use_pallas: bool = False) -> Callable:
+    def eval_step(state: TrainState, images, captions):
+        logits, _ = model_mod.forward(
+            state.params, state.model_state, model_cfg, images, captions,
+            deterministic=True, use_pallas=use_pallas)
+        loss = smoothed_cross_entropy(
+            logits, captions[:, 1:], PAD_ID, train_cfg.label_smoothing)
+        preds = jnp.argmax(logits, axis=-1)
+        return loss, preds
+
+    return jax.jit(eval_step)

@@ -1,0 +1,160 @@
+"""Training layer tests: loss parity vs torch CE(label_smoothing,
+ignore_index), train-step learning, plateau scheduler vs torch semantics,
+checkpoint roundtrip, and sharded-vs-single-device step equivalence on the
+8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from handwritten_math_ocr_api_tpu.core.config import (
+    PAD_ID, Config, ModelConfig, SwinConfig, TrainConfig,
+)
+from handwritten_math_ocr_api_tpu.parallel import mesh as mesh_lib
+from handwritten_math_ocr_api_tpu.train.losses import smoothed_cross_entropy
+from handwritten_math_ocr_api_tpu.train.optim import (
+    PlateauScheduler, get_learning_rate, make_optimizer, set_learning_rate,
+)
+from handwritten_math_ocr_api_tpu.train.step import (
+    create_train_state, make_eval_step, make_train_step,
+)
+
+TINY = ModelConfig(
+    d_model=32, nhead=4, dim_feedforward=64, dropout=0.1,
+    num_decoder_layers=2, max_seq_len=12, vocab_size=24, dtype="float32",
+    swin=SwinConfig(embed_dim=8, depths=(1, 1), num_heads=(2, 2),
+                    window_size=4, stochastic_depth=0.0),
+)
+
+
+def test_loss_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.default_rng(0)
+    B, L, V = 4, 7, 11
+    logits = rng.standard_normal((B, L, V), dtype=np.float32)
+    targets = rng.integers(1, V, (B, L))
+    targets[0, 5:] = PAD_ID
+    targets[2, 3:] = PAD_ID
+
+    ours = smoothed_cross_entropy(jnp.asarray(logits), jnp.asarray(targets),
+                                  PAD_ID, 0.1)
+    crit = torch.nn.CrossEntropyLoss(ignore_index=PAD_ID, label_smoothing=0.1)
+    theirs = crit(torch.tensor(logits).reshape(-1, V),
+                  torch.tensor(targets).reshape(-1))
+    assert abs(float(ours) - float(theirs)) < 1e-5
+
+
+def _batch(rng, B=4, cfg=TINY):
+    images = rng.standard_normal((B, 96, 320, 1)).astype(np.float32)
+    captions = rng.integers(4, cfg.vocab_size, (B, cfg.max_seq_len)).astype(np.int32)
+    captions[:, 0] = 1  # sos
+    captions[:, -2:] = PAD_ID
+    return jnp.asarray(images), jnp.asarray(captions)
+
+
+def test_train_step_reduces_loss():
+    tc = TrainConfig(learning_rate=1e-3)
+    state, opt = create_train_state(jax.random.PRNGKey(0), TINY, tc)
+    step = make_train_step(TINY, tc, opt)
+    rng = np.random.default_rng(0)
+    images, captions = _batch(rng)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(8):
+        state, m = step(state, images, captions, key)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 8
+
+
+def test_plateau_scheduler_matches_torch_semantics():
+    torch = pytest.importorskip("torch")
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam([p], lr=1.0)
+    tsched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="min", factor=0.5, patience=3)
+    ours = PlateauScheduler(factor=0.5, patience=3)
+    lr = 1.0
+    metrics = [1.0, 0.9, 0.95, 0.95, 0.95, 0.95, 0.95, 0.8, 0.9, 0.9, 0.9,
+               0.9, 0.9]
+    for m in metrics:
+        tsched.step(m)
+        lr = ours.step(m, lr)
+        assert abs(lr - opt.param_groups[0]["lr"]) < 1e-9, m
+
+
+def test_lr_injection_roundtrip():
+    tc = TrainConfig()
+    state, opt = create_train_state(jax.random.PRNGKey(0), TINY, tc)
+    assert abs(get_learning_rate(state.opt_state) - tc.learning_rate) < 1e-9
+    new = set_learning_rate(state.opt_state, 1e-5)
+    assert abs(get_learning_rate(new) - 1e-5) < 1e-12
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from handwritten_math_ocr_api_tpu.train import checkpoint as ck
+
+    tc = TrainConfig(checkpoint_dir=str(tmp_path))
+    state, opt = create_train_state(jax.random.PRNGKey(0), TINY, tc)
+    step = make_train_step(TINY, tc, opt)
+    rng = np.random.default_rng(0)
+    images, captions = _batch(rng)
+    state, _ = step(state, images, captions, jax.random.PRNGKey(1))
+
+    sched = PlateauScheduler(best=0.5, num_bad_epochs=2)
+    ck.save_checkpoint(str(tmp_path), "best_model", state, epoch=3,
+                       metric=1.25, scheduler_state=sched.state_dict())
+
+    fresh, _ = create_train_state(jax.random.PRNGKey(42), TINY, tc)
+    restored, meta = ck.load_checkpoint(str(tmp_path), "best_model", fresh)
+    assert meta["epoch"] == 3 and meta["metric_value"] == 1.25
+    assert meta["scheduler"]["num_bad_epochs"] == 2
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(restored.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_sharded_step_matches_single_device():
+    """dp=4 x tp=2 mesh step must produce the same loss/params as 1 device."""
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    tc = TrainConfig(learning_rate=1e-3)
+    cfg = TINY.replace(dropout=0.0)  # determinism across placements
+
+    state1, opt = create_train_state(jax.random.PRNGKey(0), cfg, tc)
+    step1 = make_train_step(cfg, tc, opt)
+    rng = np.random.default_rng(0)
+    images, captions = _batch(rng, B=8, cfg=cfg)
+    key = jax.random.PRNGKey(1)
+    s1, m1 = step1(state1, images, captions, key)
+
+    mesh = mesh_lib.make_mesh(data=4, tensor=2)
+    state2, opt2 = create_train_state(jax.random.PRNGKey(0), cfg, tc)
+    state2 = state2.replace(
+        params=mesh_lib.shard_params(state2.params, mesh))
+    step2 = make_train_step(cfg, tc, opt2)
+    si, sc = mesh_lib.shard_batch((images, captions), mesh)
+    s2, m2 = step2(state2, si, sc, key)
+
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-4
+    la = jax.tree_util.tree_leaves(s1.params)
+    lb = jax.tree_util.tree_leaves(s2.params)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   atol=5e-5, rtol=1e-4)
+
+
+def test_tp_rules_shard_expected_params():
+    mesh = mesh_lib.make_mesh(data=4, tensor=2)
+    from handwritten_math_ocr_api_tpu.models.model import init_model
+
+    params, _ = init_model(jax.random.PRNGKey(0), TINY)
+    sharded = mesh_lib.shard_params(params, mesh)
+    qkv = sharded["decoder"]["layers"][0]["self_attn"]["w_qkv"]
+    spec = qkv.sharding.spec
+    assert tuple(spec) == (None, "tensor")
+    # replicated leaf: layernorm scale
+    ln = sharded["decoder"]["layers"][0]["norm1"]["scale"]
+    assert tuple(ln.sharding.spec) == ()
