@@ -1,0 +1,74 @@
+"""Headline benchmark: batch-10 greedy decode throughput on one TPU chip.
+
+This is BASELINE.json config 3 ("Batch-10 padded /predict/batch decode with
+KV cache, greedy, v5e-1"). The reference baseline is the CPU serving path:
+~350 ms/image greedy decode (README.md:87), and /predict/batch processed
+its images *sequentially* (app/src/main.py:546) => ~2.857 img/s. The
+north-star target is >=50x that (~143 img/s) on v5e-1.
+
+Random weights decode to max_seq_len (no early <eos>), so the measured
+number is the worst-case full-150-step decode — conservative vs production.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_IMGS_PER_SEC = 1.0 / 0.350  # reference ~350 ms/image on CPU
+
+BATCH = 10
+ITERS = 20
+
+
+def main() -> None:
+    import jax
+
+    from handwritten_math_ocr_api_tpu.core.config import ModelConfig
+    from handwritten_math_ocr_api_tpu.decode.greedy import greedy_decode
+    from handwritten_math_ocr_api_tpu.models import model as model_mod
+    from handwritten_math_ocr_api_tpu.models.model import init_model
+
+    cfg = ModelConfig()  # flagship Swin-T + 8-layer decoder, bf16
+    params, state = init_model(jax.random.PRNGKey(0), cfg)
+
+    # Force the full 150-step decode (random weights could emit <eos>
+    # immediately and fake the number): unreachable eos id => every image
+    # pays the worst-case decode cost.
+    @jax.jit
+    def decode(params, images):
+        memory, _ = model_mod.encode(params, state, cfg, images)
+        return greedy_decode(params["decoder"], cfg, memory,
+                             cfg.max_seq_len, eos_id=cfg.vocab_size + 1)
+
+    rng = np.random.default_rng(0)
+    images = jax.numpy.asarray(rng.standard_normal(
+        (BATCH, cfg.img_h, cfg.img_w, 1)).astype(np.float32))
+
+    # warmup / compile
+    res = decode(params, images)
+    jax.block_until_ready(res.tokens)
+    steps = np.asarray(res.token_count)  # emitted non-eos tokens per row
+    assert (steps == cfg.max_seq_len).all(), steps
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        res = decode(params, images)
+    jax.block_until_ready(res.tokens)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = BATCH * ITERS / dt
+    print(json.dumps({
+        "metric": "batch10_greedy_decode_throughput_v5e1",
+        "value": round(imgs_per_sec, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -100,8 +100,7 @@ def _conv(p, x: Array, stride: int, padding) -> Array:
         x, p["w"].astype(x.dtype),
         window_strides=(stride, stride), padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
 
 
 def _bn(p, s, x: Array, *, training: bool, momentum: float = 0.1,

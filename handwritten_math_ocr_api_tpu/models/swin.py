@@ -262,8 +262,7 @@ def patch_embed(p, images: Array) -> Array:
         images, w,
         window_strides=(4, 4), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(images.dtype)
+    )
     x = x + p["conv"]["b"].astype(x.dtype)
     return layers.layer_norm(p["norm"], x)
 
