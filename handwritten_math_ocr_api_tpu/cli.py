@@ -1,0 +1,226 @@
+"""Command-line interface for the framework.
+
+One argparse CLI replaces the reference's scattered script entry points:
+``build-vocab`` (src/build_vocab.py), ``train`` (src/main.py + src/train.py),
+``evaluate`` (src/test_model.py), ``predict`` (src/predict.py),
+``render-inkml`` (missing in the reference — README.md:55-57),
+``serve`` (app uvicorn entry), ``make-synthetic`` (new, hermetic testing).
+
+Usage: python -m handwritten_math_ocr_api_tpu <command> [options]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+
+
+def _common_data_args(p):
+    p.add_argument("--data-root", default=os.environ.get(
+        "MATHOCR_DATA_ROOT", "data"))
+    p.add_argument("--checkpoint-dir", default=os.environ.get(
+        "MATHOCR_CKPT_DIR", "checkpoints"))
+
+
+def cmd_build_vocab(args) -> int:
+    from .core.tokenizer import create_vocab_from_csvs, save_vocab
+
+    paths = [os.path.join(args.data_root, "train_labels.csv")]
+    if args.include_val:
+        paths.append(os.path.join(args.data_root, "validate_labels.csv"))
+    vocab = create_vocab_from_csvs(paths)
+    out = os.path.join(args.checkpoint_dir, "vocab.json")
+    save_vocab(vocab, out)
+    print(f"vocab: {len(vocab)} tokens -> {out}")
+    return 0
+
+
+def cmd_train(args) -> int:
+    from .core.config import Config, DataConfig, ModelConfig, TrainConfig
+    from .core.tokenizer import Tokenizer, load_vocab
+    from .data.dataset import get_data_loaders
+    from .train.loop import train_model
+
+    vocab, idx2char = load_vocab(
+        os.path.join(args.checkpoint_dir, "vocab.json"))
+    tok = Tokenizer(vocab, idx2char)
+    cfg = Config(
+        model=ModelConfig(encoder=args.encoder, vocab_size=len(vocab)),
+        data=DataConfig(data_root=args.data_root,
+                        batch_size=args.batch_size),
+        train=TrainConfig(checkpoint_dir=args.checkpoint_dir,
+                          epochs=args.epochs,
+                          learning_rate=args.learning_rate),
+    )
+    train_loader, val_loader = get_data_loaders(tok, cfg.data, cfg.model)
+    train_model(cfg, train_loader, val_loader, tok,
+                resume_from=args.resume_from,
+                mlflow_experiment=args.mlflow_experiment)
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    from .core.config import Config, DataConfig, DecodeConfig, ModelConfig
+    from .core.tokenizer import Tokenizer, load_vocab
+    from .data.dataset import get_test_loader
+    from .decode.api import DecodeEngine
+    from .eval.harness import evaluate_model, save_results
+    from .train.checkpoint import load_checkpoint
+    from .train.step import create_train_state
+
+    import jax
+
+    vocab, idx2char = load_vocab(
+        os.path.join(args.checkpoint_dir, "vocab.json"))
+    tok = Tokenizer(vocab, idx2char)
+    mc = ModelConfig(encoder=args.encoder, vocab_size=len(vocab))
+    dc = DataConfig(data_root=args.data_root, batch_size=args.batch_size)
+    state, _ = create_train_state(jax.random.PRNGKey(0), mc,
+                                  Config().train)
+    state, _meta = load_checkpoint(args.checkpoint_dir, args.checkpoint,
+                                   state)
+    engine = DecodeEngine(state.params, state.model_state, mc,
+                          DecodeConfig(), tok)
+    loader = get_test_loader(tok, dc, mc)
+    results = evaluate_model(engine, loader, tok,
+                             beam_size=args.beam_size)
+    save_results(results, args.out_dir)
+    s = results["summary"]
+    print(f"accuracy={s['accuracy']:.4f} cer={s['corpus_cer']:.4f} "
+          f"bleu={s['bleu']:.4f} ({s['images_per_sec']:.1f} img/s)")
+    return 0
+
+
+def cmd_predict(args) -> int:
+    from .core.config import Config, DecodeConfig, ModelConfig
+    from .core.tokenizer import Tokenizer, load_vocab
+    from .data.preprocess import preprocess_file
+    from .decode.api import DecodeEngine
+    from .train.checkpoint import load_checkpoint
+    from .train.step import create_train_state
+
+    import jax
+
+    vocab, idx2char = load_vocab(
+        os.path.join(args.checkpoint_dir, "vocab.json"))
+    tok = Tokenizer(vocab, idx2char)
+    mc = ModelConfig(encoder=args.encoder, vocab_size=len(vocab))
+    state, _ = create_train_state(jax.random.PRNGKey(0), mc, Config().train)
+    state, _meta = load_checkpoint(args.checkpoint_dir, args.checkpoint,
+                                   state)
+    engine = DecodeEngine(state.params, state.model_state, mc,
+                          DecodeConfig(), tok)
+    img = preprocess_file(args.image, mc)
+    if args.beam_size and args.beam_size > 1:
+        out = engine.predict_batch(img, beam_size=args.beam_size)[0]
+        print("Predicted LaTeX:", out)
+    else:
+        latex, conf = engine.predict_single(img[0])
+        print("Predicted LaTeX:", latex)
+        print(f"Confidence: {conf:.4f}")
+    return 0
+
+
+def cmd_render_inkml(args) -> int:
+    from .data.inkml import render_inkml_dir
+
+    n = render_inkml_dir(args.inkml_dir, args.out_img_dir, args.out_csv,
+                         limit=args.limit)
+    print(f"rendered {n} inkml files -> {args.out_img_dir}")
+    return 0
+
+
+def cmd_make_synthetic(args) -> int:
+    from .data.synthetic import make_synthetic_dataset
+
+    make_synthetic_dataset(
+        args.data_root,
+        splits=(("train", args.train), ("validate", args.val),
+                ("test", args.test)))
+    print(f"synthetic dataset -> {args.data_root}")
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from .serve.app import run_server
+
+    run_server(model_dir=args.model_dir, host=args.host, port=args.port)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="handwritten_math_ocr_api_tpu",
+        description="TPU-native handwritten math OCR framework")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    bv = sub.add_parser("build-vocab", help="build vocab.json from labels")
+    _common_data_args(bv)
+    bv.add_argument("--include-val", action="store_true")
+    bv.set_defaults(fn=cmd_build_vocab)
+
+    tr = sub.add_parser("train", help="train a model")
+    _common_data_args(tr)
+    tr.add_argument("--encoder", default="swin_t",
+                    choices=["swin_t", "resnet18", "res18trans"])
+    tr.add_argument("--batch-size", type=int, default=64)
+    tr.add_argument("--epochs", type=int, default=20)
+    tr.add_argument("--learning-rate", type=float, default=3e-4)
+    tr.add_argument("--resume-from", default=None)
+    tr.add_argument("--mlflow-experiment", default=None)
+    tr.set_defaults(fn=cmd_train)
+
+    ev = sub.add_parser("evaluate", help="evaluate on the test split")
+    _common_data_args(ev)
+    ev.add_argument("--encoder", default="swin_t",
+                    choices=["swin_t", "resnet18", "res18trans"])
+    ev.add_argument("--checkpoint", default="best_model")
+    ev.add_argument("--batch-size", type=int, default=64)
+    ev.add_argument("--beam-size", type=int, default=None)
+    ev.add_argument("--out-dir", default="results")
+    ev.set_defaults(fn=cmd_evaluate)
+
+    pr = sub.add_parser("predict", help="predict one image")
+    _common_data_args(pr)
+    pr.add_argument("image")
+    pr.add_argument("--encoder", default="swin_t",
+                    choices=["swin_t", "resnet18", "res18trans"])
+    pr.add_argument("--checkpoint", default="best_model")
+    pr.add_argument("--beam-size", type=int, default=None)
+    pr.set_defaults(fn=cmd_predict)
+
+    ri = sub.add_parser("render-inkml", help="rasterize InkML to PNGs+CSV")
+    ri.add_argument("inkml_dir")
+    ri.add_argument("out_img_dir")
+    ri.add_argument("out_csv")
+    ri.add_argument("--limit", type=int, default=None)
+    ri.set_defaults(fn=cmd_render_inkml)
+
+    ms = sub.add_parser("make-synthetic", help="generate synthetic dataset")
+    ms.add_argument("--data-root", default="data")
+    ms.add_argument("--train", type=int, default=256)
+    ms.add_argument("--val", type=int, default=64)
+    ms.add_argument("--test", type=int, default=64)
+    ms.set_defaults(fn=cmd_make_synthetic)
+
+    sv = sub.add_parser("serve", help="run the serving API")
+    sv.add_argument("--model-dir", default="trained-model")
+    sv.add_argument("--host", default="0.0.0.0")
+    sv.add_argument("--port", type=int, default=8080)
+    sv.set_defaults(fn=cmd_serve)
+
+    return p
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s")
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -137,6 +137,26 @@ class DecodeEngine:
         latex = self.tokenizer.decode(np.asarray(res.tokens[0]))
         return clean_latex_output(latex), confidence
 
+    def predict_with_confidence(self, images: np.ndarray
+                                ) -> List[Tuple[str, float]]:
+        """Batched serving decode: per-image (cleaned latex, confidence)
+        with the reference confidence semantics (app/src/im2latex.py:33-55).
+        This is the truly-batched version of the reference's sequential
+        /predict/batch loop (app/src/main.py:546-570)."""
+        res = self.decode_tokens(images)
+        out: List[Tuple[str, float]] = []
+        tokens = np.asarray(res.tokens)
+        lp = np.asarray(res.logprob_sum)
+        counts = np.asarray(res.token_count)
+        for i in range(tokens.shape[0]):
+            if counts[i] == 0:
+                out.append((EMPTY_RESULT_FALLBACK, 0.0))
+                continue
+            conf = float(np.exp(lp[i] / counts[i]))
+            latex = clean_latex_output(self.tokenizer.decode(tokens[i]))
+            out.append((latex, conf))
+        return out
+
     def warmup(self, batch_sizes: Sequence[int] = (1,),
                beam_sizes: Sequence[int] = ()) -> None:
         """Pre-compile decode programs for the given bucket sizes."""

@@ -1,0 +1,101 @@
+"""Test-split evaluation harness: CER / exact-match / BLEU over batched
+decode, with CSV + summary outputs.
+
+Capability parity with the reference's ``src/test_model.py`` (its published
+accuracy/CER numbers came from this flow), with its committed bugs fixed:
+- it imported a non-existent ``create_vocab_dicts`` and passed a ``mode``
+  kwarg ``inference.predict`` doesn't accept (src/test_model.py:11,69 —
+  broken as committed); this harness actually runs;
+- it indexed the dataframe with the intra-batch index instead of a global
+  index (src/test_model.py:79); we track global sample ids;
+- it computed Levenshtein CER then unconditionally overwrote it with a
+  difflib ratio (src/test_model.py:50-55); we report true Levenshtein CER.
+
+Outputs mirror the reference artifacts (src/test_model.py:88-105):
+``test_results.csv`` (per-sample prediction/gt/exact/cer) and
+``summary.txt`` (accuracy, avg CER), plus corpus CER/BLEU/edit distance.
+Both greedy and beam decoding are supported (beam was configured but never
+implemented in the reference — src/config.py:50).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, Iterable, List, Optional
+
+import numpy as np
+
+from ..core.tokenizer import Tokenizer
+from ..decode.api import DecodeEngine
+from ..eval import metrics as metrics_lib
+
+log = logging.getLogger(__name__)
+
+
+def evaluate_model(engine: DecodeEngine, loader: Iterable,
+                   tokenizer: Tokenizer,
+                   beam_size: Optional[int] = None) -> Dict:
+    """Run decode over a loader; returns {records, summary}."""
+    records: List[Dict] = []
+    t0 = time.time()
+    n_images = 0
+    for batch in loader:
+        images = batch["image"].astype(np.float32) / 255.0 * 2.0 - 1.0
+        valid = batch.get("valid", np.ones(len(images), bool))
+        preds = engine.predict_batch(images, beam_size=beam_size)
+        targets = tokenizer.decode_batch(batch["caption"])
+        for i, (p, t) in enumerate(zip(preds, targets)):
+            if not valid[i]:
+                continue
+            dist = metrics_lib.edit_distance(p, t)
+            records.append({
+                "index": n_images,
+                "prediction": p,
+                "ground_truth": t,
+                "exact_match": p.strip() == t.strip(),
+                "cer": dist / len(t) if t else (0.0 if not p else 1.0),
+                "edit_distance": dist,
+            })
+            n_images += 1
+    elapsed = time.time() - t0
+
+    preds = [r["prediction"] for r in records]
+    tgts = [r["ground_truth"] for r in records]
+    agg = metrics_lib.compute_metrics(preds, tgts)
+    summary = {
+        "num_samples": n_images,
+        "accuracy": agg["exact_match"],
+        "avg_cer": float(np.mean([r["cer"] for r in records])) if records else 0.0,
+        "corpus_cer": agg["cer"],
+        "edit_distance": agg["edit_distance"],
+        "bleu": agg["bleu"],
+        "elapsed_sec": elapsed,
+        "images_per_sec": n_images / elapsed if elapsed > 0 else 0.0,
+        "decode": f"beam-{beam_size}" if beam_size and beam_size > 1 else "greedy",
+    }
+    return {"records": records, "summary": summary}
+
+
+def save_results(results: Dict, out_dir: str = "results") -> None:
+    """Write test_results.csv + summary.txt (reference artifact shapes:
+    src/test_model.py:88-105)."""
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    pd.DataFrame(results["records"]).to_csv(
+        os.path.join(out_dir, "test_results.csv"), index=False)
+    s = results["summary"]
+    with open(os.path.join(out_dir, "summary.txt"), "w") as f:
+        f.write("Evaluation summary\n")
+        f.write("==================\n")
+        f.write(f"Samples:            {s['num_samples']}\n")
+        f.write(f"Decode:             {s['decode']}\n")
+        f.write(f"Exact-match acc:    {s['accuracy']:.4f}\n")
+        f.write(f"Avg CER:            {s['avg_cer']:.4f}\n")
+        f.write(f"Corpus CER:         {s['corpus_cer']:.4f}\n")
+        f.write(f"Avg edit distance:  {s['edit_distance']:.2f}\n")
+        f.write(f"BLEU-4:             {s['bleu']:.4f}\n")
+        f.write(f"Throughput:         {s['images_per_sec']:.2f} img/s\n")
+    log.info("wrote %s/{test_results.csv,summary.txt}", out_dir)

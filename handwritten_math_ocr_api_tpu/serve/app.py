@@ -1,0 +1,587 @@
+"""HTTP serving application (aiohttp) — full reference API surface.
+
+Endpoint-for-endpoint port of the reference FastAPI app
+(reference: app/src/main.py:409-756): ``/`` (HTML), ``/predict`` (multipart
+upload or base64 JSON), ``/predict/batch`` (1-10 base64 images),
+``/status``, ``/health``, ``/model/info``, ``/metrics``,
+``/rate-limit/status`` — same JSON shapes (serve/schemas.py), same auth
+(X-API-Key / Bearer, open when unconfigured: app/src/main.py:150-174), same
+middleware stack (trusted-host, CORS, rate-limit with skip-paths, request
+ID: app/src/main.py:314-361), same error envelope (app/src/main.py:365-405).
+
+What changed (TPU-first / correctness):
+- inference goes through the BatchingEngine: concurrent requests coalesce
+  into one padded TPU decode (the reference decoded sequentially, re-running
+  the encoder per generated token: app/src/im2latex.py:26-27);
+- the model artifact is a params-only orbax checkpoint + vocab.json +
+  model_config.json (no pickled module: app/src/im2latex.py:11);
+- prediction counters / concurrency maps mutate only on the event loop
+  (the reference raced a globals().update background task:
+  app/src/main.py:576).
+
+Built on aiohttp (FastAPI/uvicorn are not in this image).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import base64
+import binascii
+import io
+import logging
+import os
+import time
+import uuid
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from ..core.config import ServeConfig
+from ..core.tokenizer import Tokenizer
+from ..data.preprocess import preprocess_pil
+from ..decode.api import DecodeEngine
+from .batcher import BatcherOverloaded, BatchingEngine
+from .rate_limiter import (
+    ConcurrencyLimitExceeded, ConcurrentRequestTracker, RateLimitConfig,
+    RateLimiter, init_rate_limiter,
+)
+from .schemas import (
+    BatchPredictionRequest, BatchPredictionResponse, ErrorResponse,
+    HealthResponse, PredictionResponse, StatusResponse,
+)
+
+logger = logging.getLogger(__name__)
+
+try:
+    from aiohttp import web
+except ImportError:  # pragma: no cover
+    web = None
+
+RATE_LIMIT_SKIP_PATHS = {"/health", "/status", "/", "/docs", "/redoc",
+                         "/openapi.json"}
+
+
+def _ts() -> str:
+    return time.strftime("%Y-%m-%d %H:%M:%S")
+
+
+def _error_json(status: int, error: str, detail: str) -> "web.Response":
+    body = ErrorResponse(error=error, detail=detail,
+                         timestamp=_ts()).model_dump()
+    return web.json_response(body, status=status)
+
+
+class ApiError(Exception):
+    def __init__(self, status: int, detail: str):
+        self.status = status
+        self.detail = detail
+        super().__init__(detail)
+
+
+class ServerState:
+    """All mutable serving state, owned by the event loop."""
+
+    def __init__(self, cfg: ServeConfig):
+        self.cfg = cfg
+        self.engine: Optional[DecodeEngine] = None
+        self.batcher: Optional[BatchingEngine] = None
+        self.tokenizer: Optional[Tokenizer] = None
+        self.vocab: Optional[Dict[str, int]] = None
+        self.model_cfg = None
+        self.limiter: Optional[RateLimiter] = None
+        self.device: Optional[str] = None
+        self.model_load_time: Optional[float] = None
+        self.prediction_count = 0
+        self.start_time = time.time()
+
+    # -- model lifecycle ----------------------------------------------------
+
+    def initialize_model(self) -> None:
+        """Load vocab + params + config from model_dir; build the decode
+        engine (reference: app/src/main.py:178-210)."""
+        from ..train.checkpoint import load_params_for_serving
+
+        t0 = time.time()
+        import jax
+
+        self.device = jax.devices()[0].platform
+        logger.info("using device: %s", self.device)
+        params, vocab, idx2char, model_cfg = load_params_for_serving(
+            self.cfg.model_dir)
+        self.vocab = vocab
+        self.tokenizer = Tokenizer(vocab, idx2char)
+        self.model_cfg = model_cfg
+        self.engine = DecodeEngine(params, {}, model_cfg,
+                                   tokenizer=self.tokenizer)
+        self.batcher = BatchingEngine(
+            self.engine, max_batch_size=self.cfg.max_batch_size,
+            batch_timeout_ms=self.cfg.batch_timeout_ms)
+        self.model_load_time = time.time() - t0
+        logger.info("model initialized in %.2fs (vocab %d tokens)",
+                    self.model_load_time, len(vocab))
+
+    @property
+    def model_loaded(self) -> bool:
+        return self.engine is not None
+
+    def ensure_model(self) -> None:
+        if not self.model_loaded:
+            logger.warning("model not loaded; attempting lazy init")
+            try:
+                self.initialize_model()
+            except Exception as e:
+                raise ApiError(500, f"Model initialization failed: {e}")
+
+    # -- auth / identity ----------------------------------------------------
+
+    def verify_api_key(self, request) -> bool:
+        """True if authorized (reference: app/src/main.py:150-174)."""
+        if not self.cfg.api_key:
+            return True
+        header = request.headers.get("X-API-Key") \
+            or request.headers.get("Authorization")
+        if not header:
+            raise ApiError(401, "Missing API Key")
+        provided = header.split(" ", 1)[1] if header.startswith("Bearer ") \
+            else header
+        if provided != self.cfg.api_key:
+            raise ApiError(403, "Invalid API Key")
+        return True
+
+    def user_data(self, request) -> Dict[str, Any]:
+        data: Dict[str, Any] = {"is_authenticated": False}
+        if self.cfg.api_key:
+            header = request.headers.get("X-API-Key") \
+                or request.headers.get("Authorization")
+            if header:
+                provided = header.split(" ", 1)[1] \
+                    if header.startswith("Bearer ") else header
+                if provided == self.cfg.api_key:
+                    data["is_authenticated"] = True
+                    data["uid"] = "authenticated_user"
+        return data
+
+    def client_identity(self, request):
+        remote = request.remote or "unknown"
+        ua = request.headers.get("user-agent", "unknown")
+        return self.limiter.get_client_id(remote, ua,
+                                          self.user_data(request))
+
+
+# ---------------------------------------------------------------------------
+# Image intake
+# ---------------------------------------------------------------------------
+
+def _validate_filename(state: ServerState, filename: Optional[str]) -> None:
+    if filename:
+        ext = os.path.splitext(filename)[1].lower()
+        if ext not in state.cfg.allowed_extensions:
+            raise ApiError(
+                400, "Invalid file format. Allowed: "
+                + ", ".join(sorted(state.cfg.allowed_extensions)))
+
+
+def _decode_image_bytes(data: bytes):
+    from PIL import Image
+
+    try:
+        return Image.open(io.BytesIO(data))
+    except Exception:
+        raise ApiError(400, "Invalid image data")
+
+
+def _decode_base64_image(b64: str):
+    try:
+        raw = base64.b64decode(b64, validate=True)
+    except (binascii.Error, ValueError):
+        raise ApiError(400, "Invalid base64 image data")
+    return _decode_image_bytes(raw)
+
+
+def _preprocess(state: ServerState, pil_image) -> np.ndarray:
+    arr = preprocess_pil(pil_image, state.model_cfg.img_h,
+                         state.model_cfg.img_w)
+    return arr[..., None].astype(np.float32)  # (H, W, 1)
+
+
+# ---------------------------------------------------------------------------
+# Handlers
+# ---------------------------------------------------------------------------
+
+async def handle_root(request) -> "web.Response":
+    state: ServerState = request.app["state"]
+    model_status = "✅ Loaded" if state.model_loaded else "❌ Not Loaded"
+    html = f"""<html>
+  <head><title>{state.cfg.api_title}</title></head>
+  <body>
+    <h1>{state.cfg.api_title}</h1>
+    <p>✅ API is running</p>
+    <p><strong>Version:</strong> {state.cfg.api_version}</p>
+    <p><strong>Model Status:</strong> {model_status}</p>
+    <p><a href="/status">📊 System Status</a></p>
+  </body>
+</html>"""
+    return web.Response(text=html, content_type="text/html")
+
+
+async def _read_prediction_input(state: ServerState, request) -> np.ndarray:
+    """Accept multipart 'file' uploads (reference /predict contract) or a
+    JSON body {"image_data": base64}."""
+    ctype = request.content_type or ""
+    if ctype.startswith("multipart/"):
+        post = await request.post()
+        field = post.get("file")
+        if field is None:
+            raise ApiError(400, "Missing 'file' field")
+        _validate_filename(state, getattr(field, "filename", None))
+        data = field.file.read() if hasattr(field, "file") else bytes(field)
+        if not data:
+            raise ApiError(400, "Empty file uploaded")
+        if len(data) > state.cfg.max_file_size:
+            raise ApiError(413, "File too large. Maximum size: "
+                           f"{state.cfg.max_file_size} bytes")
+        return _preprocess(state, _decode_image_bytes(data))
+    # JSON base64 path
+    try:
+        body = await request.json()
+    except Exception:
+        raise ApiError(400, "Expected multipart upload or JSON body")
+    b64 = (body or {}).get("image_data")
+    if not b64:
+        raise ApiError(400, "Missing image data")
+    return _preprocess(state, _decode_base64_image(b64))
+
+
+async def handle_predict(request) -> "web.Response":
+    state: ServerState = request.app["state"]
+    state.verify_api_key(request)
+    start = time.time()
+    client_id, _auth = state.client_identity(request)
+    async with ConcurrentRequestTracker(state.limiter, client_id):
+        state.ensure_model()
+        image = await _read_prediction_input(state, request)
+        formula, confidence = await state.batcher.predict(image)
+        processing_time = time.time() - start
+        state.prediction_count += 1
+        resp = PredictionResponse(
+            formula=formula, confidence=confidence,
+            processing_time=processing_time, timestamp=_ts())
+        return web.json_response(resp.model_dump())
+
+
+async def handle_predict_batch(request) -> "web.Response":
+    state: ServerState = request.app["state"]
+    state.verify_api_key(request)
+    start = time.time()
+    try:
+        body = await request.json()
+        batch_req = BatchPredictionRequest(**(body or {}))
+    except ApiError:
+        raise
+    except Exception as e:
+        raise ApiError(422, f"Invalid batch request: {e}")
+
+    client_id, _auth = state.client_identity(request)
+    async with ConcurrentRequestTracker(state.limiter, client_id):
+        state.ensure_model()
+        results = []
+        images, slots = [], []
+        for i, b64 in enumerate(batch_req.images):
+            try:
+                images.append(_preprocess(state, _decode_base64_image(b64)))
+                slots.append(i)
+                results.append(None)  # placeholder
+            except ApiError as e:
+                results.append({"index": i, "formula": "",
+                                "confidence": None, "success": False,
+                                "error": e.detail})
+        if images:
+            try:
+                outs = await state.batcher.predict_many(images)
+                for slot, (formula, conf) in zip(slots, outs):
+                    results[slot] = {"index": slot, "formula": formula,
+                                     "confidence": conf, "success": True}
+            except Exception as e:
+                logger.exception("batch decode failed")
+                for slot in slots:
+                    results[slot] = {"index": slot, "formula": "",
+                                     "confidence": None, "success": False,
+                                     "error": str(e)}
+        successful = sum(1 for r in results if r and r["success"])
+        state.prediction_count += len(batch_req.images)
+        resp = BatchPredictionResponse(
+            results=results, total_images=len(batch_req.images),
+            successful_predictions=successful,
+            processing_time=time.time() - start, timestamp=_ts())
+        return web.json_response(resp.model_dump())
+
+
+async def handle_status(request) -> "web.Response":
+    state: ServerState = request.app["state"]
+    resp = StatusResponse(
+        status="healthy" if state.model_loaded else "unhealthy",
+        api_version=state.cfg.api_version,
+        model_loaded=state.model_loaded,
+        vocab_loaded=state.tokenizer is not None,
+        device=str(state.device),
+        model_load_time=state.model_load_time,
+        total_predictions=state.prediction_count,
+        uptime=time.time() - state.start_time)
+    return web.json_response(resp.model_dump())
+
+
+async def handle_health(request) -> "web.Response":
+    state: ServerState = request.app["state"]
+    model_dir = state.cfg.model_dir
+    model_files_exist = {
+        "params": os.path.exists(os.path.join(model_dir, "params")),
+        "vocab.json": os.path.exists(os.path.join(model_dir, "vocab.json")),
+    }
+    checks = {
+        "model_loaded": state.model_loaded,
+        "vocab_loaded": state.tokenizer is not None,
+        "device_available": state.device is not None,
+        "rate_limiter_initialized": state.limiter is not None,
+        "model_files_exist": model_files_exist,
+        "batcher_running": state.batcher is not None,
+    }
+    healthy = all([checks["model_loaded"], checks["vocab_loaded"],
+                   checks["device_available"],
+                   checks["rate_limiter_initialized"],
+                   all(model_files_exist.values())])
+    resp = HealthResponse(healthy=healthy, checks=checks, timestamp=_ts())
+    return web.json_response(resp.model_dump())
+
+
+async def handle_model_info(request) -> "web.Response":
+    state: ServerState = request.app["state"]
+    if not state.model_loaded:
+        raise ApiError(503, "Model not loaded")
+    mc = state.model_cfg
+    from ..core.config import SPECIAL_TOKENS
+    from ..models.model import count_params
+
+    return web.json_response({
+        "model_config": {
+            "encoder": mc.encoder,
+            "img_height": mc.img_h, "img_width": mc.img_w,
+            "d_model": mc.d_model, "num_heads": mc.nhead,
+            "num_decoder_layers": mc.num_decoder_layers,
+            "dim_feedforward": mc.dim_feedforward,
+            "dropout": mc.dropout, "max_seq_len": mc.max_seq_len,
+        },
+        "vocab_info": {
+            "vocab_size": len(state.vocab) if state.vocab else 0,
+            "special_tokens": list(SPECIAL_TOKENS),
+        },
+        "device": str(state.device),
+        "model_parameters": count_params(state.engine.params),
+    })
+
+
+async def handle_metrics(request) -> "web.Response":
+    state: ServerState = request.app["state"]
+    uptime = time.time() - state.start_time
+    try:
+        import psutil
+
+        system = {
+            "cpu_percent": psutil.cpu_percent(),
+            "memory_percent": psutil.virtual_memory().percent,
+            "disk_percent": psutil.disk_usage("/").percent,
+        }
+    except Exception:
+        system = {"error": "psutil not available"}
+    limiter_metrics: Dict[str, Any]
+    if state.limiter is not None:
+        limiter_metrics = {
+            "active_concurrent_requests": len(state.limiter.active_requests),
+            "total_concurrent_requests":
+                sum(state.limiter.active_requests.values()),
+            "max_concurrent_per_client":
+                state.limiter.config.concurrent_requests,
+        }
+    else:
+        limiter_metrics = {"error": "Rate limiter not available"}
+    payload = {
+        "predictions": {
+            "total": state.prediction_count,
+            "rate_per_second":
+                state.prediction_count / uptime if uptime > 0 else 0,
+        },
+        "system": system,
+        "rate_limiter": limiter_metrics,
+        "uptime_seconds": uptime,
+    }
+    if state.batcher is not None:
+        payload["batching"] = state.batcher.stats
+    return web.json_response(payload)
+
+
+async def handle_rate_limit_status(request) -> "web.Response":
+    state: ServerState = request.app["state"]
+    limiter = state.limiter
+    client_id, is_auth = state.client_identity(request)
+    limits = limiter.get_rate_limits(is_auth)
+    usage = await limiter.usage(client_id)
+    return web.json_response({
+        "client_id": client_id,
+        "is_authenticated": is_auth,
+        "limits": limits,
+        "current_usage": usage,
+        "remaining": {
+            "minute": max(0, limits["requests_per_minute"] - usage["minute"]),
+            "hour": max(0, limits["requests_per_hour"] - usage["hour"]),
+            "day": max(0, limits["requests_per_day"] - usage["day"]),
+        },
+        "concurrent_requests":
+            limiter.active_requests.get(client_id, 0),
+        "max_concurrent": limiter.config.concurrent_requests,
+    })
+
+
+# ---------------------------------------------------------------------------
+# Middlewares
+# ---------------------------------------------------------------------------
+
+@web.middleware
+async def error_middleware(request, handler):
+    try:
+        return await handler(request)
+    except ApiError as e:
+        return _error_json(e.status, "HTTP Exception", e.detail)
+    except ConcurrencyLimitExceeded as e:
+        return _error_json(429, "Rate limit exceeded", str(e))
+    except BatcherOverloaded as e:
+        return _error_json(503, "Server overloaded", str(e))
+    except web.HTTPException:
+        raise
+    except Exception as e:  # reference: app/src/main.py:393-405
+        logger.exception("unhandled error")
+        return _error_json(500, "Internal Server Error",
+                           "An unexpected error occurred")
+
+
+@web.middleware
+async def trusted_host_middleware(request, handler):
+    state: ServerState = request.app["state"]
+    hosts = state.cfg.trusted_hosts
+    if hosts and "*" not in hosts:
+        host = request.headers.get("Host", "").split(":")[0]
+        if host not in hosts:
+            return _error_json(400, "Bad Request", "Invalid host header")
+    return await handler(request)
+
+
+@web.middleware
+async def cors_middleware(request, handler):
+    state: ServerState = request.app["state"]
+    origins = state.cfg.cors_origins
+    origin = request.headers.get("Origin")
+    if request.method == "OPTIONS":
+        resp = web.Response(status=204)
+    else:
+        resp = await handler(request)
+    allow = "*" if "*" in origins else (origin if origin in origins else None)
+    if allow:
+        resp.headers["Access-Control-Allow-Origin"] = allow
+        resp.headers["Access-Control-Allow-Methods"] = "GET, POST, OPTIONS"
+        resp.headers["Access-Control-Allow-Headers"] = \
+            "Content-Type, X-API-Key, Authorization"
+    return resp
+
+
+@web.middleware
+async def rate_limit_middleware(request, handler):
+    """Fixed-window limits on inference paths; fails open on limiter errors
+    (reference: app/src/main.py:332-349)."""
+    state: ServerState = request.app["state"]
+    if request.path in RATE_LIMIT_SKIP_PATHS or state.limiter is None:
+        return await handler(request)
+    try:
+        client_id, is_auth = state.client_identity(request)
+        verdict = await state.limiter.check_rate_limit(client_id, is_auth)
+    except Exception:
+        logger.exception("rate limiter error; failing open")
+        return await handler(request)
+    if verdict is not None:
+        status = verdict.pop("status", 429)
+        return web.json_response(verdict, status=status)
+    return await handler(request)
+
+
+@web.middleware
+async def request_id_middleware(request, handler):
+    request["request_id"] = str(uuid.uuid4())
+    resp = await handler(request)
+    resp.headers["X-Request-ID"] = request["request_id"]
+    return resp
+
+
+# ---------------------------------------------------------------------------
+# App factory
+# ---------------------------------------------------------------------------
+
+def create_app(cfg: Optional[ServeConfig] = None,
+               state: Optional[ServerState] = None) -> "web.Application":
+    if web is None:
+        raise ImportError("aiohttp is required for serving")
+    cfg = cfg or ServeConfig.from_env()
+    state = state or ServerState(cfg)
+    app = web.Application(
+        middlewares=[error_middleware, trusted_host_middleware,
+                     cors_middleware, rate_limit_middleware,
+                     request_id_middleware],
+        client_max_size=cfg.max_file_size + 1024 * 1024)
+    app["state"] = state
+
+    app.router.add_get("/", handle_root)
+    app.router.add_post("/predict", handle_predict)
+    app.router.add_post("/predict/batch", handle_predict_batch)
+    app.router.add_get("/status", handle_status)
+    app.router.add_get("/health", handle_health)
+    app.router.add_get("/model/info", handle_model_info)
+    app.router.add_get("/metrics", handle_metrics)
+    app.router.add_get("/rate-limit/status", handle_rate_limit_status)
+
+    async def on_startup(app):
+        # lifespan order matches the reference: rate limiter, then model
+        # (app/src/main.py:276-298); failures degrade, not crash.
+        st: ServerState = app["state"]
+        try:
+            st.limiter = init_rate_limiter(
+                st.cfg.redis_url,
+                RateLimitConfig(
+                    requests_per_minute=st.cfg.rate_limit_per_minute,
+                    requests_per_hour=st.cfg.rate_limit_per_hour,
+                    requests_per_day=st.cfg.rate_limit_per_day,
+                    concurrent_requests=st.cfg.max_concurrent_requests))
+            logger.info("rate limiter initialized")
+        except Exception:
+            logger.exception("rate limiter init failed")
+        if st.engine is None:
+            try:
+                st.initialize_model()
+            except Exception:
+                logger.exception("model init failed; serving degraded")
+        if st.batcher is not None:
+            await st.batcher.start()
+
+    async def on_cleanup(app):
+        st: ServerState = app["state"]
+        if st.batcher is not None:
+            await st.batcher.stop()
+
+    app.on_startup.append(on_startup)
+    app.on_cleanup.append(on_cleanup)
+    return app
+
+
+def run_server(model_dir: str = "trained-model", host: str = "0.0.0.0",
+               port: int = 8080) -> None:
+    import dataclasses
+
+    cfg = dataclasses.replace(ServeConfig.from_env(), model_dir=model_dir,
+                              host=host, port=port)
+    app = create_app(cfg)
+    web.run_app(app, host=cfg.host, port=cfg.port)

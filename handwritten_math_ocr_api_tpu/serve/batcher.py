@@ -1,0 +1,149 @@
+"""Dynamic batching engine between HTTP handlers and the TPU.
+
+The reference had no model-level batching in serving: /predict/batch
+decoded its images one at a time in a Python loop, each a full
+encoder+decoder pass (reference: app/src/main.py:546-570), and concurrent
+/predict requests each ran their own decode. Here every concurrently
+in-flight image — from /predict and /predict/batch alike — lands in one
+queue; a collector coalesces up to ``max_batch_size`` images within
+``batch_timeout_ms`` and launches ONE padded, bucketed, KV-cached decode on
+the TPU. Throughput scales with concurrency instead of degrading.
+
+The TPU dispatch runs in a single worker thread (device work is serialized
+anyway and this keeps the event loop free); results resolve asyncio
+futures. Backpressure: ``queue_limit`` bounds waiting images; submit
+raises ``BatcherOverloaded`` beyond it.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import time
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..decode.api import DecodeEngine
+
+logger = logging.getLogger(__name__)
+
+
+class BatcherOverloaded(Exception):
+    pass
+
+
+class _Pending:
+    __slots__ = ("image", "future", "enqueued_at")
+
+    def __init__(self, image: np.ndarray, future: asyncio.Future):
+        self.image = image
+        self.future = future
+        self.enqueued_at = time.perf_counter()
+
+
+class BatchingEngine:
+    def __init__(self, engine: DecodeEngine, max_batch_size: int = 64,
+                 batch_timeout_ms: float = 5.0, queue_limit: int = 512):
+        self.engine = engine
+        self.max_batch_size = max_batch_size
+        self.batch_timeout = batch_timeout_ms / 1000.0
+        self.queue_limit = queue_limit
+        self._queue: asyncio.Queue = asyncio.Queue()
+        self._task: Optional[asyncio.Task] = None
+        self._stopping = False
+        # stats
+        self.batches_run = 0
+        self.images_decoded = 0
+        self.total_batch_occupancy = 0
+
+    async def start(self) -> None:
+        if self._task is None:
+            self._stopping = False
+            self._task = asyncio.get_running_loop().create_task(
+                self._collector())
+
+    async def stop(self) -> None:
+        self._stopping = True
+        if self._task is not None:
+            self._queue.put_nowait(None)  # wake collector
+            await self._task
+            self._task = None
+
+    async def predict(self, image: np.ndarray) -> Tuple[str, float]:
+        """Submit one normalized (H, W, 1) image; awaits (latex, conf)."""
+        if self._queue.qsize() >= self.queue_limit:
+            raise BatcherOverloaded("prediction queue full")
+        fut = asyncio.get_running_loop().create_future()
+        await self._queue.put(_Pending(image, fut))
+        return await fut
+
+    async def predict_many(self, images: List[np.ndarray]
+                           ) -> List[Tuple[str, float]]:
+        """Submit several images as one logical request; they may share a
+        device batch with other requests (this is the point)."""
+        if self._queue.qsize() + len(images) > self.queue_limit:
+            raise BatcherOverloaded("prediction queue full")
+        loop = asyncio.get_running_loop()
+        futs = []
+        for img in images:
+            fut = loop.create_future()
+            await self._queue.put(_Pending(img, fut))
+            futs.append(fut)
+        return list(await asyncio.gather(*futs))
+
+    # -- internals ----------------------------------------------------------
+
+    async def _collector(self) -> None:
+        loop = asyncio.get_running_loop()
+        while True:
+            first = await self._queue.get()
+            if first is None:
+                if self._stopping:
+                    return
+                continue
+            batch = [first]
+            deadline = loop.time() + self.batch_timeout
+            while len(batch) < self.max_batch_size:
+                timeout = deadline - loop.time()
+                if timeout <= 0:
+                    break
+                try:
+                    item = await asyncio.wait_for(self._queue.get(), timeout)
+                except asyncio.TimeoutError:
+                    break
+                if item is None:
+                    break
+                batch.append(item)
+            await self._run_batch(loop, batch)
+            if self._stopping and self._queue.empty():
+                return
+
+    async def _run_batch(self, loop, batch: List[_Pending]) -> None:
+        images = np.stack([p.image for p in batch], axis=0)
+        try:
+            results = await loop.run_in_executor(
+                None, self.engine.predict_with_confidence, images)
+        except Exception as e:  # propagate to every waiter
+            logger.exception("batched decode failed")
+            for p in batch:
+                if not p.future.done():
+                    p.future.set_exception(e)
+            return
+        self.batches_run += 1
+        self.images_decoded += len(batch)
+        self.total_batch_occupancy += len(batch)
+        for p, res in zip(batch, results):
+            if not p.future.done():
+                p.future.set_result(res)
+
+    @property
+    def stats(self) -> dict:
+        avg = (self.total_batch_occupancy / self.batches_run
+               if self.batches_run else 0.0)
+        return {
+            "batches_run": self.batches_run,
+            "images_decoded": self.images_decoded,
+            "avg_batch_size": avg,
+            "queue_depth": self._queue.qsize(),
+        }

@@ -1,0 +1,337 @@
+"""Serving stack tests: rate limiter semantics, batching engine, and the
+full HTTP surface end-to-end against a real (tiny) serving artifact."""
+
+import asyncio
+import base64
+import io
+import json
+import time
+
+import numpy as np
+import pytest
+
+import jax
+
+from handwritten_math_ocr_api_tpu.core.config import (
+    ModelConfig, ServeConfig, SwinConfig,
+)
+from handwritten_math_ocr_api_tpu.serve.rate_limiter import (
+    ConcurrencyLimitExceeded, ConcurrentRequestTracker, InMemoryStorage,
+    RateLimitConfig, RateLimiter,
+)
+
+aiohttp = pytest.importorskip("aiohttp")
+from aiohttp.test_utils import TestClient, TestServer  # noqa: E402
+
+TINY = ModelConfig(
+    d_model=32, nhead=4, dim_feedforward=64, dropout=0.0,
+    num_decoder_layers=2, max_seq_len=8, vocab_size=20, dtype="float32",
+    swin=SwinConfig(embed_dim=8, depths=(1, 1), num_heads=(2, 2),
+                    window_size=4, stochastic_depth=0.0),
+)
+
+
+def _run(coro):
+    return asyncio.new_event_loop().run_until_complete(coro)
+
+
+# ---------------------------------------------------------------------------
+# Rate limiter units
+# ---------------------------------------------------------------------------
+
+def test_rate_limit_minute_window():
+    async def go():
+        rl = RateLimiter(RateLimitConfig(requests_per_minute=3))
+        cid = "ip:test"
+        for _ in range(3):
+            assert await rl.check_rate_limit(cid, False) is None
+        verdict = await rl.check_rate_limit(cid, False)
+        assert verdict is not None and verdict["status"] == 429
+        assert verdict["retry_after"] <= 60
+        assert verdict["remaining"] == 0
+
+    _run(go())
+
+
+def test_rate_limit_authenticated_multiplier():
+    rl = RateLimiter(RateLimitConfig(requests_per_minute=10,
+                                     requests_per_hour=100,
+                                     requests_per_day=1000,
+                                     anonymous_daily_limit=50))
+    anon = rl.get_rate_limits(False)
+    auth = rl.get_rate_limits(True)
+    assert anon["requests_per_day"] == 50  # anonymous cap
+    assert auth["requests_per_minute"] == 30  # 3x
+    assert auth["requests_per_day"] == 3000
+
+
+def test_rate_limit_abuse_block():
+    async def go():
+        rl = RateLimiter(RateLimitConfig(requests_per_minute=2,
+                                         burst_threshold=4,
+                                         block_duration=3600))
+        cid = "ip:abuser"
+        verdict = None
+        for _ in range(10):
+            verdict = await rl.check_rate_limit(cid, False)
+        assert verdict is not None
+        assert await rl.storage.is_blocked(cid)
+        blocked = await rl.check_rate_limit(cid, False)
+        assert "blocked" in blocked["detail"]
+
+    _run(go())
+
+
+def test_client_id_semantics():
+    rl = RateLimiter()
+    cid, auth = rl.get_client_id("1.2.3.4", "curl/8", None)
+    assert cid.startswith("ip:") and not auth
+    cid2, _ = rl.get_client_id("1.2.3.4", "firefox", None)
+    assert cid != cid2  # user-agent in the hash
+    cid3, auth3 = rl.get_client_id(
+        "1.2.3.4", "x", {"uid": "internal_service", "isAnonymous": False})
+    assert cid3 == "service:internal_service" and auth3
+
+
+def test_storage_ttl_expiry():
+    async def go():
+        s = InMemoryStorage()
+        assert await s.increment("k", ttl=1) == 1
+        assert await s.increment("k", ttl=1) == 2
+        s._counts["k"] = (2, time.time() - 1)  # force expiry
+        assert await s.increment("k", ttl=1) == 1
+
+    _run(go())
+
+
+def test_concurrent_tracker():
+    async def go():
+        rl = RateLimiter(RateLimitConfig(concurrent_requests=2))
+        async with ConcurrentRequestTracker(rl, "c"):
+            async with ConcurrentRequestTracker(rl, "c"):
+                with pytest.raises(ConcurrencyLimitExceeded):
+                    async with ConcurrentRequestTracker(rl, "c"):
+                        pass
+            assert rl.active_requests["c"] == 1
+        assert "c" not in rl.active_requests
+
+    _run(go())
+
+
+# ---------------------------------------------------------------------------
+# End-to-end HTTP surface
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def model_dir(tmp_path_factory):
+    from handwritten_math_ocr_api_tpu.models.model import init_model
+    from handwritten_math_ocr_api_tpu.train.checkpoint import (
+        save_params_for_serving,
+    )
+
+    params, _ = init_model(jax.random.PRNGKey(0), TINY)
+    vocab = {"<pad>": 0, "<sos>": 1, "<eos>": 2, "<unk>": 3}
+    for i in range(4, TINY.vocab_size):
+        vocab[f"t{i}"] = i
+    d = str(tmp_path_factory.mktemp("serving") / "trained-model")
+    save_params_for_serving(d, params, vocab, TINY)
+    return d
+
+
+def _png_bytes() -> bytes:
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(
+        rng.integers(0, 255, (50, 120), np.uint8), "L")
+    buf = io.BytesIO()
+    img.save(buf, "PNG")
+    return buf.getvalue()
+
+
+def _serve_cfg(model_dir, **kw):
+    defaults = dict(model_dir=model_dir, batch_timeout_ms=1.0)
+    defaults.update(kw)
+    return ServeConfig(**defaults)
+
+
+def _with_client(cfg, fn):
+    from handwritten_math_ocr_api_tpu.serve.app import create_app
+
+    async def go():
+        app = create_app(cfg)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            return await fn(client)
+        finally:
+            await client.close()
+
+    return _run(go())
+
+
+def test_status_and_health(model_dir):
+    async def fn(client):
+        r = await client.get("/status")
+        assert r.status == 200
+        body = await r.json()
+        assert body["model_loaded"] and body["vocab_loaded"]
+        assert body["status"] == "healthy"
+        assert "X-Request-ID" in r.headers
+
+        r = await client.get("/health")
+        h = await r.json()
+        assert h["healthy"] is True
+        assert h["checks"]["model_files_exist"]["vocab.json"]
+
+    _with_client(_serve_cfg(model_dir), fn)
+
+
+def test_predict_multipart_and_base64(model_dir):
+    async def fn(client):
+        form = aiohttp.FormData()
+        form.add_field("file", _png_bytes(), filename="f.png",
+                       content_type="image/png")
+        r = await client.post("/predict", data=form)
+        assert r.status == 200, await r.text()
+        body = await r.json()
+        assert set(body) == {"formula", "confidence", "processing_time",
+                             "timestamp"}
+        assert 0.0 <= body["confidence"] <= 1.0
+
+        b64 = base64.b64encode(_png_bytes()).decode()
+        r2 = await client.post("/predict", json={"image_data": b64})
+        assert r2.status == 200
+        body2 = await r2.json()
+        assert body2["formula"] == body["formula"]  # same image
+
+    _with_client(_serve_cfg(model_dir), fn)
+
+
+def test_predict_invalid_inputs(model_dir):
+    async def fn(client):
+        r = await client.post("/predict", json={"image_data": "!!!notb64"})
+        assert r.status == 400
+        body = await r.json()
+        assert set(body) == {"error", "detail", "timestamp"}
+
+        form = aiohttp.FormData()
+        form.add_field("file", b"", filename="f.png")
+        r2 = await client.post("/predict", data=form)
+        assert r2.status == 400
+
+        form = aiohttp.FormData()
+        form.add_field("file", _png_bytes(), filename="f.exe")
+        r3 = await client.post("/predict", data=form)
+        assert r3.status == 400
+
+    _with_client(_serve_cfg(model_dir), fn)
+
+
+def test_predict_batch_mixed(model_dir):
+    async def fn(client):
+        good = base64.b64encode(_png_bytes()).decode()
+        r = await client.post("/predict/batch",
+                              json={"images": [good, "%%%bad", good]})
+        assert r.status == 200, await r.text()
+        body = await r.json()
+        assert body["total_images"] == 3
+        assert body["successful_predictions"] == 2
+        assert [x["success"] for x in body["results"]] == [True, False, True]
+        assert body["results"][0]["formula"] == body["results"][2]["formula"]
+
+        r2 = await client.post("/predict/batch", json={"images": []})
+        assert r2.status == 422
+        r3 = await client.post("/predict/batch",
+                               json={"images": [good] * 11})
+        assert r3.status == 422
+
+    _with_client(_serve_cfg(model_dir), fn)
+
+
+def test_auth(model_dir):
+    async def fn(client):
+        b64 = base64.b64encode(_png_bytes()).decode()
+        r = await client.post("/predict", json={"image_data": b64})
+        assert r.status == 401
+        r = await client.post("/predict", json={"image_data": b64},
+                              headers={"X-API-Key": "wrong"})
+        assert r.status == 403
+        r = await client.post("/predict", json={"image_data": b64},
+                              headers={"X-API-Key": "sekrit"})
+        assert r.status == 200
+        r = await client.post("/predict", json={"image_data": b64},
+                              headers={"Authorization": "Bearer sekrit"})
+        assert r.status == 200
+        # status is open without auth
+        r = await client.get("/status")
+        assert r.status == 200
+
+    _with_client(_serve_cfg(model_dir, api_key="sekrit"), fn)
+
+
+def test_rate_limit_e2e(model_dir):
+    async def fn(client):
+        b64 = base64.b64encode(_png_bytes()).decode()
+        codes = []
+        for _ in range(4):
+            r = await client.post("/predict", json={"image_data": b64})
+            codes.append(r.status)
+        assert codes[:2] == [200, 200]
+        assert 429 in codes[2:]
+        # skip paths are not limited
+        for _ in range(5):
+            r = await client.get("/health")
+            assert r.status == 200
+
+    _with_client(_serve_cfg(model_dir, rate_limit_per_minute=2), fn)
+
+
+def test_model_info_metrics_and_rl_status(model_dir):
+    async def fn(client):
+        r = await client.get("/model/info")
+        info = await r.json()
+        assert info["model_config"]["d_model"] == 32
+        assert info["vocab_info"]["vocab_size"] == 20
+        assert info["model_parameters"] > 0
+
+        b64 = base64.b64encode(_png_bytes()).decode()
+        await client.post("/predict", json={"image_data": b64})
+        r = await client.get("/metrics")
+        m = await r.json()
+        assert m["predictions"]["total"] == 1
+        assert "system" in m and "batching" in m
+        assert m["batching"]["images_decoded"] == 1
+
+        r = await client.get("/rate-limit/status")
+        rl = await r.json()
+        assert rl["current_usage"]["minute"] >= 1
+        assert rl["limits"]["requests_per_minute"] > 0
+
+    _with_client(_serve_cfg(model_dir), fn)
+
+
+def test_batcher_coalesces_concurrent_requests(model_dir):
+    async def fn(client):
+        b64 = base64.b64encode(_png_bytes()).decode()
+        rs = await asyncio.gather(*[
+            client.post("/predict", json={"image_data": b64})
+            for _ in range(6)
+        ])
+        assert all(r.status == 200 for r in rs)
+        m = await (await client.get("/metrics")).json()
+        stats = m["batching"]
+        assert stats["images_decoded"] == 6
+        assert stats["batches_run"] < 6  # coalesced
+
+    _with_client(_serve_cfg(model_dir, batch_timeout_ms=50.0), fn)
+
+
+def test_root_html(model_dir):
+    async def fn(client):
+        r = await client.get("/")
+        assert r.status == 200
+        text = await r.text()
+        assert "API is running" in text
+
+    _with_client(_serve_cfg(model_dir), fn)
