@@ -15,9 +15,15 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+# persistent XLA compilation cache: repeat bench runs skip the ~minutes-long
+# first compile (must be set before jax initializes its backend)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 BASELINE_IMGS_PER_SEC = 1.0 / 0.350  # reference ~350 ms/image on CPU
 

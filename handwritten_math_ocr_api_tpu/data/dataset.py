@@ -107,12 +107,11 @@ class DataLoader:
         target = self.batch_size if self.pad_remainder else B
         H, W = self.dataset.img_h, self.dataset.img_w
         L = self.dataset.max_seq_len
-        images = np.zeros((target, H, W, 1), np.uint8)
+        images = self._stack_images([s[0] for s in samples], target, H, W)
         captions = np.zeros((target, L), np.int32)
         lengths = np.zeros((target,), np.int32)
         valid = np.zeros((target,), bool)
-        for j, (img, ids, ln) in enumerate(samples):
-            images[j, :, :, 0] = img
+        for j, (_, ids, ln) in enumerate(samples):
             captions[j] = ids
             lengths[j] = ln
             valid[j] = True
@@ -121,6 +120,23 @@ class DataLoader:
             captions[B:] = captions[0]
         return {"image": images, "caption": captions, "length": lengths,
                 "valid": valid}
+
+    @staticmethod
+    def _stack_images(imgs, target: int, H: int, W: int) -> np.ndarray:
+        """(B) list of (H, W) uint8 -> (target, H, W, 1); C++ thread-pool
+        scatter when the native library is built."""
+        out = np.zeros((target, H, W, 1), np.uint8)
+        try:
+            from ..native import assemble_batch, available
+
+            if available() and imgs:
+                out[:len(imgs)] = assemble_batch(imgs)
+                return out
+        except Exception:
+            pass
+        for j, img in enumerate(imgs):
+            out[j, :, :, 0] = img
+        return out
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         batches = self._batch_indices()

@@ -70,6 +70,20 @@ def cer(pred: str, target: str) -> float:
     return edit_distance(pred, target) / len(target)
 
 
+def batch_edit_distance(preds: Sequence[str],
+                        targets: Sequence[str]) -> List[int]:
+    """Pairwise distances; the C++ native library parallelizes over pairs
+    when built (native/src/mathocr_native.cpp mathocr_edit_distance_batch)."""
+    try:
+        from ..native import available, edit_distance_batch
+
+        if available():
+            return [int(d) for d in edit_distance_batch(preds, targets)]
+    except Exception:
+        pass
+    return [edit_distance(p, t) for p, t in zip(preds, targets)]
+
+
 def corpus_cer(preds: Sequence[str], targets: Sequence[str]) -> float:
     """Corpus CER: sum(errors)/sum(target chars) (reference: src/utils.py:23-25)."""
     total_chars = sum(len(t) for t in targets)
@@ -113,7 +127,7 @@ def compute_metrics(
     assert len(pred_strs) == len(tgt_strs)
     if not pred_strs:
         return {"edit_distance": 0.0, "cer": 0.0, "bleu": 0.0, "exact_match": 0.0}
-    dists = [edit_distance(p, t) for p, t in zip(pred_strs, tgt_strs)]
+    dists = batch_edit_distance(pred_strs, tgt_strs)
     total_chars = sum(len(t) for t in tgt_strs)
     out = {
         "edit_distance": sum(dists) / len(dists),

@@ -1,0 +1,36 @@
+"""Build the native library: ``python -m handwritten_math_ocr_api_tpu.native.build``.
+
+Compiles src/mathocr_native.cpp into libmathocr_native.so next to this
+package with g++ (no external deps). Idempotent: skips the build when the
+.so is newer than the source unless --force.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+SRC = os.path.join(HERE, "src", "mathocr_native.cpp")
+OUT = os.path.join(HERE, "libmathocr_native.so")
+
+
+def build(force: bool = False, quiet: bool = False) -> str:
+    if not force and os.path.exists(OUT) and \
+            os.path.getmtime(OUT) >= os.path.getmtime(SRC):
+        if not quiet:
+            print(f"up to date: {OUT}")
+        return OUT
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+        "-Wall", "-Wextra", SRC, "-o", OUT,
+    ]
+    if not quiet:
+        print(" ".join(cmd))
+    subprocess.run(cmd, check=True)
+    return OUT
+
+
+if __name__ == "__main__":
+    build(force="--force" in sys.argv)
