@@ -22,6 +22,28 @@ def _common_data_args(p):
         "MATHOCR_DATA_ROOT", "data"))
     p.add_argument("--checkpoint-dir", default=os.environ.get(
         "MATHOCR_CKPT_DIR", "checkpoints"))
+    p.add_argument("--model-overrides", default=None,
+                   help="JSON dict of ModelConfig field overrides, e.g. "
+                        '\'{"d_model": 64, "num_decoder_layers": 2}\'; '
+                        '"swin" may be a nested dict of SwinConfig fields')
+
+
+def _model_config(args, vocab_size: int):
+    import json
+
+    from .core.config import ModelConfig, SwinConfig
+
+    cfg = ModelConfig(encoder=args.encoder, vocab_size=vocab_size)
+    if getattr(args, "model_overrides", None):
+        raw = json.loads(args.model_overrides)
+        if "swin" in raw:
+            sw = dict(raw.pop("swin"))
+            for key in ("depths", "num_heads"):
+                if key in sw:
+                    sw[key] = tuple(sw[key])
+            cfg = cfg.replace(swin=SwinConfig(**sw))
+        cfg = cfg.replace(**raw)
+    return cfg
 
 
 def cmd_build_vocab(args) -> int:
@@ -47,7 +69,7 @@ def cmd_train(args) -> int:
         os.path.join(args.checkpoint_dir, "vocab.json"))
     tok = Tokenizer(vocab, idx2char)
     cfg = Config(
-        model=ModelConfig(encoder=args.encoder, vocab_size=len(vocab)),
+        model=_model_config(args, len(vocab)),
         data=DataConfig(data_root=args.data_root,
                         batch_size=args.batch_size),
         train=TrainConfig(checkpoint_dir=args.checkpoint_dir,
@@ -75,7 +97,7 @@ def cmd_evaluate(args) -> int:
     vocab, idx2char = load_vocab(
         os.path.join(args.checkpoint_dir, "vocab.json"))
     tok = Tokenizer(vocab, idx2char)
-    mc = ModelConfig(encoder=args.encoder, vocab_size=len(vocab))
+    mc = _model_config(args, len(vocab))
     dc = DataConfig(data_root=args.data_root, batch_size=args.batch_size)
     state, _ = create_train_state(jax.random.PRNGKey(0), mc,
                                   Config().train)
@@ -106,7 +128,7 @@ def cmd_predict(args) -> int:
     vocab, idx2char = load_vocab(
         os.path.join(args.checkpoint_dir, "vocab.json"))
     tok = Tokenizer(vocab, idx2char)
-    mc = ModelConfig(encoder=args.encoder, vocab_size=len(vocab))
+    mc = _model_config(args, len(vocab))
     state, _ = create_train_state(jax.random.PRNGKey(0), mc, Config().train)
     state, _meta = load_checkpoint(args.checkpoint_dir, args.checkpoint,
                                    state)

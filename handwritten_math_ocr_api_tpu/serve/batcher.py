@@ -56,6 +56,9 @@ class BatchingEngine:
         self.batches_run = 0
         self.images_decoded = 0
         self.total_batch_occupancy = 0
+        from ..utils.profiling import StageTimer
+
+        self.timer = StageTimer()
 
     async def start(self) -> None:
         if self._task is None:
@@ -120,10 +123,15 @@ class BatchingEngine:
                 return
 
     async def _run_batch(self, loop, batch: List[_Pending]) -> None:
+        now = time.perf_counter()
+        for p in batch:
+            self.timer.totals["queue_wait"] += now - p.enqueued_at
+            self.timer.counts["queue_wait"] += 1
         images = np.stack([p.image for p in batch], axis=0)
         try:
-            results = await loop.run_in_executor(
-                None, self.engine.predict_with_confidence, images)
+            with self.timer.stage("decode"):
+                results = await loop.run_in_executor(
+                    None, self.engine.predict_with_confidence, images)
         except Exception as e:  # propagate to every waiter
             logger.exception("batched decode failed")
             for p in batch:
@@ -146,4 +154,5 @@ class BatchingEngine:
             "images_decoded": self.images_decoded,
             "avg_batch_size": avg,
             "queue_depth": self._queue.qsize(),
+            "stages": self.timer.summary(),
         }
