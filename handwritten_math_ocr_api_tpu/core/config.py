@@ -91,8 +91,10 @@ class ModelConfig:
     def encoder_len(self) -> int:
         """Number of encoder output tokens fed to cross-attention."""
         if self.encoder == "swin_t":
-            # Four stride-2 reductions after the stride-4 patch embed: /32.
-            return (self.img_h // 32) * (self.img_w // 32)  # 3*10 = 30
+            # patch embed stride x one 2x reduction per stage transition:
+            # 4 * 2^(stages-1) = 32 for the production 4-stage swin_t
+            stride = self.swin.patch_size * 2 ** (len(self.swin.depths) - 1)
+            return (self.img_h // stride) * (self.img_w // stride)  # 30
         # ResNet paths pool height to 1 and keep W/32 columns
         # (reference: src/model.py:34 AdaptiveAvgPool2d((1, None))).
         return self.img_w // 32  # 10
@@ -188,10 +190,15 @@ class ServeConfig:
     rate_limit_per_day: int = 1000
     max_concurrent_requests: int = 10
     redis_url: str = ""
-    # Batching engine.
+    # Batching engine. "dynamic": coalesce arrivals into one padded decode
+    # per dispatch; "continuous": slot-based KV-cache pool with mid-flight
+    # admission (decode/continuous.py).
+    batching_mode: str = "dynamic"
     max_batch_size: int = 64
     batch_timeout_ms: float = 5.0
     max_batch_images: int = 10  # per /predict/batch request
+    num_slots: int = 64         # continuous mode: KV-cache slot pool size
+    segment_steps: int = 16     # continuous mode: steps between admissions
 
     @classmethod
     def from_env(cls) -> "ServeConfig":
@@ -227,6 +234,12 @@ class ServeConfig:
             max_batch_size=int(env.get("MAX_BATCH_SIZE", defaults.max_batch_size)),
             batch_timeout_ms=float(
                 env.get("BATCH_TIMEOUT_MS", defaults.batch_timeout_ms)
+            ),
+            batching_mode=env.get("SERVING_BATCH_MODE",
+                                  defaults.batching_mode),
+            num_slots=int(env.get("SERVING_NUM_SLOTS", defaults.num_slots)),
+            segment_steps=int(
+                env.get("SERVING_SEGMENT_STEPS", defaults.segment_steps)
             ),
         )
 

@@ -196,3 +196,71 @@ def decoder_step(params, cfg: ModelConfig, tok_ids: Array, pos: Array,
 
     logits = layers.linear(params["fc_out"], x.astype(jnp.float32))
     return logits[:, 0, :], new_cache
+
+
+def decoder_step_ragged(params, cfg: ModelConfig, tok_ids: Array,
+                        pos: Array, cache: Cache) -> Tuple[Array, Cache]:
+    """One decode step with PER-SAMPLE positions (continuous batching).
+
+    tok_ids: (B,) int32; pos: (B,) int32 — each row writes its K/V at its
+    own cache slot and attends to its own prefix. Semantics per row are
+    identical to ``decoder_step`` at that row's position (tests assert).
+    """
+    dtype = jnp.dtype(cfg.dtype)
+    B = tok_ids.shape[0]
+    nh = cfg.nhead
+    x = _embed(params, tok_ids[:, None], pos[:, None], dtype)  # (B, 1, D)
+
+    T = cache["self_k_0"].shape[2]
+    slot_ids = jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1, T), 3)
+    self_mask = jnp.where(slot_ids <= pos[:, None, None, None],
+                          0.0, -jnp.inf).astype(jnp.float32)
+
+    def row_update(c, new, p):
+        # c: (H, T, Dh); new: (H, 1, Dh); p: scalar
+        return jax.lax.dynamic_update_slice(c, new, (0, p, 0))
+
+    new_cache = dict(cache)
+    for i, p in enumerate(params["layers"]):
+        sp = p["self_attn"]
+        q = layers.split_heads(_proj_qkv(sp, x, "q"), nh)
+        k_new = layers.split_heads(_proj_qkv(sp, x, "k"), nh)
+        v_new = layers.split_heads(_proj_qkv(sp, x, "v"), nh)
+        k = jax.vmap(row_update)(cache[f"self_k_{i}"], k_new, pos)
+        v = jax.vmap(row_update)(cache[f"self_v_{i}"], v_new, pos)
+        new_cache[f"self_k_{i}"] = k
+        new_cache[f"self_v_{i}"] = v
+        sa = layers.attention(q, k, v, self_mask)
+        sa = layers.merge_heads(sa)
+        sa = layers.linear({"w": sp["w_out"], "b": sp["b_out"]}, sa)
+        x = layers.layer_norm(p["norm1"], x + sa)
+
+        cp = p["cross_attn"]
+        qc = layers.split_heads(_proj_qkv(cp, x, "q"), nh)
+        ca = layers.attention(qc, cache[f"cross_k_{i}"], cache[f"cross_v_{i}"])
+        ca = layers.merge_heads(ca)
+        ca = layers.linear({"w": cp["w_out"], "b": cp["b_out"]}, ca)
+        x = layers.layer_norm(p["norm2"], x + ca)
+
+        ff = layers.mlp(p["ffn"], x, activation=jax.nn.relu)
+        x = layers.layer_norm(p["norm3"], x + ff)
+        cache = new_cache
+
+    logits = layers.linear(params["fc_out"], x.astype(jnp.float32))
+    return logits[:, 0, :], new_cache
+
+
+def project_cross_kv(params, cfg: ModelConfig, memory: Array):
+    """Per-layer cross-attention K/V for ``memory`` (B, L_enc, D) without
+    allocating self-attn cache — used by the continuous-batching engine to
+    insert new requests into existing slots."""
+    dtype = jnp.dtype(cfg.dtype)
+    memory = memory.astype(dtype)
+    nh = cfg.nhead
+    out = {}
+    for i, p in enumerate(params["layers"]):
+        out[f"cross_k_{i}"] = layers.split_heads(
+            _proj_qkv(p["cross_attn"], memory, "k"), nh)
+        out[f"cross_v_{i}"] = layers.split_heads(
+            _proj_qkv(p["cross_attn"], memory, "v"), nh)
+    return out

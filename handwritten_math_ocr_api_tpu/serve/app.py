@@ -113,9 +113,19 @@ class ServerState:
         self.model_cfg = model_cfg
         self.engine = DecodeEngine(params, {}, model_cfg,
                                    tokenizer=self.tokenizer)
-        self.batcher = BatchingEngine(
-            self.engine, max_batch_size=self.cfg.max_batch_size,
-            batch_timeout_ms=self.cfg.batch_timeout_ms)
+        if self.cfg.batching_mode == "continuous":
+            from ..decode.continuous import ContinuousDecoder
+            from .batcher import ContinuousServingEngine
+
+            decoder = ContinuousDecoder(
+                params, {}, model_cfg, self.tokenizer,
+                num_slots=self.cfg.num_slots,
+                segment_steps=self.cfg.segment_steps)
+            self.batcher = ContinuousServingEngine(decoder)
+        else:
+            self.batcher = BatchingEngine(
+                self.engine, max_batch_size=self.cfg.max_batch_size,
+                batch_timeout_ms=self.cfg.batch_timeout_ms)
         self.model_load_time = time.time() - t0
         logger.info("model initialized in %.2fs (vocab %d tokens)",
                     self.model_load_time, len(vocab))

@@ -150,9 +150,97 @@ class BatchingEngine:
         avg = (self.total_batch_occupancy / self.batches_run
                if self.batches_run else 0.0)
         return {
+            "mode": "dynamic",
             "batches_run": self.batches_run,
             "images_decoded": self.images_decoded,
             "avg_batch_size": avg,
             "queue_depth": self._queue.qsize(),
             "stages": self.timer.summary(),
         }
+
+
+class ContinuousServingEngine:
+    """Async adapter over decode.continuous.ContinuousDecoder.
+
+    Same surface as BatchingEngine (predict / predict_many / start / stop /
+    stats) so serve/app.py can select either via config. The worker task
+    exclusively owns the (non-thread-safe) ContinuousDecoder: submissions
+    arrive through an asyncio queue, decode segments run in the executor,
+    and finished requests resolve their futures between segments — new
+    requests are admitted into freed KV-cache slots while others are still
+    decoding (BASELINE config 5)."""
+
+    def __init__(self, decoder, queue_limit: int = 512):
+        self.decoder = decoder
+        self.queue_limit = queue_limit
+        self._queue: asyncio.Queue = asyncio.Queue()
+        self._futures: dict = {}
+        self._task: Optional[asyncio.Task] = None
+        self._stopping = False
+        self._wake: Optional[asyncio.Event] = None
+
+    async def start(self) -> None:
+        if self._task is None:
+            self._stopping = False
+            self._wake = asyncio.Event()
+            self._task = asyncio.get_running_loop().create_task(
+                self._worker())
+
+    async def stop(self) -> None:
+        self._stopping = True
+        if self._wake is not None:
+            self._wake.set()
+        if self._task is not None:
+            await self._task
+            self._task = None
+
+    async def predict(self, image: np.ndarray) -> Tuple[str, float]:
+        if self._queue.qsize() >= self.queue_limit:
+            raise BatcherOverloaded("prediction queue full")
+        fut = asyncio.get_running_loop().create_future()
+        await self._queue.put((image, fut))
+        self._wake.set()
+        return await fut
+
+    async def predict_many(self, images: List[np.ndarray]
+                           ) -> List[Tuple[str, float]]:
+        if self._queue.qsize() + len(images) > self.queue_limit:
+            raise BatcherOverloaded("prediction queue full")
+        return list(await asyncio.gather(
+            *[self.predict(img) for img in images]))
+
+    async def _worker(self) -> None:
+        loop = asyncio.get_running_loop()
+        while True:
+            # drain submissions into the decoder's pending list
+            while not self._queue.empty():
+                image, fut = self._queue.get_nowait()
+                rid = self.decoder.submit(image)
+                self._futures[rid] = fut
+            if self.decoder.idle:
+                if self._stopping:
+                    return
+                self._wake.clear()
+                await self._wake.wait()
+                continue
+            try:
+                done = await loop.run_in_executor(
+                    None, self.decoder.step_once)
+            except Exception as e:
+                logger.exception("continuous decode segment failed")
+                for fut in self._futures.values():
+                    if not fut.done():
+                        fut.set_exception(e)
+                self._futures.clear()
+                continue
+            for rid, result in done.items():
+                fut = self._futures.pop(rid, None)
+                if fut is not None and not fut.done():
+                    fut.set_result(result)
+
+    @property
+    def stats(self) -> dict:
+        s = dict(self.decoder.stats)
+        s["mode"] = "continuous"
+        s["queue_depth"] = self._queue.qsize()
+        return s

@@ -1,0 +1,140 @@
+"""Continuous batching tests: per-slot decode must equal the batch greedy
+engine; mid-flight admission; ragged decoder step equivalence."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from handwritten_math_ocr_api_tpu.core.config import (
+    ModelConfig, SwinConfig,
+)
+from handwritten_math_ocr_api_tpu.core.tokenizer import Tokenizer
+from handwritten_math_ocr_api_tpu.decode.api import DecodeEngine
+from handwritten_math_ocr_api_tpu.decode.continuous import ContinuousDecoder
+from handwritten_math_ocr_api_tpu.models import decoder as dec
+from handwritten_math_ocr_api_tpu.models.model import init_model
+
+CFG = ModelConfig(
+    d_model=32, nhead=4, dim_feedforward=64, dropout=0.0,
+    num_decoder_layers=2, max_seq_len=12, vocab_size=20, dtype="float32",
+    swin=SwinConfig(embed_dim=8, depths=(1, 1), num_heads=(2, 2),
+                    window_size=4, stochastic_depth=0.0),
+)
+
+
+def _vocab():
+    vocab = {"<pad>": 0, "<sos>": 1, "<eos>": 2, "<unk>": 3}
+    for i in range(4, CFG.vocab_size):
+        vocab[f"t{i}"] = i
+    return vocab
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params, state = init_model(jax.random.PRNGKey(0), CFG)
+    tok = Tokenizer(_vocab())
+    return params, state, tok
+
+
+def test_ragged_step_equals_scalar_step(setup):
+    """decoder_step_ragged with uniform pos == decoder_step."""
+    params, _, _ = setup
+    rng = np.random.default_rng(0)
+    memory = jnp.asarray(rng.standard_normal((3, 6, CFG.d_model), np.float32))
+    cache1 = dec.init_cache(params["decoder"], CFG, memory, max_len=8)
+    cache2 = dec.init_cache(params["decoder"], CFG, memory, max_len=8)
+    ids = jnp.asarray(rng.integers(0, CFG.vocab_size, (3, 5)))
+    for t in range(5):
+        l1, cache1 = dec.decoder_step(params["decoder"], CFG, ids[:, t],
+                                      jnp.int32(t), cache1)
+        l2, cache2 = dec.decoder_step_ragged(
+            params["decoder"], CFG, ids[:, t],
+            jnp.full((3,), t, jnp.int32), cache2)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_ragged_step_with_different_positions(setup):
+    """Rows at different positions must behave as independent sequences."""
+    params, _, _ = setup
+    rng = np.random.default_rng(1)
+    memory = jnp.asarray(rng.standard_normal((2, 6, CFG.d_model), np.float32))
+    ids = jnp.asarray(rng.integers(4, CFG.vocab_size, (2, 4)))
+
+    # row 0 advances 3 steps, row 1 only 1, via per-row masking
+    cache_r = dec.init_cache(params["decoder"], CFG, memory, max_len=8)
+    logits_by_row = {}
+    # independent references, one row at a time
+    for row in range(2):
+        c = dec.init_cache(params["decoder"], CFG, memory[row:row + 1],
+                           max_len=8)
+        steps = 3 if row == 0 else 1
+        for t in range(steps):
+            l, c = dec.decoder_step(params["decoder"], CFG,
+                                    ids[row:row + 1, t], jnp.int32(t), c)
+        logits_by_row[row] = np.asarray(l[0])
+
+    # ragged: advance row0 three times; row1 once (frozen afterwards by
+    # feeding the same token/pos and ignoring output)
+    pos = jnp.asarray([0, 0], jnp.int32)
+    last = {}
+    for t in range(3):
+        tok_ids = jnp.asarray([ids[0, t], ids[1, min(t, 0)]])
+        l, cache_r = dec.decoder_step_ragged(params["decoder"], CFG,
+                                             tok_ids, pos, cache_r)
+        if t == 0:
+            last[1] = np.asarray(l[1])
+        last[0] = np.asarray(l[0])
+        pos = pos + jnp.asarray([1, 0], jnp.int32)
+
+    np.testing.assert_allclose(last[0], logits_by_row[0], atol=1e-5,
+                               rtol=1e-4)
+    np.testing.assert_allclose(last[1], logits_by_row[1], atol=1e-5,
+                               rtol=1e-4)
+
+
+def test_continuous_matches_batch_greedy(setup):
+    params, mstate, tok = setup
+    rng = np.random.default_rng(0)
+    images = rng.standard_normal((5, 96, 320, 1)).astype(np.float32)
+
+    engine = DecodeEngine(params, mstate, CFG, tokenizer=tok)
+    want = engine.predict_with_confidence(images)
+
+    cont = ContinuousDecoder(params, mstate, CFG, tok, num_slots=4,
+                             segment_steps=4, encode_buckets=(1, 2, 4))
+    got = cont.run_all(list(images))
+    for (wl, wc), (gl, gc) in zip(want, got):
+        assert wl == gl
+        assert abs(wc - gc) < 1e-4
+    assert cont.idle
+    assert cont.stats["segments_run"] >= 3  # 12 max steps / 4-step segments
+
+
+def test_continuous_midflight_admission(setup):
+    """Submitting while decoding is in flight must still produce correct
+    results and reuse freed slots."""
+    params, mstate, tok = setup
+    rng = np.random.default_rng(2)
+    imgs = rng.standard_normal((6, 96, 320, 1)).astype(np.float32)
+    engine = DecodeEngine(params, mstate, CFG, tokenizer=tok)
+    want = engine.predict_with_confidence(imgs)
+
+    cont = ContinuousDecoder(params, mstate, CFG, tok, num_slots=2,
+                             segment_steps=3, encode_buckets=(1, 2))
+    results = {}
+    ids = [cont.submit(imgs[0]), cont.submit(imgs[1])]
+    submitted = 2
+    while not cont.idle:
+        results.update(cont.step_once())
+        if submitted < 6:  # trickle the rest in mid-flight
+            ids.append(cont.submit(imgs[submitted]))
+            submitted += 1
+    assert len(results) == 6
+    for i, rid in enumerate(ids):
+        assert results[rid][0] == want[i][0]
+        assert abs(results[rid][1] - want[i][1]) < 1e-4
+    # with 2 slots and 6 requests, slots must have been recycled
+    assert cont.stats["avg_occupancy"] > 0.4

@@ -327,6 +327,32 @@ def test_batcher_coalesces_concurrent_requests(model_dir):
     _with_client(_serve_cfg(model_dir, batch_timeout_ms=50.0), fn)
 
 
+def test_continuous_mode_serving(model_dir):
+    """Full HTTP path with the continuous batching engine."""
+    async def fn(client):
+        b64 = base64.b64encode(_png_bytes()).decode()
+        rs = await asyncio.gather(*[
+            client.post("/predict", json={"image_data": b64})
+            for _ in range(5)
+        ])
+        assert all(r.status == 200 for r in rs)
+        bodies = [await r.json() for r in rs]
+        assert len({b["formula"] for b in bodies}) == 1  # same image
+
+        r = await client.post("/predict/batch",
+                              json={"images": [b64, b64]})
+        assert r.status == 200
+        body = await r.json()
+        assert body["successful_predictions"] == 2
+
+        m = await (await client.get("/metrics")).json()
+        assert m["batching"]["mode"] == "continuous"
+        assert m["batching"]["segments_run"] >= 1
+
+    _with_client(_serve_cfg(model_dir, batching_mode="continuous",
+                            num_slots=4, segment_steps=4), fn)
+
+
 def test_root_html(model_dir):
     async def fn(client):
         r = await client.get("/")
