@@ -43,13 +43,32 @@ class DecodeEngine:
     def __init__(self, params, state, cfg: ModelConfig,
                  decode_cfg: Optional[DecodeConfig] = None,
                  tokenizer: Optional[Tokenizer] = None,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False, mesh=None):
+        """``mesh``: optional jax.sharding.Mesh — params are replicated and
+        every decode batch is sharded over the 'data' axis, scaling serving
+        across chips (the v5e-4 target; reference scaled with Cloud Run
+        replicas instead, app/deploy.sh:96-98). Batch buckets are rounded
+        up to multiples of the data-axis size."""
         self.params = params
         self.state = state
         self.cfg = cfg
         self.decode_cfg = decode_cfg or DecodeConfig()
         self.tokenizer = tokenizer
         self.use_pallas = use_pallas
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import mesh as mesh_lib
+
+            n = mesh.shape["data"]
+            self.params = jax.device_put(params,
+                                         mesh_lib.replicated(mesh))
+            buckets = sorted({max(n, -(-b // n) * n)
+                              for b in self.decode_cfg.batch_buckets})
+            self.decode_cfg = DecodeConfig(
+                max_seq_len=self.decode_cfg.max_seq_len,
+                beam_size=self.decode_cfg.beam_size,
+                length_buckets=self.decode_cfg.length_buckets,
+                batch_buckets=tuple(buckets))
         self._greedy_fns: Dict[int, callable] = {}
         self._beam_fns: Dict[Tuple[int, int], callable] = {}
 
@@ -89,13 +108,19 @@ class DecodeEngine:
     # -- internals ----------------------------------------------------------
 
     def _pad_batch(self, images: np.ndarray) -> Tuple[jnp.ndarray, int, int]:
-        """Pad (B, H, W, 1) to the next batch bucket."""
+        """Pad (B, H, W, 1) to the next batch bucket; shard over the mesh's
+        'data' axis when configured."""
         B = images.shape[0]
         bucket = pick_bucket(B, self.decode_cfg.batch_buckets)
         if bucket > B:
             pad = np.zeros((bucket - B, *images.shape[1:]), images.dtype)
             images = np.concatenate([images, pad], axis=0)
-        return jnp.asarray(images), B, bucket
+        x = jnp.asarray(images)
+        if self.mesh is not None:
+            from ..parallel import mesh as mesh_lib
+
+            x = jax.device_put(x, mesh_lib.batch_sharding(self.mesh))
+        return x, B, bucket
 
     def decode_tokens(self, images: np.ndarray,
                       beam_size: Optional[int] = None):
