@@ -118,6 +118,15 @@ def _proj_qkv(p, x: Array, part: str) -> Array:
     return jnp.dot(x, w, preferred_element_type=x.dtype) + b
 
 
+def _proj_qkv_packed(p, x: Array) -> Tuple[Array, Array, Array]:
+    """One (D, 3D) matmul instead of three (D, D) — launch-bound decode
+    steps care."""
+    w = p["w_qkv"].astype(x.dtype)
+    b = p["b_qkv"].astype(x.dtype)
+    qkv = jnp.dot(x, w, preferred_element_type=x.dtype) + b
+    return jnp.split(qkv, 3, axis=-1)
+
+
 def init_cache(params, cfg: ModelConfig, memory: Array,
                max_len: Optional[int] = None) -> Cache:
     """Build the decode cache: empty self-attn K/V rings + precomputed
@@ -161,9 +170,10 @@ def decoder_step(params, cfg: ModelConfig, tok_ids: Array, pos: Array,
     for i, p in enumerate(params["layers"]):
         # --- self-attention against the cache ---
         sp = p["self_attn"]
-        q = layers.split_heads(_proj_qkv(sp, x, "q"), nh)       # (B,H,1,Dh)
-        k_new = layers.split_heads(_proj_qkv(sp, x, "k"), nh)   # (B,H,1,Dh)
-        v_new = layers.split_heads(_proj_qkv(sp, x, "v"), nh)
+        qp, kp, vp = _proj_qkv_packed(sp, x)
+        q = layers.split_heads(qp, nh)                          # (B,H,1,Dh)
+        k_new = layers.split_heads(kp, nh)
+        v_new = layers.split_heads(vp, nh)
         k = jax.lax.dynamic_update_slice(
             cache[f"self_k_{i}"], k_new, (0, 0, pos, 0))
         v = jax.lax.dynamic_update_slice(
@@ -223,9 +233,10 @@ def decoder_step_ragged(params, cfg: ModelConfig, tok_ids: Array,
     new_cache = dict(cache)
     for i, p in enumerate(params["layers"]):
         sp = p["self_attn"]
-        q = layers.split_heads(_proj_qkv(sp, x, "q"), nh)
-        k_new = layers.split_heads(_proj_qkv(sp, x, "k"), nh)
-        v_new = layers.split_heads(_proj_qkv(sp, x, "v"), nh)
+        qp, kp, vp = _proj_qkv_packed(sp, x)
+        q = layers.split_heads(qp, nh)
+        k_new = layers.split_heads(kp, nh)
+        v_new = layers.split_heads(vp, nh)
         k = jax.vmap(row_update)(cache[f"self_k_{i}"], k_new, pos)
         v = jax.vmap(row_update)(cache[f"self_v_{i}"], v_new, pos)
         new_cache[f"self_k_{i}"] = k
