@@ -267,10 +267,30 @@ async def handle_predict(request) -> "web.Response":
     state.verify_api_key(request)
     start = time.time()
     client_id, _auth = state.client_identity(request)
+    beam_size = 0
+    if "beam_size" in request.query:  # beyond-reference: optional beam
+        try:
+            beam_size = int(request.query["beam_size"])
+        except ValueError:
+            raise ApiError(400, "beam_size must be an integer")
+        if not 1 <= beam_size <= 16:
+            raise ApiError(400, "beam_size must be in [1, 16]")
     async with ConcurrentRequestTracker(state.limiter, client_id):
         state.ensure_model()
         image = await _read_prediction_input(state, request)
-        formula, confidence = await state.batcher.predict(image)
+        if beam_size > 1:
+            # beam decode bypasses the greedy batcher (no confidence score
+            # — beam scores are not the reference's confidence metric)
+            loop = asyncio.get_running_loop()
+            formula = (await loop.run_in_executor(
+                None, lambda: state.engine.predict_batch(
+                    image[None], beam_size=beam_size)))[0]
+            from ..core.tokenizer import clean_latex_output
+
+            formula = clean_latex_output(formula)
+            confidence = None
+        else:
+            formula, confidence = await state.batcher.predict(image)
         processing_time = time.time() - start
         state.prediction_count += 1
         resp = PredictionResponse(

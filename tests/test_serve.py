@@ -327,6 +327,22 @@ def test_batcher_coalesces_concurrent_requests(model_dir):
     _with_client(_serve_cfg(model_dir, batch_timeout_ms=50.0), fn)
 
 
+def test_predict_with_beam(model_dir):
+    async def fn(client):
+        b64 = base64.b64encode(_png_bytes()).decode()
+        r = await client.post("/predict?beam_size=3",
+                              json={"image_data": b64})
+        assert r.status == 200, await r.text()
+        body = await r.json()
+        assert isinstance(body["formula"], str)
+        assert body["confidence"] is None  # beam has no reference confidence
+        r2 = await client.post("/predict?beam_size=99",
+                               json={"image_data": b64})
+        assert r2.status == 400
+
+    _with_client(_serve_cfg(model_dir), fn)
+
+
 def test_continuous_mode_serving(model_dir):
     """Full HTTP path with the continuous batching engine."""
     async def fn(client):

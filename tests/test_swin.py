@@ -93,6 +93,23 @@ def test_shifted_window_attention_differs_from_unshifted():
     assert not np.allclose(np.asarray(a), np.asarray(b))
 
 
+def test_flagship_param_count():
+    """~34.4M params at vocab 544: torchvision swin_t trunk (27.5M; the
+    reference's published 37.45M additionally counts the *unused* ImageNet
+    classification head + final norm it never applies — src/model_swin.py:40
+    — and a larger vocab) + 0.2M projection + 6.6M decoder."""
+    from handwritten_math_ocr_api_tpu.models.model import (
+        count_params, init_model,
+    )
+
+    cfg = ModelConfig(vocab_size=544, dtype="float32")
+    params, _ = init_model(jax.random.PRNGKey(0), cfg)
+    total = count_params(params)
+    assert 33e6 < total < 36e6
+    assert 27e6 < count_params(params["encoder"]) < 28.5e6
+    assert 6e6 < count_params(params["decoder"]) < 7e6
+
+
 def test_patch_merging_gather_order():
     """2x2 gather must be [ee, oe, eo, oo] over (H, W) — torchvision order."""
     C = 4
