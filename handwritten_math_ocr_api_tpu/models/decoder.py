@@ -174,18 +174,21 @@ def decoder_step(params, cfg: ModelConfig, tok_ids: Array, pos: Array,
         q = layers.split_heads(qp, nh)                          # (B,H,1,Dh)
         k_new = layers.split_heads(kp, nh)
         v_new = layers.split_heads(vp, nh)
-        k = jax.lax.dynamic_update_slice(
-            cache[f"self_k_{i}"], k_new, (0, 0, pos, 0))
-        v = jax.lax.dynamic_update_slice(
-            cache[f"self_v_{i}"], v_new, (0, 0, pos, 0))
+        if use_pallas:
+            # fused append+attention, cache updated in place
+            from ..ops.cache_attention import cache_append_attention
+
+            sa, k, v = cache_append_attention(
+                q, k_new, v_new, cache[f"self_k_{i}"],
+                cache[f"self_v_{i}"], pos)
+        else:
+            k = jax.lax.dynamic_update_slice(
+                cache[f"self_k_{i}"], k_new, (0, 0, pos, 0))
+            v = jax.lax.dynamic_update_slice(
+                cache[f"self_v_{i}"], v_new, (0, 0, pos, 0))
+            sa = layers.attention(q, k, v, self_mask)
         new_cache[f"self_k_{i}"] = k
         new_cache[f"self_v_{i}"] = v
-        if use_pallas:
-            from ..ops.decode_attention import decode_attention as _da
-
-            sa = _da(q, k, v, pos)
-        else:
-            sa = layers.attention(q, k, v, self_mask)
         sa = layers.merge_heads(sa)
         sa = layers.linear({"w": sp["w_out"], "b": sp["b_out"]}, sa)
         x = layers.layer_norm(p["norm1"], x + sa)

@@ -52,6 +52,34 @@ def test_decode_attention_inside_decoder_step():
                                    atol=2e-5, rtol=1e-4)
 
 
+def test_cache_append_attention_matches_jnp():
+    from handwritten_math_ocr_api_tpu.ops.cache_attention import (
+        cache_append_attention,
+    )
+
+    rng = np.random.default_rng(3)
+    B, H, T, Dh = 2, 3, 9, 32
+    k_cache = jnp.asarray(rng.standard_normal((B, H, T, Dh), np.float32))
+    v_cache = jnp.asarray(rng.standard_normal((B, H, T, Dh), np.float32))
+    for pos in [0, 4, T - 1]:
+        q = jnp.asarray(rng.standard_normal((B, H, 1, Dh), np.float32))
+        kn = jnp.asarray(rng.standard_normal((B, H, 1, Dh), np.float32))
+        vn = jnp.asarray(rng.standard_normal((B, H, 1, Dh), np.float32))
+        # jnp reference: update then masked attention
+        k_ref = jax.lax.dynamic_update_slice(k_cache, kn, (0, 0, pos, 0))
+        v_ref = jax.lax.dynamic_update_slice(v_cache, vn, (0, 0, pos, 0))
+        slot = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, T), 3)
+        mask = jnp.where(slot <= pos, 0.0, -jnp.inf)
+        want = layers.attention(q, k_ref, v_ref, mask)
+
+        out, k_out, v_out = cache_append_attention(
+            q, kn, vn, k_cache, v_cache, jnp.int32(pos), interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(k_out), np.asarray(k_ref))
+        np.testing.assert_array_equal(np.asarray(v_out), np.asarray(v_ref))
+
+
 def test_window_attention_core_matches_jnp():
     rng = np.random.default_rng(0)
     B, nW, nh, N, dh = 2, 3, 2, 16, 32
