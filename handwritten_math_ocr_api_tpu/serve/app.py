@@ -234,6 +234,23 @@ async def handle_root(request) -> "web.Response":
     return web.Response(text=html, content_type="text/html")
 
 
+async def handle_openapi(request) -> "web.Response":
+    state: ServerState = request.app["state"]
+    from .openapi import build_spec
+
+    return web.json_response(build_spec(
+        state.cfg.api_title, state.cfg.api_version,
+        state.cfg.api_description))
+
+
+async def handle_docs(request) -> "web.Response":
+    state: ServerState = request.app["state"]
+    from .openapi import DOCS_HTML
+
+    return web.Response(text=DOCS_HTML.format(title=state.cfg.api_title),
+                        content_type="text/html")
+
+
 async def _read_prediction_input(state: ServerState, request) -> np.ndarray:
     """Accept multipart 'file' uploads (reference /predict contract) or a
     JSON body {"image_data": base64}."""
@@ -566,6 +583,8 @@ def create_app(cfg: Optional[ServeConfig] = None,
     app["state"] = state
 
     app.router.add_get("/", handle_root)
+    app.router.add_get("/openapi.json", handle_openapi)
+    app.router.add_get("/docs", handle_docs)
     app.router.add_post("/predict", handle_predict)
     app.router.add_post("/predict/batch", handle_predict_batch)
     app.router.add_get("/status", handle_status)

@@ -18,6 +18,7 @@ src/train_mlflow.py:34-109 did.
 from __future__ import annotations
 
 import logging
+import os
 import time
 from typing import Dict, Iterable, Optional
 
@@ -30,6 +31,7 @@ from ..eval.metrics import compute_metrics
 from ..parallel import mesh as mesh_lib
 from . import checkpoint as ckpt_lib
 from .optim import PlateauScheduler, get_learning_rate, set_learning_rate
+from .plots import MetricHistory
 from .step import TrainState, create_train_state, make_eval_step, make_train_step
 
 log = logging.getLogger(__name__)
@@ -97,6 +99,7 @@ def train_model(
 
     data_rng = jax.random.PRNGKey(tc.seed + 1)
     no_improvement = 0
+    history = MetricHistory()
     try:
         for epoch in range(start_epoch, tc.epochs):
             t0 = time.time()
@@ -141,6 +144,9 @@ def train_model(
                 epoch + 1, tc.epochs, train_loss, val_loss,
                 metrics["edit_distance"], metrics["cer"], metrics["bleu"],
                 time.time() - t0)
+            history.append(train_loss=train_loss, val_loss=val_loss,
+                           edit_distance=metrics["edit_distance"],
+                           cer=metrics["cer"], bleu=metrics["bleu"])
             if mlflow:
                 mlflow.log_metrics({
                     "train_loss": train_loss, "val_loss": val_loss,
@@ -170,6 +176,10 @@ def train_model(
                 log.info("early stopping at epoch %d", epoch + 1)
                 break
     finally:
+        # training-curve artifact (reference: src/train_mlflow.py:124-141)
+        plot_path = os.path.join(tc.checkpoint_dir, "training_curves.png")
+        if history.save_plot(plot_path) and mlflow:
+            mlflow.log_artifact(plot_path)
         if mlflow:
             mlflow.end_run()
     return state

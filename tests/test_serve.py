@@ -369,6 +369,47 @@ def test_continuous_mode_serving(model_dir):
                             num_slots=4, segment_steps=4), fn)
 
 
+def test_degraded_mode_without_model():
+    """Missing model dir: server starts degraded (reference lifespan
+    catches init failure, app/src/main.py:292-296), health/status report
+    unhealthy, inference returns the error envelope."""
+    async def fn(client):
+        r = await client.get("/health")
+        h = await r.json()
+        assert h["healthy"] is False
+        assert h["checks"]["model_loaded"] is False
+
+        r = await client.get("/status")
+        assert (await r.json())["status"] == "unhealthy"
+
+        b64 = base64.b64encode(_png_bytes()).decode()
+        r = await client.post("/predict", json={"image_data": b64})
+        assert r.status == 500
+        body = await r.json()
+        assert "Model initialization failed" in body["detail"]
+
+        r = await client.get("/model/info")
+        assert r.status == 503
+
+    _with_client(_serve_cfg("/nonexistent-model-dir"), fn)
+
+
+def test_openapi_and_docs(model_dir):
+    async def fn(client):
+        r = await client.get("/openapi.json")
+        assert r.status == 200
+        spec = await r.json()
+        assert spec["openapi"].startswith("3.")
+        assert "/predict" in spec["paths"]
+        assert "PredictionResponse" in spec["components"]["schemas"]
+
+        r = await client.get("/docs")
+        assert r.status == 200
+        assert "swagger" in (await r.text()).lower()
+
+    _with_client(_serve_cfg(model_dir), fn)
+
+
 def test_root_html(model_dir):
     async def fn(client):
         r = await client.get("/")
