@@ -597,6 +597,14 @@ def create_app(cfg: Optional[ServeConfig] = None,
         # lifespan order matches the reference: rate limiter, then model
         # (app/src/main.py:276-298); failures degrade, not crash.
         st: ServerState = app["state"]
+        if os.environ.get("ENABLE_PROFILER_SERVER", "").lower() in (
+                "1", "true", "yes"):
+            from ..utils.profiling import start_profiler_server
+
+            port = int(os.environ.get("PROFILER_PORT", "9999"))
+            if start_profiler_server(port):
+                logger.info("jax profiler server on :%d (TensorBoard "
+                            "profile plugin)", port)
         try:
             st.limiter = init_rate_limiter(
                 st.cfg.redis_url,
