@@ -1,0 +1,205 @@
+"""Benchmark suite: the five BASELINE.json configs.
+
+Run: ``python benchmarks/run_all.py [--quick]`` — prints one JSON line per
+config and writes ``benchmarks/results.json``. The headline driver bench
+(bench.py) is config 3; this suite adds the rest:
+
+1. single-image greedy decode latency (reference: ~350 ms CPU / predict.py)
+2. res18trans-variant single-image decode (conv encoder path)
+3. batch-10 padded greedy decode with KV cache (same as bench.py)
+4. beam-5 eval-harness throughput over a synthetic test split
+5. continuous batching, 64 concurrent requests on the slot engine
+
+Methodology matches bench.py: compile+warm first, then N pipelined
+dispatches with one terminal block_until_ready; random weights with an
+unreachable <eos> so every decode pays the worst-case 150 steps (configs
+1-3; configs 4-5 use the real decode surfaces end-to-end).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+CPU_BASELINE_SINGLE_MS = 350.0           # README.md:87
+CPU_BASELINE_BATCH10_IMGS = 1000.0 / 350.0
+
+
+def _model(encoder="swin_t"):
+    import jax
+
+    from handwritten_math_ocr_api_tpu.core.config import ModelConfig
+    from handwritten_math_ocr_api_tpu.models.model import init_model
+
+    cfg = ModelConfig(encoder=encoder)
+    params, state = init_model(jax.random.PRNGKey(0), cfg)
+    return cfg, params, state
+
+
+def _decode_fn(cfg, state, use_real_eos=False):
+    import jax
+
+    from handwritten_math_ocr_api_tpu.decode.greedy import greedy_decode
+    from handwritten_math_ocr_api_tpu.models import model as model_mod
+
+    eos = 2 if use_real_eos else cfg.vocab_size + 1
+
+    @jax.jit
+    def decode(params, images):
+        memory, _ = model_mod.encode(params, state, cfg, images)
+        return greedy_decode(params["decoder"], cfg, memory,
+                             cfg.max_seq_len, eos_id=eos)
+
+    return decode
+
+
+def _time_pipelined(fn, *args, iters=20):
+    import jax
+
+    r = fn(*args)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(*args)
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_single_image(encoder: str, iters: int):
+    cfg, params, state = _model(encoder)
+    decode = _decode_fn(cfg, state)
+    rng = np.random.default_rng(0)
+    img = np.asarray(rng.standard_normal((1, cfg.img_h, cfg.img_w, 1)),
+                     np.float32)
+    dt = _time_pipelined(decode, params, img, iters=iters)
+    return {
+        "metric": f"single_image_greedy_latency_{encoder}",
+        "value": round(dt * 1e3, 3),
+        "unit": "ms",
+        "vs_baseline": round(CPU_BASELINE_SINGLE_MS / (dt * 1e3), 2),
+    }
+
+
+def bench_batch10(iters: int):
+    cfg, params, state = _model()
+    decode = _decode_fn(cfg, state)
+    rng = np.random.default_rng(0)
+    imgs = np.asarray(rng.standard_normal((10, cfg.img_h, cfg.img_w, 1)),
+                      np.float32)
+    dt = _time_pipelined(decode, params, imgs, iters=iters)
+    ips = 10 / dt
+    return {
+        "metric": "batch10_greedy_decode_throughput",
+        "value": round(ips, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / CPU_BASELINE_BATCH10_IMGS, 2),
+    }
+
+
+def bench_beam_eval(iters: int):
+    """Beam-5 through the full eval surface (DecodeEngine.predict_batch)."""
+    import jax
+
+    from handwritten_math_ocr_api_tpu.core.config import DecodeConfig
+    from handwritten_math_ocr_api_tpu.core.tokenizer import Tokenizer
+    from handwritten_math_ocr_api_tpu.decode.api import DecodeEngine
+
+    cfg, params, state = _model()
+    vocab = {"<pad>": 0, "<sos>": 1, "<eos>": 2, "<unk>": 3}
+    for i in range(4, cfg.vocab_size):
+        vocab[f"t{i}"] = i
+    eng = DecodeEngine(params, state, cfg, DecodeConfig(batch_buckets=(64,)),
+                       Tokenizer(vocab))
+    rng = np.random.default_rng(0)
+    imgs = np.asarray(rng.standard_normal((64, cfg.img_h, cfg.img_w, 1)),
+                      np.float32)
+    eng.predict_batch(imgs, beam_size=5)  # compile
+    t0 = time.perf_counter()
+    n = max(iters // 4, 2)
+    for _ in range(n):
+        eng.predict_batch(imgs, beam_size=5)
+    dt = (time.perf_counter() - t0) / n
+    ips = 64 / dt
+    return {
+        "metric": "beam5_batch64_eval_throughput",
+        "value": round(ips, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / CPU_BASELINE_BATCH10_IMGS, 2),
+    }
+
+
+def bench_continuous(iters: int):
+    """64 concurrent requests through the continuous slot engine."""
+    from handwritten_math_ocr_api_tpu.core.tokenizer import Tokenizer
+    from handwritten_math_ocr_api_tpu.decode.continuous import (
+        ContinuousDecoder,
+    )
+
+    cfg, params, state = _model()
+    vocab = {"<pad>": 0, "<sos>": 1, "<eos>": 2, "<unk>": 3}
+    for i in range(4, cfg.vocab_size):
+        vocab[f"t{i}"] = i
+    cont = ContinuousDecoder(params, state, cfg, Tokenizer(vocab),
+                             num_slots=64, segment_steps=16)
+    rng = np.random.default_rng(0)
+    imgs = [np.asarray(rng.standard_normal((cfg.img_h, cfg.img_w, 1)),
+                       np.float32) for _ in range(64)]
+    cont.run_all(imgs[:8])  # compile insert/segment paths
+    t0 = time.perf_counter()
+    cont.run_all(imgs)
+    dt = time.perf_counter() - t0
+    ips = 64 / dt
+    return {
+        "metric": "continuous_64concurrent_throughput",
+        "value": round(ips, 2),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / CPU_BASELINE_BATCH10_IMGS, 2),
+        "avg_occupancy": round(cont.stats["avg_occupancy"], 3),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="fewer iterations")
+    ap.add_argument("--configs", default="1,2,3,4,5")
+    args = ap.parse_args()
+    iters = 5 if args.quick else 20
+    wanted = set(args.configs.split(","))
+
+    runners = {
+        "1": lambda: bench_single_image("swin_t", iters),
+        "2": lambda: bench_single_image("res18trans", iters),
+        "3": lambda: bench_batch10(iters),
+        "4": lambda: bench_beam_eval(iters),
+        "5": lambda: bench_continuous(iters),
+    }
+    results = []
+    for key in sorted(wanted):
+        if key not in runners:
+            continue
+        try:
+            res = runners[key]()
+        except Exception as e:  # keep going; record the failure
+            res = {"metric": f"config_{key}", "error": str(e)}
+        results.append(res)
+        print(json.dumps(res), flush=True)
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "results.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

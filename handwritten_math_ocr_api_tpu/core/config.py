@@ -156,12 +156,14 @@ class DecodeConfig:
 
     The reference configured beam_size=5 but never implemented beam search
     (src/config.py:50, src/inference.py:5-7); we implement both greedy and
-    beam. Length buckets bound XLA recompilation for ragged batches.
+    beam. Batch buckets bound XLA recompilation for ragged request batches.
+    Output *length* needs no buckets: the decode while-loop early-exits on
+    device, and the continuous engine advances in ``segment_steps`` chunks
+    — both give ragged-length efficiency without recompilation.
     """
 
     max_seq_len: int = 150
     beam_size: int = 5
-    length_buckets: Tuple[int, ...] = (32, 64, 96, 150)
     batch_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64)
 
 

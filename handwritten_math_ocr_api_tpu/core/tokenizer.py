@@ -43,10 +43,19 @@ def tokenize_latex(formula: str) -> List[str]:
 
 def create_vocab(formulas: Iterable[str]) -> Dict[str, int]:
     """Build token->id map: specials first, then sorted corpus tokens
-    (reference: src/utils.py:101-112)."""
+    (reference: src/utils.py:101-112). Uses the C++ token scanner for the
+    bulk corpus pass when built (~220k formulas for MathWriting)."""
+    tok_fn = tokenize_latex
+    try:
+        from ..native import available, tokenize as native_tokenize
+
+        if available():
+            tok_fn = native_tokenize
+    except Exception:
+        pass
     all_tokens = set()
     for formula in formulas:
-        all_tokens.update(tokenize_latex(formula.strip()))
+        all_tokens.update(tok_fn(formula.strip()))
     ordered = list(SPECIAL_TOKENS) + sorted(all_tokens)
     return {token: idx for idx, token in enumerate(ordered)}
 

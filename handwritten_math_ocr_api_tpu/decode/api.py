@@ -67,7 +67,6 @@ class DecodeEngine:
             self.decode_cfg = DecodeConfig(
                 max_seq_len=self.decode_cfg.max_seq_len,
                 beam_size=self.decode_cfg.beam_size,
-                length_buckets=self.decode_cfg.length_buckets,
                 batch_buckets=tuple(buckets))
         self._greedy_fns: Dict[int, callable] = {}
         self._beam_fns: Dict[Tuple[int, int], callable] = {}
