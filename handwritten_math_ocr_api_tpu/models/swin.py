@@ -237,7 +237,7 @@ def swin_block(p, x: Array, ws: int, shift: int, num_heads: int,
     return x + _stochastic_depth(k2, h, sd_rate, deterministic)
 
 
-def patch_merging(p, x: Array) -> Array:
+def patch_merging(p, x: Array, *, use_pallas: bool = False) -> Array:
     """(B, H, W, C) -> (B, H/2, W/2, 2C): 2x2 gather, LN(4C), linear 4C->2C.
 
     Concat order [even/even, odd/even, even/odd, odd/odd] over (H, W) matches
@@ -246,6 +246,10 @@ def patch_merging(p, x: Array) -> Array:
     B, H, W, C = x.shape
     if H % 2 or W % 2:
         x = jnp.pad(x, ((0, 0), (0, H % 2), (0, W % 2), (0, 0)))
+    if use_pallas:
+        from ..ops.patch_merging import fused_patch_merging
+
+        return fused_patch_merging(p, x)
     x0 = x[:, 0::2, 0::2, :]
     x1 = x[:, 1::2, 0::2, :]
     x2 = x[:, 0::2, 1::2, :]
@@ -295,6 +299,6 @@ def swin_apply(params, images: Array, cfg: SwinConfig, *,
             )
             block_id += 1
         if i < len(cfg.depths) - 1:
-            x = patch_merging(params["merges"][i], x)
+            x = patch_merging(params["merges"][i], x, use_pallas=use_pallas)
     B, H, W, C = x.shape
     return x.reshape(B, H * W, C)

@@ -1,0 +1,84 @@
+"""Pallas TPU kernel: fused patch merging (2x2 gather + LayerNorm + linear).
+
+Between Swin stages the reference relied on torchvision's PatchMerging
+(inside ``swin_t``, reference: src/model_swin.py:17): gather the 2x2
+neighborhood into 4C channels, LayerNorm, then a 4C->2C reduction. As XLA
+ops that is a strided gather materialized to HBM, an LN pass, and a
+matmul. This kernel fuses all three per output-row program: the four
+strided input rows stream to VMEM once, the concat+LN happen in registers,
+and the reduction matmul writes the only HBM output.
+
+Matches models/swin.py ``patch_merging`` (even/even, odd/even, even/odd,
+odd/odd gather order; LN eps 1e-5; no bias) — asserted by tests in
+interpret mode and on TPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, scale_ref, bias_ref, w_ref, out_ref):
+    # x: (1, 2, W, C) — two input rows; out: (1, 1, W//2, 2C)
+    x = x_ref[0]                                   # (2, W, C)
+    C = x.shape[-1]
+    x0 = x[0, 0::2, :]                             # even row, even cols
+    x1 = x[1, 0::2, :]                             # odd  row, even cols
+    x2 = x[0, 1::2, :]                             # even row, odd cols
+    x3 = x[1, 1::2, :]                             # odd  row, odd cols
+    cat = jnp.concatenate([x0, x1, x2, x3], axis=-1)  # (W//2, 4C)
+
+    cat32 = cat.astype(jnp.float32)
+    mean = jnp.mean(cat32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(cat32 - mean), axis=-1, keepdims=True)
+    normed = (cat32 - mean) * jax.lax.rsqrt(var + 1e-5)
+    normed = normed * scale_ref[0] + bias_ref[0]
+
+    out = jnp.dot(normed.astype(x.dtype), w_ref[:],
+                  preferred_element_type=jnp.float32)
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+
+def fused_patch_merging(p, x, *, interpret: bool | None = None):
+    """Drop-in for models/swin.py ``patch_merging``: x (B, H, W, C) with H,
+    W even -> (B, H/2, W/2, 2C)."""
+    from . import default_interpret
+
+    if interpret is None:
+        interpret = default_interpret()
+    B, H, W, C = x.shape
+    assert H % 2 == 0 and W % 2 == 0, "pad before the fused kernel"
+    scale = p["norm"]["scale"].astype(jnp.float32).reshape(1, 4 * C)
+    bias = p["norm"]["bias"].astype(jnp.float32).reshape(1, 4 * C)
+    w = p["reduction"]["w"].astype(x.dtype)        # (4C, 2C)
+
+    grid_spec = pl.GridSpec(
+        grid=(B, H // 2),
+        in_specs=[
+            pl.BlockSpec((1, 2, W, C), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * C), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * C), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4 * C, 2 * C), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, W // 2, 2 * C),
+                               lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H // 2, W // 2, 2 * C), x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * (H // 2) * (W // 2) * 4 * C * 2 * C,
+            bytes_accessed=B * H * W * C * 2 + B * (H // 2) * (W // 2) * 2 * C * 2,
+            transcendentals=0,
+        ),
+    )(x, scale, bias, w)

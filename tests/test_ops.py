@@ -106,6 +106,26 @@ def test_fused_window_attention_in_swin_block():
                                atol=2e-5, rtol=1e-4)
 
 
+def test_fused_patch_merging_matches_jnp():
+    from handwritten_math_ocr_api_tpu.ops.patch_merging import (
+        fused_patch_merging,
+    )
+
+    rng = np.random.default_rng(5)
+    B, H, W, C = 2, 6, 10, 8
+    x = jnp.asarray(rng.standard_normal((B, H, W, C), np.float32))
+    p = {
+        "norm": {"scale": jnp.asarray(rng.standard_normal(4 * C), jnp.float32),
+                 "bias": jnp.asarray(rng.standard_normal(4 * C), jnp.float32)},
+        "reduction": {"w": jnp.asarray(
+            rng.standard_normal((4 * C, 2 * C)), jnp.float32)},
+    }
+    want = swin.patch_merging(p, x, use_pallas=False)
+    got = fused_patch_merging(p, x, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
 def test_fused_window_attention_with_shift_mask():
     """Shifted block (real -100 region mask) through the kernel."""
     p = swin._block_init(jax.random.PRNGKey(0), 8, 2, 4, 4.0)["attn"]
