@@ -49,10 +49,12 @@ class SlotState(NamedTuple):
     cache: Dict[str, jax.Array]
 
 
-def init_slot_state(params, cfg: ModelConfig, num_slots: int) -> SlotState:
-    """Slot pool (+1 scratch slot used as the scatter target for padded
-    admissions — never active)."""
-    S = num_slots + 1
+def init_slot_state(params, cfg: ModelConfig, num_slots: int,
+                    scratch_slots: int = 1) -> SlotState:
+    """Slot pool + scratch slot(s) used as the scatter target for padded
+    admissions — never active. More than one scratch slot only to round
+    the pool to a mesh multiple."""
+    S = num_slots + scratch_slots
     T = cfg.max_seq_len
     dtype = jnp.dtype(cfg.dtype)
     nh, dh, L = cfg.nhead, cfg.head_dim, cfg.encoder_len
@@ -75,15 +77,16 @@ def init_slot_state(params, cfg: ModelConfig, num_slots: int) -> SlotState:
 
 
 def insert_requests(params, model_state, cfg: ModelConfig, state: SlotState,
-                    slots: jax.Array, images: jax.Array) -> SlotState:
+                    slots: jax.Array, images: jax.Array,
+                    num_slots: Optional[int] = None) -> SlotState:
     """Encode ``images`` (K, H, W, 1) and install them at ``slots`` (K,):
-    cross-K/V scatter + per-slot reset. Padding rows target the scratch
-    slot and are masked inactive. jit-compiled per K bucket."""
+    cross-K/V scatter + per-slot reset. Padding rows target a scratch slot
+    (index >= num_slots) and are masked inactive. jit-compiled per K
+    bucket."""
     memory, _ = model_mod.encode(params, model_state, cfg, images)
     cross = decoder_mod.project_cross_kv(params["decoder"], cfg, memory)
     S = state.prev.shape[0]
-    scratch = S - 1
-    valid = slots < scratch
+    valid = slots < (num_slots if num_slots is not None else S - 1)
 
     cache = dict(state.cache)
     for name, val in cross.items():
@@ -158,7 +161,12 @@ class ContinuousDecoder:
     def __init__(self, params, model_state, cfg: ModelConfig,
                  tokenizer: Optional[Tokenizer] = None, num_slots: int = 32,
                  segment_steps: int = 16,
-                 encode_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16, 32)):
+                 encode_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16, 32),
+                 mesh=None):
+        """``mesh``: optional Mesh — the slot pool shards over the 'data'
+        axis (params replicated), scaling continuous serving across chips
+        (the v5e-4 target). The pool is padded so (num_slots + scratch)
+        divides the data-axis size."""
         self.params = params
         self.model_state = model_state
         self.cfg = cfg
@@ -167,7 +175,26 @@ class ContinuousDecoder:
         self.segment_steps = segment_steps
         self.encode_buckets = tuple(
             b for b in encode_buckets if b <= num_slots) or (num_slots,)
-        self.state = init_slot_state(params, cfg, num_slots)
+        self.mesh = mesh
+        extra = 1
+        if mesh is not None:
+            n = mesh.shape["data"]
+            total = -(-(num_slots + 1) // n) * n  # round up to mesh multiple
+            extra = total - num_slots
+        self.state = init_slot_state(params, cfg, num_slots,
+                                     scratch_slots=extra)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import mesh as mesh_lib
+
+            self.params = jax.device_put(params, mesh_lib.replicated(mesh))
+            self.model_state = jax.device_put(model_state,
+                                              mesh_lib.replicated(mesh))
+            self.state = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, NamedSharding(
+                    mesh, P(*(("data",) + (None,) * (x.ndim - 1))))),
+                self.state)
         self._free: List[int] = list(range(num_slots))
         self._slot_req: Dict[int, int] = {}
         self._pending: List[Tuple[int, np.ndarray]] = []
@@ -231,7 +258,8 @@ class ContinuousDecoder:
         if k_bucket not in self._insert_fns:
             def fn(params, model_state, state, slots, images):
                 return insert_requests(params, model_state, self.cfg,
-                                       state, slots, images)
+                                       state, slots, images,
+                                       num_slots=self.num_slots)
 
             self._insert_fns[k_bucket] = jax.jit(fn, donate_argnums=(2,))
         return self._insert_fns[k_bucket]
@@ -269,7 +297,7 @@ class ContinuousDecoder:
         lp = np.asarray(self.state.lp_sum)
         counts = np.asarray(self.state.count)
         results: Dict[int, Tuple[str, float]] = {}
-        mask = np.zeros(self.num_slots + 1, bool)
+        mask = np.zeros(int(self.state.prev.shape[0]), bool)
         for s in done_slots:
             rid = self._slot_req.pop(s)
             self.tokens_emitted += int(counts[s])

@@ -113,6 +113,32 @@ def test_continuous_matches_batch_greedy(setup):
     assert cont.stats["segments_run"] >= 3  # 12 max steps / 4-step segments
 
 
+def test_continuous_sharded_over_mesh(setup):
+    """Slot pool sharded over a 4-device 'data' axis must reproduce
+    single-device continuous results (the v5e-4 serving target)."""
+    from handwritten_math_ocr_api_tpu.parallel import mesh as mesh_lib
+
+    params, mstate, tok = setup
+    rng = np.random.default_rng(7)
+    images = rng.standard_normal((6, 96, 320, 1)).astype(np.float32)
+
+    single = ContinuousDecoder(params, mstate, CFG, tok, num_slots=4,
+                               segment_steps=4, encode_buckets=(1, 2, 4))
+    want = single.run_all(list(images))
+
+    mesh = mesh_lib.make_mesh(data=4, tensor=1,
+                              devices=jax.devices()[:4])
+    sharded = ContinuousDecoder(params, mstate, CFG, tok, num_slots=4,
+                                segment_steps=4, encode_buckets=(1, 2, 4),
+                                mesh=mesh)
+    # pool padded to a mesh multiple
+    assert sharded.state.prev.shape[0] % 4 == 0
+    got = sharded.run_all(list(images))
+    for (wl, wc), (gl, gc) in zip(want, got):
+        assert wl == gl
+        assert abs(wc - gc) < 1e-4
+
+
 def test_continuous_midflight_admission(setup):
     """Submitting while decoding is in flight must still produce correct
     results and reuse freed slots."""
