@@ -61,11 +61,24 @@ def main() -> None:
     steps = np.asarray(res.token_count)  # emitted non-eos tokens per row
     assert (steps == cfg.max_seq_len).all(), steps
 
+    # Elision-proof timing: every iteration's decode feeds an accumulator
+    # fetched at the end — async runtimes cannot skip or defer any decode.
+    # Adaptive iteration count bounds wall-clock when the device is
+    # contended: batches of 5, stop after ITERS or ~90s.
+    import jax.numpy as jnp
+
+    done = 0
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        res = decode(params, images)
-    jax.block_until_ready(res.tokens)
-    dt = time.perf_counter() - t0
+    while done < ITERS:
+        total = jnp.float32(0.0)
+        for _ in range(5):
+            res = decode(params, images)
+            total = total + res.logprob_sum.sum()
+        assert np.isfinite(float(total))  # forces execution of the chunk
+        done += 5
+        if time.perf_counter() - t0 > 90 and done >= 5:
+            break
+    dt = (time.perf_counter() - t0) / done
 
     imgs_per_sec = BATCH * ITERS / dt
     print(json.dumps({

@@ -64,14 +64,20 @@ def _decode_fn(cfg, state, use_real_eos=False):
 
 
 def _time_pipelined(fn, *args, iters=20):
+    """Elision-proof: every iteration's result feeds an accumulator that is
+    fetched once — async runtimes must execute every decode; the host
+    round-trip is amortized over all iterations."""
     import jax
+    import jax.numpy as jnp
 
     r = fn(*args)
     jax.block_until_ready(r)
+    total = jnp.float32(0.0)
     t0 = time.perf_counter()
     for _ in range(iters):
         r = fn(*args)
-    jax.block_until_ready(r)
+        total = total + r.logprob_sum.sum()
+    assert np.isfinite(float(total))
     return (time.perf_counter() - t0) / iters
 
 
