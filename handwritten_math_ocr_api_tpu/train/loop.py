@@ -66,7 +66,8 @@ def train_model(
     tc, mc = cfg.train, cfg.model
     rng = jax.random.PRNGKey(tc.seed)
     state, optimizer = create_train_state(rng, mc, tc)
-    train_step = make_train_step(mc, tc, optimizer, use_pallas=use_pallas)
+    train_step = make_train_step(mc, tc, optimizer, use_pallas=use_pallas,
+                                 data_cfg=cfg.data)
     eval_step = make_eval_step(mc, tc, use_pallas=use_pallas)
     scheduler = PlateauScheduler(factor=tc.plateau_factor,
                                  patience=tc.plateau_patience)

@@ -21,7 +21,9 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from ..core.config import PAD_ID, ModelConfig, TrainConfig
+from ..core.config import PAD_ID, DataConfig, ModelConfig, TrainConfig
+from ..data.augment import augment_and_normalize
+from ..data.preprocess import device_normalize
 from ..models import model as model_mod
 from .losses import smoothed_cross_entropy, token_accuracy
 from .optim import make_optimizer
@@ -47,10 +49,20 @@ def create_train_state(key, model_cfg: ModelConfig,
 
 def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
                     optimizer: optax.GradientTransformation,
-                    use_pallas: bool = False) -> Callable:
+                    use_pallas: bool = False,
+                    data_cfg: DataConfig | None = None) -> Callable:
+    """``images`` may be uint8 straight from the loader — normalization and
+    the RandomAffine-equivalent augmentation (reference:
+    src/data_loader.py:51) then run ON DEVICE, fused into the step. Float
+    inputs are assumed pre-normalized (tests, custom pipelines)."""
+    aug_cfg = data_cfg or DataConfig()
+
     def train_step(state: TrainState, images, captions, rng
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         rng = jax.random.fold_in(rng, state.step)
+        if images.dtype == jnp.uint8:
+            rng, aug_rng = jax.random.split(rng)
+            images = augment_and_normalize(aug_rng, images, aug_cfg)
 
         def loss_fn(params):
             logits, new_ms = model_mod.forward(
@@ -83,6 +95,8 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
 def make_eval_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
                    use_pallas: bool = False) -> Callable:
     def eval_step(state: TrainState, images, captions):
+        if images.dtype == jnp.uint8:
+            images = device_normalize(images)
         logits, _ = model_mod.forward(
             state.params, state.model_state, model_cfg, images, captions,
             deterministic=True, use_pallas=use_pallas)

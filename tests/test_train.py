@@ -69,6 +69,32 @@ def test_train_step_reduces_loss():
     assert int(state.step) == 8
 
 
+def test_uint8_inputs_normalized_on_device():
+    """Loader-style uint8 batches must be normalized (and augmented) on
+    device; eval on uint8 must equal eval on the pre-normalized floats."""
+    import jax.numpy as jnp
+
+    tc = TrainConfig()
+    cfg = TINY.replace(dropout=0.0)
+    state, opt = create_train_state(jax.random.PRNGKey(0), cfg, tc)
+    eval_step = make_eval_step(cfg, tc)
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 255, (2, 96, 320, 1), np.uint8)
+    captions = jnp.asarray(
+        rng.integers(4, cfg.vocab_size, (2, cfg.max_seq_len)), jnp.int32)
+    normed = jnp.asarray(u8.astype(np.float32) / 255.0 * 2.0 - 1.0)
+
+    loss_u8, preds_u8 = eval_step(state, jnp.asarray(u8), captions)
+    loss_f, preds_f = eval_step(state, normed, captions)
+    assert abs(float(loss_u8) - float(loss_f)) < 1e-5
+    np.testing.assert_array_equal(np.asarray(preds_u8), np.asarray(preds_f))
+
+    # train step on uint8 runs and learns (augmentation path)
+    step = make_train_step(cfg, tc, opt)
+    s, m = step(state, jnp.asarray(u8), captions, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_plateau_scheduler_matches_torch_semantics():
     torch = pytest.importorskip("torch")
     p = torch.nn.Parameter(torch.zeros(1))
