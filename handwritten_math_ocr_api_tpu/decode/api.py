@@ -80,6 +80,10 @@ class DecodeEngine:
 
             @jax.jit
             def fn(params, images):
+                if images.dtype == jnp.uint8:  # normalize on device
+                    from ..data.preprocess import device_normalize
+
+                    images = device_normalize(images)
                 memory, _ = model_mod.encode(params, state, cfg, images,
                                              use_pallas=up)
                 return greedy_decode(params["decoder"], cfg, memory, max_len,
@@ -96,6 +100,10 @@ class DecodeEngine:
 
             @jax.jit
             def fn(params, images):
+                if images.dtype == jnp.uint8:
+                    from ..data.preprocess import device_normalize
+
+                    images = device_normalize(images)
                 memory, _ = model_mod.encode(params, state, cfg, images,
                                              use_pallas=up)
                 return beam_decode(params["decoder"], cfg, memory, beam,

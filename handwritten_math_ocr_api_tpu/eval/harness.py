@@ -42,7 +42,8 @@ def evaluate_model(engine: DecodeEngine, loader: Iterable,
     t0 = time.time()
     n_images = 0
     for batch in loader:
-        images = batch["image"].astype(np.float32) / 255.0 * 2.0 - 1.0
+        # uint8 straight to the device; the engine normalizes on-chip
+        images = batch["image"]
         valid = batch.get("valid", np.ones(len(images), bool))
         preds = engine.predict_batch(images, beam_size=beam_size)
         targets = tokenizer.decode_batch(batch["caption"])
