@@ -560,8 +560,12 @@ async def rate_limit_middleware(request, handler):
 @web.middleware
 async def request_id_middleware(request, handler):
     request["request_id"] = str(uuid.uuid4())
+    t0 = time.perf_counter()
     resp = await handler(request)
     resp.headers["X-Request-ID"] = request["request_id"]
+    logger.info("%s %s -> %d (%.1f ms) rid=%s", request.method,
+                request.path, resp.status,
+                (time.perf_counter() - t0) * 1e3, request["request_id"])
     return resp
 
 

@@ -369,6 +369,42 @@ def test_continuous_mode_serving(model_dir):
                             num_slots=4, segment_steps=4), fn)
 
 
+def test_batcher_fault_propagation():
+    """A decode failure must reject every waiter with the error and leave
+    the batcher serviceable for subsequent requests (fault injection)."""
+    from handwritten_math_ocr_api_tpu.serve.batcher import BatchingEngine
+
+    class FlakyEngine:
+        def __init__(self):
+            self.calls = 0
+
+        def predict_with_confidence(self, images):
+            self.calls += 1
+            if self.calls == 1:
+                raise RuntimeError("injected device failure")
+            return [("x", 0.5)] * len(images)
+
+    async def go():
+        eng = BatchingEngine(FlakyEngine(), max_batch_size=4,
+                             batch_timeout_ms=5.0)
+        await eng.start()
+        try:
+            import numpy as np
+
+            img = np.zeros((8, 8, 1), np.float32)
+            results = await asyncio.gather(
+                *[eng.predict(img) for _ in range(3)],
+                return_exceptions=True)
+            assert all(isinstance(r, RuntimeError) for r in results)
+            # engine recovers on the next batch
+            ok = await eng.predict(img)
+            assert ok == ("x", 0.5)
+        finally:
+            await eng.stop()
+
+    _run(go())
+
+
 def test_degraded_mode_without_model():
     """Missing model dir: server starts degraded (reference lifespan
     catches init failure, app/src/main.py:292-296), health/status report
