@@ -43,7 +43,8 @@ class DecodeEngine:
     def __init__(self, params, state, cfg: ModelConfig,
                  decode_cfg: Optional[DecodeConfig] = None,
                  tokenizer: Optional[Tokenizer] = None,
-                 use_pallas: bool = False, mesh=None):
+                 use_pallas: bool = False, mesh=None,
+                 quantize: bool = False):
         """``mesh``: optional jax.sharding.Mesh — params are replicated and
         every decode batch is sharded over the 'data' axis, scaling serving
         across chips (the v5e-4 target; reference scaled with Cloud Run
@@ -56,6 +57,14 @@ class DecodeEngine:
         self.tokenizer = tokenizer
         self.use_pallas = use_pallas
         self.mesh = mesh
+        if quantize:
+            # weight-only int8 decoder: halves the per-step HBM weight
+            # traffic that bounds small-batch decode (ops/quant.py)
+            from ..ops.quant import quantize_decoder_params
+
+            self.params = dict(self.params)
+            self.params["decoder"] = quantize_decoder_params(
+                self.params["decoder"])
         if mesh is not None:
             from ..parallel import mesh as mesh_lib
 

@@ -113,6 +113,11 @@ def decoder_forward(params, cfg: ModelConfig, memory: Array, tgt_ids: Array,
 def _proj_qkv(p, x: Array, part: str) -> Array:
     d = x.shape[-1]
     lo = {"q": 0, "k": d, "v": 2 * d}[part]
+    if "w_qkv_q" in p:  # int8 weight-only path (ops/quant.py)
+        y = jnp.dot(x, p["w_qkv_q"][:, lo:lo + d].astype(x.dtype),
+                    preferred_element_type=jnp.float32)
+        y = (y * p["w_qkv_scale"][lo:lo + d]).astype(x.dtype)
+        return y + p["b_qkv"][lo:lo + d].astype(x.dtype)
     w = p["w_qkv"][:, lo:lo + d].astype(x.dtype)
     b = p["b_qkv"][lo:lo + d].astype(x.dtype)
     return jnp.dot(x, w, preferred_element_type=x.dtype) + b
@@ -121,10 +126,23 @@ def _proj_qkv(p, x: Array, part: str) -> Array:
 def _proj_qkv_packed(p, x: Array) -> Tuple[Array, Array, Array]:
     """One (D, 3D) matmul instead of three (D, D) — launch-bound decode
     steps care."""
-    w = p["w_qkv"].astype(x.dtype)
     b = p["b_qkv"].astype(x.dtype)
-    qkv = jnp.dot(x, w, preferred_element_type=x.dtype) + b
+    if "w_qkv_q" in p:
+        y = jnp.dot(x, p["w_qkv_q"].astype(x.dtype),
+                    preferred_element_type=jnp.float32)
+        qkv = (y * p["w_qkv_scale"]).astype(x.dtype) + b
+    else:
+        w = p["w_qkv"].astype(x.dtype)
+        qkv = jnp.dot(x, w, preferred_element_type=x.dtype) + b
     return jnp.split(qkv, 3, axis=-1)
+
+
+def _out_proj(p, x: Array) -> Array:
+    if "w_out_q" in p:
+        return layers.linear({"w_q": p["w_out_q"],
+                              "w_scale": p["w_out_scale"],
+                              "b": p["b_out"]}, x)
+    return layers.linear({"w": p["w_out"], "b": p["b_out"]}, x)
 
 
 def init_cache(params, cfg: ModelConfig, memory: Array,
@@ -190,7 +208,7 @@ def decoder_step(params, cfg: ModelConfig, tok_ids: Array, pos: Array,
         new_cache[f"self_k_{i}"] = k
         new_cache[f"self_v_{i}"] = v
         sa = layers.merge_heads(sa)
-        sa = layers.linear({"w": sp["w_out"], "b": sp["b_out"]}, sa)
+        sa = _out_proj(sp, sa)
         x = layers.layer_norm(p["norm1"], x + sa)
 
         # --- cross-attention against precomputed memory K/V ---
@@ -198,7 +216,7 @@ def decoder_step(params, cfg: ModelConfig, tok_ids: Array, pos: Array,
         qc = layers.split_heads(_proj_qkv(cp, x, "q"), nh)
         ca = layers.attention(qc, cache[f"cross_k_{i}"], cache[f"cross_v_{i}"])
         ca = layers.merge_heads(ca)
-        ca = layers.linear({"w": cp["w_out"], "b": cp["b_out"]}, ca)
+        ca = _out_proj(cp, ca)
         x = layers.layer_norm(p["norm2"], x + ca)
 
         # --- FFN ---
@@ -246,14 +264,14 @@ def decoder_step_ragged(params, cfg: ModelConfig, tok_ids: Array,
         new_cache[f"self_v_{i}"] = v
         sa = layers.attention(q, k, v, self_mask)
         sa = layers.merge_heads(sa)
-        sa = layers.linear({"w": sp["w_out"], "b": sp["b_out"]}, sa)
+        sa = _out_proj(sp, sa)
         x = layers.layer_norm(p["norm1"], x + sa)
 
         cp = p["cross_attn"]
         qc = layers.split_heads(_proj_qkv(cp, x, "q"), nh)
         ca = layers.attention(qc, cache[f"cross_k_{i}"], cache[f"cross_v_{i}"])
         ca = layers.merge_heads(ca)
-        ca = layers.linear({"w": cp["w_out"], "b": cp["b_out"]}, ca)
+        ca = _out_proj(cp, ca)
         x = layers.layer_norm(p["norm2"], x + ca)
 
         ff = layers.mlp(p["ffn"], x, activation=jax.nn.relu)

@@ -75,7 +75,13 @@ def mlp_init(key, d_model: int, hidden: int):
 # ---------------------------------------------------------------------------
 
 def linear(p, x: Array) -> Array:
-    y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=x.dtype)
+    if "w_q" in p:  # weight-only int8 (ops/quant.py)
+        y = jnp.dot(x, p["w_q"].astype(x.dtype),
+                    preferred_element_type=jnp.float32)
+        y = (y * p["w_scale"]).astype(x.dtype)
+    else:
+        y = jnp.dot(x, p["w"].astype(x.dtype),
+                    preferred_element_type=x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y
