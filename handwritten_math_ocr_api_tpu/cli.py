@@ -165,6 +165,21 @@ def cmd_make_synthetic(args) -> int:
     return 0
 
 
+def cmd_convert(args) -> int:
+    """Reference PyTorch .pth -> serving artifact directory."""
+    from .compat.torch_convert import convert_checkpoint
+    from .core.tokenizer import load_vocab
+    from .train.checkpoint import save_params_for_serving
+
+    vocab, _ = load_vocab(args.vocab)
+    cfg = _model_config(args, len(vocab))
+    params, bn_state = convert_checkpoint(args.pth, cfg)
+    out = save_params_for_serving(args.out_dir, params, vocab, cfg,
+                                  model_state=bn_state)
+    print(f"serving artifact -> {out}")
+    return 0
+
+
 def cmd_serve(args) -> int:
     from .serve.app import run_server
 
@@ -226,6 +241,17 @@ def build_parser() -> argparse.ArgumentParser:
     ms.add_argument("--val", type=int, default=64)
     ms.add_argument("--test", type=int, default=64)
     ms.set_defaults(fn=cmd_make_synthetic)
+
+    cv = sub.add_parser("convert-checkpoint",
+                        help="convert a reference PyTorch .pth to a "
+                             "serving artifact")
+    cv.add_argument("pth")
+    cv.add_argument("vocab", help="path to vocab.json")
+    cv.add_argument("out_dir")
+    cv.add_argument("--encoder", default="swin_t",
+                    choices=["swin_t", "resnet18", "res18trans"])
+    cv.add_argument("--model-overrides", default=None)
+    cv.set_defaults(fn=cmd_convert)
 
     sv = sub.add_parser("serve", help="run the serving API")
     sv.add_argument("--model-dir", default="trained-model")

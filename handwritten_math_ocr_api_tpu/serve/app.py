@@ -106,19 +106,19 @@ class ServerState:
 
         self.device = jax.devices()[0].platform
         logger.info("using device: %s", self.device)
-        params, vocab, idx2char, model_cfg = load_params_for_serving(
-            self.cfg.model_dir)
+        params, model_state, vocab, idx2char, model_cfg = \
+            load_params_for_serving(self.cfg.model_dir)
         self.vocab = vocab
         self.tokenizer = Tokenizer(vocab, idx2char)
         self.model_cfg = model_cfg
-        self.engine = DecodeEngine(params, {}, model_cfg,
+        self.engine = DecodeEngine(params, model_state, model_cfg,
                                    tokenizer=self.tokenizer)
         if self.cfg.batching_mode == "continuous":
             from ..decode.continuous import ContinuousDecoder
             from .batcher import ContinuousServingEngine
 
             decoder = ContinuousDecoder(
-                params, {}, model_cfg, self.tokenizer,
+                params, model_state, model_cfg, self.tokenizer,
                 num_slots=self.cfg.num_slots,
                 segment_steps=self.cfg.segment_steps)
             self.batcher = ContinuousServingEngine(decoder)

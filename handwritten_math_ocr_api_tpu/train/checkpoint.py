@@ -66,18 +66,20 @@ def load_checkpoint(directory: str, name: str,
 
 
 def save_params_for_serving(directory: str, params, vocab: Dict[str, int],
-                            model_cfg) -> str:
-    """Serving artifact: params-only checkpoint + vocab.json + model config
-    (replaces the reference's pickled-whole-module .pth:
-    app/src/im2latex.py:7-12 — no arbitrary code execution on load)."""
+                            model_cfg, model_state: Optional[Dict] = None
+                            ) -> str:
+    """Serving artifact: params (+ BN running stats for resnet encoders) +
+    vocab.json + model config (replaces the reference's pickled-whole-module
+    .pth: app/src/im2latex.py:7-12 — no arbitrary code execution on load)."""
     import dataclasses
 
     from ..core.tokenizer import save_vocab
 
     path = os.path.abspath(directory)
     os.makedirs(path, exist_ok=True)
+    tree = {"params": params, "model_state": model_state or {}}
     ocp.PyTreeCheckpointer().save(
-        os.path.join(path, "params"), params, force=True)
+        os.path.join(path, "params"), tree, force=True)
     save_vocab(vocab, os.path.join(path, "vocab.json"))
     with open(os.path.join(path, "model_config.json"), "w") as f:
         json.dump(dataclasses.asdict(model_cfg), f, indent=2)
@@ -85,9 +87,7 @@ def save_params_for_serving(directory: str, params, vocab: Dict[str, int],
 
 
 def load_params_for_serving(directory: str):
-    """Returns (params, vocab, idx2char, ModelConfig)."""
-    import dataclasses
-
+    """Returns (params, model_state, vocab, idx2char, ModelConfig)."""
     from ..core.config import ModelConfig, ResNetConfig, SwinConfig
     from ..core.tokenizer import load_vocab
 
@@ -103,6 +103,10 @@ def load_params_for_serving(directory: str):
         "stage_channels": tuple(raw["resnet"]["stage_channels"]),
         "stage_blocks": tuple(raw["resnet"]["stage_blocks"])})
     cfg = ModelConfig(**raw)
-    params = ocp.PyTreeCheckpointer().restore(os.path.join(path, "params"))
-    # orbax restores lists as lists; model code indexes lists — fine.
-    return params, vocab, idx2char, cfg
+    tree = ocp.PyTreeCheckpointer().restore(os.path.join(path, "params"))
+    if isinstance(tree, dict) and "params" in tree:  # current format
+        params = tree["params"]
+        model_state = tree.get("model_state") or {}
+    else:  # legacy params-only artifact
+        params, model_state = tree, {}
+    return params, model_state, vocab, idx2char, cfg

@@ -212,6 +212,53 @@ def test_swin_conversion_structure_and_forward():
     assert out.shape == (1, 30, 768)
 
 
+def test_convert_cli_to_serving_artifact(tmp_path):
+    """convert-checkpoint CLI -> serving artifact -> engine decode, with
+    BatchNorm running stats flowing through (resnet encoder)."""
+    import json
+
+    from handwritten_math_ocr_api_tpu.cli import main
+    from handwritten_math_ocr_api_tpu.core.tokenizer import save_vocab
+    from handwritten_math_ocr_api_tpu.train.checkpoint import (
+        load_params_for_serving,
+    )
+
+    torch.manual_seed(0)
+    model = Holder(
+        encoder=Holder(features=_torch_resnet_trunk(),
+                       projection=nn.Linear(512, CFG.d_model)),
+        decoder=RefDecoder(CFG))
+    pth = tmp_path / "best_model.pth"
+    torch.save({"model_state_dict": model.state_dict()}, pth)
+    vocab = {"<pad>": 0, "<sos>": 1, "<eos>": 2, "<unk>": 3}
+    for i in range(4, CFG.vocab_size):
+        vocab[f"t{i}"] = i
+    vpath = tmp_path / "vocab.json"
+    save_vocab(vocab, str(vpath))
+
+    overrides = json.dumps({
+        "d_model": CFG.d_model, "nhead": CFG.nhead,
+        "dim_feedforward": CFG.dim_feedforward,
+        "num_decoder_layers": CFG.num_decoder_layers,
+        "max_seq_len": CFG.max_seq_len, "dtype": "float32",
+    })
+    out = str(tmp_path / "trained-model")
+    assert main(["convert-checkpoint", str(pth), str(vpath), out,
+                 "--encoder", "resnet18",
+                 "--model-overrides", overrides]) == 0
+
+    params, mstate, vocab2, idx2char, cfg2 = load_params_for_serving(out)
+    assert "resnet" in mstate  # BN running stats present
+    from handwritten_math_ocr_api_tpu.core.tokenizer import Tokenizer
+    from handwritten_math_ocr_api_tpu.decode.api import DecodeEngine
+
+    eng = DecodeEngine(params, mstate, cfg2,
+                       tokenizer=Tokenizer(vocab2, idx2char))
+    latex, conf = eng.predict_single(
+        np.zeros((96, 320, 1), np.float32))
+    assert isinstance(latex, str) and 0 <= conf <= 1
+
+
 def test_full_checkpoint_bundle_roundtrip(tmp_path):
     """state-dict bundle (src/utils.py:61-71 format) -> converted model."""
     torch.manual_seed(0)

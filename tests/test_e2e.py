@@ -104,8 +104,8 @@ def test_07_serving_artifact_export(workdir):
     state, _ = create_train_state(jax.random.PRNGKey(0), mc, Config().train)
     state, _ = load_checkpoint(f"{workdir}/ckpt", "best_model", state)
     out = save_params_for_serving(f"{workdir}/trained-model", state.params,
-                                  vocab, mc)
-    params, vocab2, idx2char2, mc2 = load_params_for_serving(out)
+                                  vocab, mc, model_state=state.model_state)
+    params, mstate2, vocab2, idx2char2, mc2 = load_params_for_serving(out)
     assert vocab2 == vocab and mc2.d_model == mc.d_model
 
     import numpy as np
