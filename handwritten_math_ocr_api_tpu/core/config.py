@@ -148,6 +148,9 @@ class TrainConfig:
     # divide the device count; use mesh_shape=None to auto-fill data axis.
     data_axis: int = -1  # -1: all remaining devices
     tensor_axis: int = 1
+    # Rematerialize the encoder in backward (jax.checkpoint): ~1 extra
+    # encoder forward buys freedom from storing its activations in HBM.
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

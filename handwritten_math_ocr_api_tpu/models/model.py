@@ -78,18 +78,31 @@ def encode(params, state: State, cfg: ModelConfig, images: Array, *,
 
 def forward(params, state: State, cfg: ModelConfig, images: Array,
             captions: Array, *, deterministic: bool = True, rng=None,
-            training: bool = False, use_pallas: bool = False
-            ) -> Tuple[Array, State]:
+            training: bool = False, use_pallas: bool = False,
+            remat: bool = False) -> Tuple[Array, State]:
     """Teacher-forced training forward: logits over captions[:, :-1].
 
     Loss targets are captions[:, 1:] (reference: src/train.py:31-32).
+    ``remat``: rematerialize the encoder in the backward pass
+    (``jax.checkpoint``) — trades ~1 extra encoder forward for not keeping
+    its activations in HBM, enabling larger train batches.
     """
     enc_rng = dec_rng = None
     if rng is not None:
         enc_rng, dec_rng = jax.random.split(rng)
-    memory, new_state = encode(params, state, cfg, images,
-                               deterministic=deterministic, rng=enc_rng,
-                               training=training, use_pallas=use_pallas)
+    if remat and training:
+        def enc_core(p, s, imgs, r):
+            return encode(p, s, cfg, imgs, deterministic=deterministic,
+                          rng=r, training=training, use_pallas=use_pallas)
+
+        memory, new_state = jax.checkpoint(
+            enc_core,
+            policy=jax.checkpoint_policies.nothing_saveable,
+        )(params, state, images, enc_rng)
+    else:
+        memory, new_state = encode(
+            params, state, cfg, images, deterministic=deterministic,
+            rng=enc_rng, training=training, use_pallas=use_pallas)
     logits = decoder_mod.decoder_forward(
         params["decoder"], cfg, memory, captions[:, :-1],
         deterministic=deterministic, rng=dec_rng)

@@ -68,7 +68,7 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
             logits, new_ms = model_mod.forward(
                 params, state.model_state, model_cfg, images, captions,
                 deterministic=False, rng=rng, training=True,
-                use_pallas=use_pallas)
+                use_pallas=use_pallas, remat=train_cfg.remat)
             loss = smoothed_cross_entropy(
                 logits, captions[:, 1:], PAD_ID, train_cfg.label_smoothing)
             return loss, (new_ms, logits)

@@ -69,6 +69,27 @@ def test_train_step_reduces_loss():
     assert int(state.step) == 8
 
 
+def test_remat_gradients_match():
+    """jax.checkpoint'd encoder must yield identical loss and gradients."""
+    import jax.numpy as jnp
+
+    cfg = TINY.replace(dropout=0.0)
+    rng = np.random.default_rng(0)
+    images, captions = _batch(rng, B=2, cfg=cfg)
+
+    results = []
+    for remat in (False, True):
+        tc = TrainConfig(remat=remat)
+        state, opt = create_train_state(jax.random.PRNGKey(0), cfg, tc)
+        step = make_train_step(cfg, tc, opt)
+        s, m = step(state, images, captions, jax.random.PRNGKey(1))
+        results.append((float(m["loss"]), s.params))
+    assert abs(results[0][0] - results[1][0]) < 1e-6
+    for a, b in zip(jax.tree_util.tree_leaves(results[0][1]),
+                    jax.tree_util.tree_leaves(results[1][1])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_uint8_inputs_normalized_on_device():
     """Loader-style uint8 batches must be normalized (and augmented) on
     device; eval on uint8 must equal eval on the pre-normalized floats."""
