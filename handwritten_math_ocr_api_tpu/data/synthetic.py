@@ -56,6 +56,47 @@ def random_ink_image(rng: np.random.Generator, img_h: int,
     return img
 
 
+def render_text_image(text: str, img_h: int = 96, img_w: int = 320
+                      ) -> np.ndarray:
+    """Render ``text`` with PIL's built-in bitmap font: black on white
+    uint8 (H, W). Unlike ``random_ink_image`` the pixels *depict* the
+    label, so models can genuinely learn image->text on synthetic data
+    (used by the learnability test)."""
+    from PIL import Image, ImageDraw, ImageFont
+
+    img = Image.new("L", (img_w, img_h), 255)
+    draw = ImageDraw.Draw(img)
+    font = ImageFont.load_default()
+    draw.text((4, img_h // 2 - 5), text, fill=0, font=font)
+    return np.asarray(img, np.uint8)
+
+
+def make_learnable_dataset(root: str, splits=(("train", 16), ("validate", 8),
+                                              ("test", 8)),
+                           img_h: int = 96, img_w: int = 320,
+                           seed: int = 0, n_distinct: int = 8) -> str:
+    """Dataset whose images depict their labels (rendered text), drawn from
+    ``n_distinct`` formulas — learnable by a tiny model in a few epochs."""
+    import cv2
+    import pandas as pd
+
+    prng = random.Random(seed)
+    formulas = [random_formula(prng, max_tokens=4) for _ in range(n_distinct)]
+    for split, count in splits:
+        img_dir = os.path.join(root, f"{split}_formulas")
+        os.makedirs(img_dir, exist_ok=True)
+        rows = []
+        for i in range(count):
+            formula = formulas[i % n_distinct]
+            name = f"{split}_{i:05d}.png"
+            cv2.imwrite(os.path.join(img_dir, name),
+                        render_text_image(formula, img_h, img_w))
+            rows.append({"image_filename": name, "latex_label": formula})
+        pd.DataFrame(rows).to_csv(
+            os.path.join(root, f"{split}_labels.csv"), index=False)
+    return root
+
+
 def make_synthetic_dataset(root: str, splits=(("train", 32), ("validate", 8),
                                               ("test", 8)),
                            img_h: int = 96, img_w: int = 320,
