@@ -32,6 +32,8 @@ from __future__ import annotations
 import logging
 from typing import Dict, Tuple
 
+import jax
+
 import numpy as np
 
 from ..core.config import ModelConfig
@@ -255,8 +257,6 @@ def convert_state_dict(sd: Dict[str, np.ndarray], cfg: ModelConfig
     state = jax.tree_util.tree_map(jnp.asarray, state)
     return params, state
 
-
-import jax  # noqa: E402  (tree_map in convert_state_dict)
 
 
 def convert_checkpoint(pth_path: str, cfg: ModelConfig) -> Tuple[Dict, Dict]:

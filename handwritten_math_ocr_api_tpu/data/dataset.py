@@ -21,7 +21,7 @@ import concurrent.futures as cf
 import os
 import queue
 import threading
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List
 
 import numpy as np
 

@@ -11,7 +11,6 @@ device when every row is finished.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax

@@ -22,7 +22,6 @@ second-to-last axis, aligned with TPU sublanes.
 
 from __future__ import annotations
 
-import math
 from typing import Dict, Optional, Tuple
 
 import jax

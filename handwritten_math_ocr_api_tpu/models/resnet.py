@@ -19,7 +19,7 @@ model stays a pure function: training-mode apply returns updated stats.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ against (interpret mode on CPU, compiled on TPU).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,16 @@ because the scale is per output column, dequantization commutes with the
 matmul — ``(x @ w_q) * scale == x @ (w_q * scale)`` exactly — so the int8
 weights are cast to bf16 in-register after the (half-sized) HBM load and
 accuracy loss comes only from the int8 rounding of the weights
-(~0.4% RMS). Opt-in: ``DecodeEngine(..., quantize=True)``.
+(~1% RMS). Opt-in: ``DecodeEngine(..., quantize=True)``.
+
+**Status: EXPERIMENTAL.** Numerics are correct (tests/test_quant.py) but
+the naive XLA lowering of int8-weight matmuls measured ~4 orders of
+magnitude SLOWER than bf16 on v5e (A/B/A verified: 3308 -> 0.39 -> 3277
+img/s on the batch-10 bench) — the compiler does not stream int8 + cast
+in-register for these shapes. Realizing the 2x bandwidth win needs a
+Pallas dequant-matmul kernel (double-buffered int8 weight DMA + in-VMEM
+cast); staged for a future round. Keep ``quantize=True`` off in
+production.
 
 The reference had no quantization story at all; its serving weights were
 fp32 pickles (app/src/im2latex.py:11).

@@ -19,7 +19,6 @@ by tests in interpret mode on CPU and compiled on TPU.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ from __future__ import annotations
 import logging
 import os
 import time
-from typing import Dict, Iterable, Optional
+from typing import Iterable, Optional
 
 import jax
 import numpy as np

@@ -15,7 +15,6 @@ scaling is required — the scaler is intentionally absent.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import optax
 
