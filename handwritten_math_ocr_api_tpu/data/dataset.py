@@ -149,7 +149,17 @@ class DataLoader:
                 for idxs in batches:
                     if stop.is_set():
                         return
-                    q.put(self._assemble(pool, idxs))
+                    item = self._assemble(pool, idxs)
+                    # bounded put that notices consumer abandonment, so an
+                    # early-exiting consumer does not leak a blocked thread
+                    while True:
+                        if stop.is_set():
+                            return
+                        try:
+                            q.put(item, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
             q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)

@@ -68,7 +68,7 @@ class DecodeEngine:
             from ..parallel import mesh as mesh_lib
 
             n = mesh.shape["data"]
-            self.params = jax.device_put(params,
+            self.params = jax.device_put(self.params,
                                          mesh_lib.replicated(mesh))
             buckets = sorted({max(n, -(-b // n) * n)
                               for b in self.decode_cfg.batch_buckets})

@@ -148,6 +148,7 @@ class RateLimiter:
         self.config = config or RateLimitConfig()
         self.storage = make_storage(redis_url)
         self.active_requests: Dict[str, int] = {}
+        self._checks_since_cleanup = 0
 
     # -- identity -----------------------------------------------------------
 
@@ -183,6 +184,13 @@ class RateLimiter:
                                ) -> Optional[Dict]:
         """None if allowed; a 429-payload dict otherwise
         (shape: app/src/rate_limiter.py:196-242)."""
+        # periodic expired-entry sweep for the in-memory store (the
+        # reference ran a background cleanup task: app/src/rate_limiter.py:141)
+        self._checks_since_cleanup += 1
+        if self._checks_since_cleanup >= 1000 and \
+                isinstance(self.storage, InMemoryStorage):
+            self.storage.cleanup()
+            self._checks_since_cleanup = 0
         if await self.storage.is_blocked(client_id):
             return {
                 "status": 429,
