@@ -1,0 +1,115 @@
+"""Greedy decode over the fused decoder-layer megakernel (ops/fused_step).
+
+Same semantics as decode/greedy.py (tokens, early exit, confidence
+accounting), but each while-loop step runs the 8 decoder layers as 8 fused
+Pallas programs instead of ~120 XLA fusions. Cache layout is merged-head
+(L, B, T, D) with T padded to the bf16 sublane tile.
+
+Enable per-engine: ``FusedDecodeEngine`` below, or A/B against the jnp path
+with tests/test_fused.py and bench variants.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import EOS_ID, ModelConfig, PAD_ID, SOS_ID
+from ..models import layers
+from ..ops.fused_step import (
+    _round_up, build_stacked, fused_decoder_layers_step,
+)
+from .greedy import GreedyResult
+
+
+def init_fused_cache(decoder_params, cfg: ModelConfig, memory,
+                     max_len: int | None = None):
+    """memory: (B, L_enc, D). Returns (self_k, self_v, cross_k, cross_v)
+    in merged-head (L, B, T, D) / (L, B, L_enc, D) layout."""
+    L = cfg.num_decoder_layers
+    B, L_enc, D = memory.shape
+    T = _round_up(max_len or cfg.max_seq_len, 16)
+    dtype = jnp.dtype(cfg.dtype)
+    mem = memory.astype(dtype)
+    cross_k, cross_v = [], []
+    for lp in decoder_params["layers"]:
+        w = lp["cross_attn"]["w_qkv"].astype(dtype)
+        b = lp["cross_attn"]["b_qkv"].astype(dtype)
+        cross_k.append(jnp.dot(mem, w[:, D:2 * D],
+                               preferred_element_type=dtype) + b[D:2 * D])
+        cross_v.append(jnp.dot(mem, w[:, 2 * D:],
+                               preferred_element_type=dtype) + b[2 * D:])
+    ck = jnp.stack(cross_k)
+    cv = jnp.stack(cross_v)
+    # pad memory length to the sublane tile; the kernel masks padding rows
+    L_enc_pad = _round_up(L_enc, 16)
+    if L_enc_pad > L_enc:
+        pad = ((0, 0), (0, 0), (0, L_enc_pad - L_enc), (0, 0))
+        ck = jnp.pad(ck, pad)
+        cv = jnp.pad(cv, pad)
+    return (jnp.zeros((L, B, T, D), dtype),
+            jnp.zeros((L, B, T, D), dtype), ck, cv)
+
+
+def greedy_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
+                        max_len: int | None = None, *,
+                        sos_id: int = SOS_ID, eos_id: int = EOS_ID,
+                        pad_id: int = PAD_ID,
+                        interpret: bool | None = None) -> GreedyResult:
+    """Drop-in equivalent of decode.greedy.greedy_decode using the fused
+    layer kernel. ``stacked`` from ops.fused_step.build_stacked."""
+    B = memory.shape[0]
+    l_enc_actual = memory.shape[1]
+    T_out = max_len or cfg.max_seq_len
+    dtype = jnp.dtype(cfg.dtype)
+    self_k, self_v, cross_k, cross_v = init_fused_cache(
+        decoder_params, cfg, memory, max_len)
+
+    emb = decoder_params["embedding"]["table"]
+    pos_table = decoder_params["pos"]["table"]
+    fc_out = decoder_params["fc_out"]
+
+    tokens0 = jnp.full((B, T_out), pad_id, jnp.int32)
+    state0 = (
+        jnp.int32(0),
+        jnp.full((B,), sos_id, jnp.int32),
+        jnp.zeros((B,), jnp.bool_),
+        tokens0,
+        jnp.zeros((B,), jnp.float32),
+        jnp.zeros((B,), jnp.int32),
+        self_k, self_v,
+    )
+
+    def cond(state):
+        step, _, finished, *_ = state
+        return jnp.logical_and(step < T_out, ~jnp.all(finished))
+
+    def body(state):
+        step, prev, finished, tokens, lp_sum, count, sk, sv = state
+        x_emb = (emb[prev] + pos_table[step]).astype(dtype)   # (B, D)
+        x, sk, sv = fused_decoder_layers_step(
+            stacked, cfg, x_emb, sk, sv, cross_k, cross_v, step,
+            l_enc_actual=l_enc_actual, interpret=interpret)
+        logits = layers.linear(fc_out, x.astype(jnp.float32))  # (B, V)
+
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        probs = jax.nn.softmax(logits, axis=-1)
+        logp = jnp.take_along_axis(jnp.log(probs + 1e-10), nxt[:, None],
+                                   axis=-1)[:, 0]
+        is_eos = nxt == eos_id
+        lp_sum = lp_sum + jnp.where(finished, 0.0, logp)
+        count = count + jnp.where(finished | is_eos, 0, 1)
+        emit = jnp.where(finished, pad_id, nxt)
+        tokens = jax.lax.dynamic_update_slice(tokens, emit[:, None],
+                                              (0, step))
+        finished = finished | is_eos
+        prev_next = jnp.where(finished, eos_id, nxt)
+        return (step + 1, prev_next, finished, tokens, lp_sum, count,
+                sk, sv)
+
+    _, _, _, tokens, lp_sum, count, _, _ = jax.lax.while_loop(
+        cond, body, state0)
+    lengths = jnp.sum(tokens != pad_id, axis=-1)
+    return GreedyResult(tokens, lengths, lp_sum, count)

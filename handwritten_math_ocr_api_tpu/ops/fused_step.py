@@ -1,0 +1,266 @@
+"""Pallas TPU megakernel: one fused decoder-layer step, grid over layers.
+
+The jnp decode step lowers to ~15 separate XLA fusions per layer x 8
+layers; each pays HBM round-trips for intermediates and fixed scheduling
+overhead. This kernel executes an ENTIRE decoder layer step — packed qkv
+projection, KV-cache append, masked self-attention, output projection,
+residual+LN, cross-attention, residual+LN, FFN, residual+LN — as one
+program per layer, with the activations resident in a VMEM scratch carried
+across the layer grid and the per-layer weights/caches streamed by Pallas's
+pipelined block DMA. Only the final activations and the updated caches
+touch HBM.
+
+Head trick: attention per head needs reductions over each head's Dh=32
+lane group. Instead of per-head loops (which force 32->128 lane padding),
+a constant group matrix ``G (D, H)`` with ``G[d, h] = 1 iff d//Dh == h``
+turns them into MXU matmuls over full 256-lane rows:
+  logits (B, T, H) = ((q * scale) ⊙ k) @ G
+  out    (B, T, D) = (softmax(logits) @ G^T) ⊙ v, summed over T.
+
+Cache layout for this path: (L, B, T, D) with heads merged into lanes
+(torch head-interleave order, so ``build_stacked`` consumes the standard
+param tree unchanged). T is padded to a multiple of 16 (bf16 sublane
+tile); the pos-mask covers padding slots.
+
+Numerics match ``models/decoder.decoder_step`` (post-norm order, f32 LN,
+log-softmax outside) — asserted by tests in interpret mode and on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.config import ModelConfig
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def build_stacked(decoder_params, cfg: ModelConfig) -> Dict[str, jax.Array]:
+    """Stack per-layer decoder weights into (L, ...) arrays (bf16 weights,
+    f32 norms/biases) for the layer-grid kernel."""
+    layers = decoder_params["layers"]
+    wdt = jnp.dtype(cfg.dtype)
+
+    def stack(path, dtype):
+        def get(lp):
+            node = lp
+            for key in path:
+                node = node[key]
+            return node
+
+        return jnp.stack([jnp.asarray(get(lp), dtype) for lp in layers])
+
+    return {
+        "w_qkv": stack(("self_attn", "w_qkv"), wdt),      # (L, D, 3D)
+        "b_qkv": stack(("self_attn", "b_qkv"), jnp.float32),
+        "w_out": stack(("self_attn", "w_out"), wdt),
+        "b_out": stack(("self_attn", "b_out"), jnp.float32),
+        "w_cq": stack(("cross_attn", "w_qkv"), wdt)[:, :, :cfg.d_model],
+        "b_cq": stack(("cross_attn", "b_qkv"), jnp.float32)[:, :cfg.d_model],
+        "w_co": stack(("cross_attn", "w_out"), wdt),
+        "b_co": stack(("cross_attn", "b_out"), jnp.float32),
+        "w_ff1": stack(("ffn", "fc1", "w"), wdt),
+        "b_ff1": stack(("ffn", "fc1", "b"), jnp.float32),
+        "w_ff2": stack(("ffn", "fc2", "w"), wdt),
+        "b_ff2": stack(("ffn", "fc2", "b"), jnp.float32),
+        "ln": jnp.stack([jnp.stack([
+            jnp.asarray(lp["norm1"]["scale"], jnp.float32),
+            jnp.asarray(lp["norm1"]["bias"], jnp.float32),
+            jnp.asarray(lp["norm2"]["scale"], jnp.float32),
+            jnp.asarray(lp["norm2"]["bias"], jnp.float32),
+            jnp.asarray(lp["norm3"]["scale"], jnp.float32),
+            jnp.asarray(lp["norm3"]["bias"], jnp.float32),
+        ]) for lp in layers]),                             # (L, 6, D)
+    }
+
+
+def _group_matrix(d_model: int, nhead: int, dtype) -> np.ndarray:
+    dh = d_model // nhead
+    g = np.zeros((d_model, nhead), np.float32)
+    for d in range(d_model):
+        g[d, d // dh] = 1.0
+    return g.astype(dtype)
+
+
+def _ln(x32, scale, bias):
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    return (x32 - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+
+
+def _make_kernel(cfg: ModelConfig, B: int, T: int, L_enc: int,
+                 l_enc_actual: int):
+    D = cfg.d_model
+    H = cfg.nhead
+    scale = 1.0 / (cfg.head_dim ** 0.5)
+    n_layers = cfg.num_decoder_layers
+
+    def kernel(pos_ref, x_ref, g_ref,
+               w_qkv, b_qkv, w_out, b_out, w_cq, b_cq, w_co, b_co,
+               w_ff1, b_ff1, w_ff2, b_ff2, ln,
+               sk_in, sv_in, ck_ref, cv_ref,
+               x_out, sk_out, sv_out,
+               x_scr):
+        layer = pl.program_id(0)
+        pos = pos_ref[0]
+        G = g_ref[:].astype(jnp.float32)               # (D, H)
+
+        @pl.when(layer == 0)
+        def _():
+            x_scr[:] = x_ref[:].astype(jnp.float32)
+
+        x = x_scr[:]                                   # (B, D) f32
+        cdt = sk_in.dtype
+
+        # ---- self-attention with cache append ----
+        qkv = jnp.dot(x.astype(w_qkv.dtype), w_qkv[0],
+                      preferred_element_type=jnp.float32) + b_qkv[0]
+        q, k_new, v_new = (qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:])
+
+        slot = jax.lax.broadcasted_iota(jnp.int32, (B, T, 1), 1)
+        at_pos = slot == pos
+        k = jnp.where(at_pos, k_new[:, None, :].astype(cdt), sk_in[0])
+        v = jnp.where(at_pos, v_new[:, None, :].astype(cdt), sv_in[0])
+        sk_out[0] = k
+        sv_out[0] = v
+
+        kf = k.astype(jnp.float32)
+        prod = (q * scale)[:, None, :] * kf            # (B, T, D)
+        logits = jax.lax.dot_general(
+            prod, G, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (B, T, H)
+        logits = jnp.where(slot <= pos, logits, -jnp.inf)
+        m = jnp.max(logits, axis=1, keepdims=True)
+        w = jnp.exp(logits - m)
+        probs = w / jnp.sum(w, axis=1, keepdims=True)  # (B, T, H)
+        probs_d = jax.lax.dot_general(
+            probs, G, dimension_numbers=(((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (B, T, D)
+        attn = jnp.sum(probs_d * v.astype(jnp.float32), axis=1)  # (B, D)
+        sa = jnp.dot(attn.astype(w_out.dtype), w_out[0],
+                     preferred_element_type=jnp.float32) + b_out[0]
+        x = _ln(x + sa, ln[0, 0], ln[0, 1])
+
+        # ---- cross-attention (precomputed memory K/V) ----
+        qc = jnp.dot(x.astype(w_cq.dtype), w_cq[0],
+                     preferred_element_type=jnp.float32) + b_cq[0]
+        ckf = ck_ref[0].astype(jnp.float32)            # (B, L_enc, D)
+        cvf = cv_ref[0].astype(jnp.float32)
+        prod_c = (qc * scale)[:, None, :] * ckf
+        logits_c = jax.lax.dot_general(
+            prod_c, G, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (B, L_enc, H)
+        if l_enc_actual < L_enc:  # mask tile-padding slots
+            slot_c = jax.lax.broadcasted_iota(jnp.int32, (B, L_enc, 1), 1)
+            logits_c = jnp.where(slot_c < l_enc_actual, logits_c, -jnp.inf)
+        mc = jnp.max(logits_c, axis=1, keepdims=True)
+        wc = jnp.exp(logits_c - mc)
+        probs_c = wc / jnp.sum(wc, axis=1, keepdims=True)
+        probs_cd = jax.lax.dot_general(
+            probs_c, G, dimension_numbers=(((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        attn_c = jnp.sum(probs_cd * cvf, axis=1)       # (B, D)
+        ca = jnp.dot(attn_c.astype(w_co.dtype), w_co[0],
+                     preferred_element_type=jnp.float32) + b_co[0]
+        x = _ln(x + ca, ln[0, 2], ln[0, 3])
+
+        # ---- FFN ----
+        h = jnp.dot(x.astype(w_ff1.dtype), w_ff1[0],
+                    preferred_element_type=jnp.float32) + b_ff1[0]
+        h = jnp.maximum(h, 0.0)
+        ff = jnp.dot(h.astype(w_ff2.dtype), w_ff2[0],
+                     preferred_element_type=jnp.float32) + b_ff2[0]
+        x = _ln(x + ff, ln[0, 4], ln[0, 5])
+
+        x_scr[:] = x
+
+        @pl.when(layer == n_layers - 1)
+        def _():
+            x_out[:] = x.astype(x_out.dtype)
+
+    return kernel
+
+
+def fused_decoder_layers_step(stacked, cfg: ModelConfig, x_emb, self_k,
+                              self_v, cross_k, cross_v, pos,
+                              l_enc_actual: int | None = None,
+                              *, interpret: bool | None = None):
+    """x_emb: (B, D) post-embedding activations; self_k/v: (L, B, T, D);
+    cross_k/v: (L, B, L_enc_padded, D) with valid rows < ``l_enc_actual``;
+    pos: scalar. Returns (x_out (B, D) f32, self_k', self_v') with caches
+    updated at pos."""
+    from . import default_interpret
+
+    if interpret is None:
+        interpret = default_interpret()
+    L, B, T, D = self_k.shape
+    L_enc = cross_k.shape[2]
+    if l_enc_actual is None:
+        l_enc_actual = L_enc
+    ff = cfg.dim_feedforward
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+    G = jnp.asarray(_group_matrix(D, cfg.nhead, np.float32))
+
+    def fixed(shape):
+        return pl.BlockSpec(shape, lambda l, pos_ref: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def per_layer(shape):
+        return pl.BlockSpec((1,) + shape,
+                            lambda l, pos_ref: (l,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L,),
+        in_specs=[
+            fixed((B, D)),                  # x_emb
+            fixed((D, cfg.nhead)),          # G
+            per_layer((D, 3 * D)),          # w_qkv
+            per_layer((3 * D,)),            # b_qkv
+            per_layer((D, D)), per_layer((D,)),        # w_out, b_out
+            per_layer((D, D)), per_layer((D,)),        # w_cq, b_cq
+            per_layer((D, D)), per_layer((D,)),        # w_co, b_co
+            per_layer((D, ff)), per_layer((ff,)),      # w_ff1, b_ff1
+            per_layer((ff, D)), per_layer((D,)),       # w_ff2, b_ff2
+            per_layer((6, D)),              # ln
+            per_layer((B, T, D)),           # self_k
+            per_layer((B, T, D)),           # self_v
+            per_layer((B, L_enc, D)),       # cross_k
+            per_layer((B, L_enc, D)),       # cross_v
+        ],
+        out_specs=(
+            fixed((B, D)),                  # x_out
+            per_layer((B, T, D)),           # self_k out
+            per_layer((B, T, D)),           # self_v out
+        ),
+        scratch_shapes=[pltpu.VMEM((B, D), jnp.float32)],
+    )
+
+    kernel = _make_kernel(cfg, B, T, L_enc, l_enc_actual)
+    x_out, k_out, v_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, D), jnp.float32),
+            jax.ShapeDtypeStruct(self_k.shape, self_k.dtype),
+            jax.ShapeDtypeStruct(self_v.shape, self_v.dtype),
+        ),
+        # operand indices include the scalar prefetch: pos=0, x=1, G=2,
+        # weights 3..16, self_k=17, self_v=18, cross_k=19, cross_v=20
+        input_output_aliases={17: 1, 18: 2},
+        interpret=interpret,
+    )(pos_arr, x_emb, G, stacked["w_qkv"], stacked["b_qkv"],
+      stacked["w_out"], stacked["b_out"], stacked["w_cq"], stacked["b_cq"],
+      stacked["w_co"], stacked["b_co"], stacked["w_ff1"], stacked["b_ff1"],
+      stacked["w_ff2"], stacked["b_ff2"], stacked["ln"],
+      self_k, self_v, cross_k, cross_v)
+    return x_out, k_out, v_out

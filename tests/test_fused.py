@@ -1,0 +1,79 @@
+"""Fused decoder-layer megakernel tests: single-step and full greedy
+equivalence vs the jnp decode path (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from handwritten_math_ocr_api_tpu.core.config import ModelConfig
+from handwritten_math_ocr_api_tpu.decode.fused import (
+    greedy_decode_fused, init_fused_cache,
+)
+from handwritten_math_ocr_api_tpu.decode.greedy import greedy_decode
+from handwritten_math_ocr_api_tpu.models import decoder as dec
+from handwritten_math_ocr_api_tpu.ops.fused_step import (
+    build_stacked, fused_decoder_layers_step,
+)
+
+CFG = ModelConfig(
+    d_model=32, nhead=4, dim_feedforward=64, dropout=0.0,
+    num_decoder_layers=2, max_seq_len=12, vocab_size=20, dtype="float32",
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = dec.init_decoder_params(jax.random.PRNGKey(0), CFG)
+    stacked = build_stacked(params, CFG)
+    rng = np.random.default_rng(0)
+    memory = jnp.asarray(rng.standard_normal((3, 6, CFG.d_model), np.float32))
+    return params, stacked, memory
+
+
+def test_fused_step_matches_jnp_step(setup):
+    params, stacked, memory = setup
+    B = memory.shape[0]
+    cache = dec.init_cache(params, CFG, memory, max_len=16)
+    sk, sv, ck, cv = init_fused_cache(params, CFG, memory, max_len=16)
+
+    rng = np.random.default_rng(1)
+    prev = jnp.asarray(rng.integers(0, CFG.vocab_size, (B,)), jnp.int32)
+    for t in range(4):
+        want, cache = dec.decoder_step(params, CFG, prev, jnp.int32(t),
+                                       cache)
+        x_emb = (params["embedding"]["table"][prev]
+                 + params["pos"]["table"][t]).astype(jnp.float32)
+        x, sk, sv = fused_decoder_layers_step(
+            stacked, CFG, x_emb, sk, sv, ck, cv, jnp.int32(t),
+            l_enc_actual=memory.shape[1], interpret=True)
+        from handwritten_math_ocr_api_tpu.models import layers
+
+        got = layers.linear(params["fc_out"], x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5, rtol=1e-4)
+        prev = jnp.argmax(want, axis=-1).astype(jnp.int32)
+
+
+def test_fused_greedy_matches_jnp_greedy(setup):
+    params, stacked, memory = setup
+    want = greedy_decode(params, CFG, memory, CFG.max_seq_len)
+    got = greedy_decode_fused(params, stacked, CFG, memory,
+                              CFG.max_seq_len, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.tokens),
+                                  np.asarray(want.tokens))
+    np.testing.assert_allclose(np.asarray(got.logprob_sum),
+                               np.asarray(want.logprob_sum),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_array_equal(np.asarray(got.token_count),
+                                  np.asarray(want.token_count))
+
+
+def test_fused_cache_layout_and_padding(setup):
+    params, _, memory = setup
+    sk, sv, ck, cv = init_fused_cache(params, CFG, memory, max_len=12)
+    assert sk.shape == (2, 3, 16, 32)   # T=12 rounded to 16
+    assert ck.shape == (2, 3, 16, 32)   # L_enc=6 rounded to 16
+    # padding rows are zero; kernel masks them
+    assert float(jnp.abs(ck[:, :, 6:]).max()) == 0.0
