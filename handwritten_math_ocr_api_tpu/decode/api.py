@@ -43,7 +43,7 @@ class DecodeEngine:
                  decode_cfg: Optional[DecodeConfig] = None,
                  tokenizer: Optional[Tokenizer] = None,
                  use_pallas: bool = False, mesh=None,
-                 quantize: bool = False):
+                 quantize: bool = False, use_fused: bool = False):
         """``mesh``: optional jax.sharding.Mesh — params are replicated and
         every decode batch is sharded over the 'data' axis, scaling serving
         across chips (the v5e-4 target; reference scaled with Cloud Run
@@ -56,6 +56,14 @@ class DecodeEngine:
         self.tokenizer = tokenizer
         self.use_pallas = use_pallas
         self.mesh = mesh
+        self.use_fused = use_fused
+        self._stacked = None
+        if use_fused:
+            # fused decoder-layer megakernel (ops/fused_step.py): greedy
+            # decode only; beam falls back to the jnp path
+            from ..ops.fused_step import build_stacked
+
+            self._stacked = build_stacked(params["decoder"], cfg)
         if quantize:
             # weight-only int8 decoder: halves the per-step HBM weight
             # traffic that bounds small-batch decode (ops/quant.py)
@@ -85,15 +93,21 @@ class DecodeEngine:
         if batch not in self._greedy_fns:
             cfg, state, up = self.cfg, self.state, self.use_pallas
             max_len = self.decode_cfg.max_seq_len
+            fused = self.use_fused
 
             @jax.jit
-            def fn(params, images):
+            def fn(params, stacked, images):
                 if images.dtype == jnp.uint8:  # normalize on device
                     from ..data.preprocess import device_normalize
 
                     images = device_normalize(images)
                 memory, _ = model_mod.encode(params, state, cfg, images,
                                              use_pallas=up)
+                if fused:
+                    from .fused import greedy_decode_fused
+
+                    return greedy_decode_fused(params["decoder"], stacked,
+                                               cfg, memory, max_len)
                 return greedy_decode(params["decoder"], cfg, memory, max_len,
                                      use_pallas=up)
 
@@ -145,7 +159,8 @@ class DecodeEngine:
         if beam_size and beam_size > 1:
             res: BeamResult = self._beam_fn(bucket, beam_size)(self.params, x)
             return BeamResult(res.tokens[:B], res.scores[:B], res.lengths[:B])
-        res: GreedyResult = self._greedy_fn(bucket)(self.params, x)
+        res: GreedyResult = self._greedy_fn(bucket)(
+            self.params, self._stacked or {}, x)
         return GreedyResult(res.tokens[:B], res.lengths[:B],
                             res.logprob_sum[:B], res.token_count[:B])
 

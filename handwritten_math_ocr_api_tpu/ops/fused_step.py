@@ -255,8 +255,9 @@ def fused_decoder_layers_step(stacked, cfg: ModelConfig, x_emb, self_k,
             jax.ShapeDtypeStruct(self_v.shape, self_v.dtype),
         ),
         # operand indices include the scalar prefetch: pos=0, x=1, G=2,
-        # weights 3..16, self_k=17, self_v=18, cross_k=19, cross_v=20
-        input_output_aliases={17: 1, 18: 2},
+        # 13 weight arrays at 3..15, self_k=16, self_v=17, cross_k=18,
+        # cross_v=19
+        input_output_aliases={16: 1, 17: 2},
         interpret=interpret,
     )(pos_arr, x_emb, G, stacked["w_qkv"], stacked["b_qkv"],
       stacked["w_out"], stacked["b_out"], stacked["w_cq"], stacked["b_cq"],

@@ -70,6 +70,39 @@ def test_fused_greedy_matches_jnp_greedy(setup):
                                   np.asarray(want.token_count))
 
 
+def test_engine_use_fused_matches_default(setup):
+    from handwritten_math_ocr_api_tpu.core.config import (
+        DecodeConfig, SwinConfig,
+    )
+    from handwritten_math_ocr_api_tpu.core.tokenizer import Tokenizer
+    from handwritten_math_ocr_api_tpu.decode.api import DecodeEngine
+    from handwritten_math_ocr_api_tpu.models.model import init_model
+
+    cfg = CFG.replace(swin=SwinConfig(embed_dim=8, depths=(1, 1),
+                                      num_heads=(2, 2), window_size=4,
+                                      stochastic_depth=0.0))
+    params, state = init_model(jax.random.PRNGKey(1), cfg)
+    vocab = {"<pad>": 0, "<sos>": 1, "<eos>": 2, "<unk>": 3}
+    for i in range(4, cfg.vocab_size):
+        vocab[f"t{i}"] = i
+    tok = jax.tree_util.Partial  # placeholder to appease linters
+    from handwritten_math_ocr_api_tpu.core.tokenizer import Tokenizer
+
+    tokz = Tokenizer(vocab)
+    imgs = np.random.default_rng(0).standard_normal(
+        (2, 96, 320, 1)).astype(np.float32)
+    base = DecodeEngine(params, state, cfg,
+                        DecodeConfig(batch_buckets=(2,)), tokz)
+    fused = DecodeEngine(params, state, cfg,
+                         DecodeConfig(batch_buckets=(2,)), tokz,
+                         use_fused=True)
+    assert base.predict_batch(imgs) == fused.predict_batch(imgs)
+    a = base.predict_with_confidence(imgs)
+    b = fused.predict_with_confidence(imgs)
+    for (al, ac), (bl, bc) in zip(a, b):
+        assert al == bl and abs(ac - bc) < 1e-3
+
+
 def test_fused_cache_layout_and_padding(setup):
     params, _, memory = setup
     sk, sv, ck, cv = init_fused_cache(params, CFG, memory, max_len=12)
