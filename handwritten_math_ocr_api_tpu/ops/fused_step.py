@@ -24,6 +24,17 @@ tile); the pos-mask covers padding slots.
 
 Numerics match ``models/decoder.decoder_step`` (post-norm order, f32 LN,
 log-softmax outside) — asserted by tests in interpret mode and on TPU.
+
+**Status: EXPERIMENTAL — measured SLOWER than the XLA path.** A/B on v5e
+(elision-proof, uncontended): XLA decode 3100 img/s vs this kernel 186
+img/s at batch 10. Root causes: (a) the masked-merge append writes the
+FULL (B, T, D) cache blocks back to HBM every step where XLA's
+``dynamic_update_slice`` in a while_loop updates one row in place — 4x the
+cache bandwidth; (b) the G-matrix attention does its q*k/p*v products as
+(B, T, D) f32 VPU elementwise work instead of MXU matmuls. At this model
+scale XLA's fused scheduling of the step is near-optimal; keep
+``DecodeEngine(use_fused=True)`` off in production. Kept as tested
+infrastructure for larger decoders where per-fusion overhead dominates.
 """
 
 from __future__ import annotations
@@ -60,17 +71,17 @@ def build_stacked(decoder_params, cfg: ModelConfig) -> Dict[str, jax.Array]:
 
     return {
         "w_qkv": stack(("self_attn", "w_qkv"), wdt),      # (L, D, 3D)
-        "b_qkv": stack(("self_attn", "b_qkv"), jnp.float32),
+        "b_qkv": stack(("self_attn", "b_qkv"), jnp.float32)[:, None, :],
         "w_out": stack(("self_attn", "w_out"), wdt),
-        "b_out": stack(("self_attn", "b_out"), jnp.float32),
+        "b_out": stack(("self_attn", "b_out"), jnp.float32)[:, None, :],
         "w_cq": stack(("cross_attn", "w_qkv"), wdt)[:, :, :cfg.d_model],
-        "b_cq": stack(("cross_attn", "b_qkv"), jnp.float32)[:, :cfg.d_model],
+        "b_cq": stack(("cross_attn", "b_qkv"), jnp.float32)[:, None, :cfg.d_model],
         "w_co": stack(("cross_attn", "w_out"), wdt),
-        "b_co": stack(("cross_attn", "b_out"), jnp.float32),
+        "b_co": stack(("cross_attn", "b_out"), jnp.float32)[:, None, :],
         "w_ff1": stack(("ffn", "fc1", "w"), wdt),
-        "b_ff1": stack(("ffn", "fc1", "b"), jnp.float32),
+        "b_ff1": stack(("ffn", "fc1", "b"), jnp.float32)[:, None, :],
         "w_ff2": stack(("ffn", "fc2", "w"), wdt),
-        "b_ff2": stack(("ffn", "fc2", "b"), jnp.float32),
+        "b_ff2": stack(("ffn", "fc2", "b"), jnp.float32)[:, None, :],
         "ln": jnp.stack([jnp.stack([
             jnp.asarray(lp["norm1"]["scale"], jnp.float32),
             jnp.asarray(lp["norm1"]["bias"], jnp.float32),
@@ -225,12 +236,12 @@ def fused_decoder_layers_step(stacked, cfg: ModelConfig, x_emb, self_k,
             fixed((B, D)),                  # x_emb
             fixed((D, cfg.nhead)),          # G
             per_layer((D, 3 * D)),          # w_qkv
-            per_layer((3 * D,)),            # b_qkv
-            per_layer((D, D)), per_layer((D,)),        # w_out, b_out
-            per_layer((D, D)), per_layer((D,)),        # w_cq, b_cq
-            per_layer((D, D)), per_layer((D,)),        # w_co, b_co
-            per_layer((D, ff)), per_layer((ff,)),      # w_ff1, b_ff1
-            per_layer((ff, D)), per_layer((D,)),       # w_ff2, b_ff2
+            per_layer((1, 3 * D)),          # b_qkv
+            per_layer((D, D)), per_layer((1, D)),      # w_out, b_out
+            per_layer((D, D)), per_layer((1, D)),      # w_cq, b_cq
+            per_layer((D, D)), per_layer((1, D)),      # w_co, b_co
+            per_layer((D, ff)), per_layer((1, ff)),    # w_ff1, b_ff1
+            per_layer((ff, D)), per_layer((1, D)),     # w_ff2, b_ff2
             per_layer((6, D)),              # ln
             per_layer((B, T, D)),           # self_k
             per_layer((B, T, D)),           # self_v
