@@ -113,9 +113,10 @@ def _proj_qkv(p, x: Array, part: str) -> Array:
     d = x.shape[-1]
     lo = {"q": 0, "k": d, "v": 2 * d}[part]
     if "w_qkv_q" in p:  # int8 weight-only path (ops/quant.py)
-        y = jnp.dot(x, p["w_qkv_q"][:, lo:lo + d].astype(x.dtype),
-                    preferred_element_type=jnp.float32)
-        y = (y * p["w_qkv_scale"][lo:lo + d]).astype(x.dtype)
+        from ..ops.quant import dequant_matmul
+
+        y = dequant_matmul(x, p["w_qkv_q"][:, lo:lo + d],
+                           p["w_qkv_scale"][lo:lo + d])
         return y + p["b_qkv"][lo:lo + d].astype(x.dtype)
     w = p["w_qkv"][:, lo:lo + d].astype(x.dtype)
     b = p["b_qkv"][lo:lo + d].astype(x.dtype)
@@ -127,9 +128,9 @@ def _proj_qkv_packed(p, x: Array) -> Tuple[Array, Array, Array]:
     steps care."""
     b = p["b_qkv"].astype(x.dtype)
     if "w_qkv_q" in p:
-        y = jnp.dot(x, p["w_qkv_q"].astype(x.dtype),
-                    preferred_element_type=jnp.float32)
-        qkv = (y * p["w_qkv_scale"]).astype(x.dtype) + b
+        from ..ops.quant import dequant_matmul
+
+        qkv = dequant_matmul(x, p["w_qkv_q"], p["w_qkv_scale"]) + b
     else:
         w = p["w_qkv"].astype(x.dtype)
         qkv = jnp.dot(x, w, preferred_element_type=x.dtype) + b

@@ -76,9 +76,9 @@ def mlp_init(key, d_model: int, hidden: int):
 
 def linear(p, x: Array) -> Array:
     if "w_q" in p:  # weight-only int8 (ops/quant.py)
-        y = jnp.dot(x, p["w_q"].astype(x.dtype),
-                    preferred_element_type=jnp.float32)
-        y = (y * p["w_scale"]).astype(x.dtype)
+        from ..ops.quant import dequant_matmul
+
+        y = dequant_matmul(x, p["w_q"], p["w_scale"])
     else:
         y = jnp.dot(x, p["w"].astype(x.dtype),
                     preferred_element_type=x.dtype)

@@ -10,13 +10,15 @@ accuracy loss comes only from the int8 rounding of the weights
 (~1% RMS). Opt-in: ``DecodeEngine(..., quantize=True)``.
 
 **Status: EXPERIMENTAL.** Numerics are correct (tests/test_quant.py) but
-the naive XLA lowering of int8-weight matmuls measured ~4 orders of
-magnitude SLOWER than bf16 on v5e (A/B/A verified: 3308 -> 0.39 -> 3277
-img/s on the batch-10 bench) — the compiler does not stream int8 + cast
-in-register for these shapes. Realizing the 2x bandwidth win needs a
-Pallas dequant-matmul kernel (double-buffered int8 weight DMA + in-VMEM
-cast); staged for a future round. Keep ``quantize=True`` off in
-production.
+neither lowering realizes the bandwidth win on v5e (A/B/A verified):
+- naive XLA int8-weight matmuls: 3308 -> 0.39 -> 3277 img/s (the compiler
+  materializes a dequantized copy per step);
+- the per-matmul Pallas dequant kernel below: 3242 -> 2.37 -> 3188 img/s
+  (~48 pallas custom-calls per decode step; per-call launch overhead
+  inside the while_loop dwarfs the saved bytes).
+The viable design is int8 dequant fused inside a single whole-layer kernel
+(combine with ops/fused_step.py once its cache write-back is row-granular)
+— staged for a future round. Keep ``quantize=True`` off in production.
 
 The reference had no quantization story at all; its serving weights were
 fp32 pickles (app/src/im2latex.py:11).
@@ -45,14 +47,63 @@ def quantize_weight(w: Array) -> Tuple[Array, Array]:
     return w_q, scale.astype(jnp.float32)
 
 
-def dequant_matmul(x: Array, w_q: Array, scale: Array) -> Array:
+def dequant_matmul(x: Array, w_q: Array, scale: Array,
+                   *, use_pallas: bool | None = None) -> Array:
     """x (..., in) @ int8 (in, out) with per-column scale -> (..., out).
 
     The int8->bf16 cast is exact (|w_q| <= 127) and happens after the
     half-bandwidth HBM load; the scale applies to the matmul output.
+    On TPU the Pallas kernel below is used (XLA's own lowering of
+    int8-weight matmuls materializes a dequantized copy and is
+    catastrophically slow — see module docstring); on CPU the jnp form.
     """
+    if use_pallas is None:
+        import jax
+
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and x.ndim >= 2 and w_q.ndim == 2:
+        lead = x.shape[:-1]
+        y = _dequant_matmul_pallas(x.reshape(-1, x.shape[-1]), w_q, scale)
+        return y.reshape(*lead, w_q.shape[-1])
     y = jnp.dot(x, w_q.astype(x.dtype), preferred_element_type=jnp.float32)
     return (y * scale).astype(x.dtype)
+
+
+def _dq_kernel(x_ref, w_ref, s_ref, o_ref):
+    w = w_ref[:].astype(x_ref.dtype)       # int8 -> compute dtype, in VMEM
+    y = jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+    o_ref[:] = (y * s_ref[0]).astype(o_ref.dtype)
+
+
+def _dequant_matmul_pallas(x: Array, w_q: Array, scale: Array) -> Array:
+    """x (B, Din) @ w_q (Din, Dout) int8, per-column scale. Decode-sized
+    operands (Din/Dout <= ~768) fit VMEM whole; the int8 block is cast
+    in-register after the half-bandwidth HBM load."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from . import default_interpret
+
+    B, Din = x.shape
+    Dout = w_q.shape[1]
+    return pl.pallas_call(
+        _dq_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Dout), x.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Dout), lambda: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=default_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * Din * Dout,
+            bytes_accessed=B * Din * 2 + Din * Dout + B * Dout * 2,
+            transcendentals=0,
+        ),
+    )(x, w_q, scale.reshape(1, Dout).astype(jnp.float32))
 
 
 def _quantize_tree(p):
