@@ -53,6 +53,23 @@ def test_sharded_decode_matches_single_device(data_axis):
         assert abs(wc - gc) < 1e-4
 
 
+def test_sharded_beam_matches_single_device():
+    params, state = init_model(jax.random.PRNGKey(0), CFG)
+    tok = _tok()
+    rng = np.random.default_rng(1)
+    images = rng.standard_normal((4, 96, 320, 1)).astype(np.float32)
+
+    single = DecodeEngine(params, state, CFG,
+                          DecodeConfig(batch_buckets=(4,)), tok)
+    want = single.predict_batch(images, beam_size=3)
+
+    mesh = mesh_lib.make_mesh(data=4, tensor=1, devices=jax.devices()[:4])
+    sharded = DecodeEngine(params, state, CFG,
+                           DecodeConfig(batch_buckets=(4,)), tok, mesh=mesh)
+    got = sharded.predict_batch(images, beam_size=3)
+    assert want == got
+
+
 def test_bucket_rounding_to_mesh_multiple():
     params, state = init_model(jax.random.PRNGKey(0), CFG)
     mesh = mesh_lib.make_mesh(data=4, tensor=1, devices=jax.devices()[:4])
