@@ -71,7 +71,10 @@ def _time_pipelined(fn, *args, iters=20):
     import jax.numpy as jnp
 
     r = fn(*args)
-    jax.block_until_ready(r)
+    # host fetch, not just block_until_ready: through the axon tunnel the
+    # latter can return before real execution, which would push cold-start
+    # cost into the timed region
+    np.asarray(jax.tree_util.tree_leaves(r)[0])
     total = jnp.float32(0.0)
     t0 = time.perf_counter()
     for _ in range(iters):
