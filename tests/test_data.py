@@ -147,6 +147,22 @@ def test_inkml_empty_renders_blank():
     assert (img == 255).all()
 
 
+def test_render_inkml_cli(tmp_path):
+    from handwritten_math_ocr_api_tpu.cli import main
+
+    d = tmp_path / "ink"
+    d.mkdir()
+    for i in range(2):
+        (d / f"s{i}.inkml").write_text(synthetic.SAMPLE_INKML)
+    assert main(["render-inkml", str(d), str(tmp_path / "imgs"),
+                 str(tmp_path / "labels.csv")]) == 0
+    import pandas as pd
+
+    df = pd.read_csv(tmp_path / "labels.csv")
+    assert len(df) == 2
+    assert (tmp_path / "imgs" / "s0.png").exists()
+
+
 def test_render_inkml_dir(tmp_path):
     d = tmp_path / "ink"
     d.mkdir()
