@@ -78,9 +78,12 @@ def main() -> None:
         done += 5
         if time.perf_counter() - t0 > 90 and done >= 5:
             break
-    dt = (time.perf_counter() - t0) / done
+    elapsed = time.perf_counter() - t0
 
-    imgs_per_sec = BATCH * ITERS / dt
+    # throughput = images decoded / wall-clock: `done` iterations of BATCH
+    # images each took `elapsed` seconds. (Round-1 bug: this multiplied by
+    # ITERS on top of per-iteration time, inflating 20x — fixed.)
+    imgs_per_sec = BATCH * done / elapsed
     print(json.dumps({
         "metric": "batch10_greedy_decode_throughput_v5e1",
         "value": round(imgs_per_sec, 2),

@@ -251,6 +251,15 @@ async def handle_docs(request) -> "web.Response":
                         content_type="text/html")
 
 
+async def handle_redoc(request) -> "web.Response":
+    """ReDoc page, matching the reference's /redoc (app/src/main.py:307,336)."""
+    state: ServerState = request.app["state"]
+    from .openapi import REDOC_HTML
+
+    return web.Response(text=REDOC_HTML.format(title=state.cfg.api_title),
+                        content_type="text/html")
+
+
 async def _read_prediction_input(state: ServerState, request) -> np.ndarray:
     """Accept multipart 'file' uploads (reference /predict contract) or a
     JSON body {"image_data": base64}."""
@@ -589,6 +598,7 @@ def create_app(cfg: Optional[ServeConfig] = None,
     app.router.add_get("/", handle_root)
     app.router.add_get("/openapi.json", handle_openapi)
     app.router.add_get("/docs", handle_docs)
+    app.router.add_get("/redoc", handle_redoc)
     app.router.add_post("/predict", handle_predict)
     app.router.add_post("/predict/batch", handle_predict_batch)
     app.router.add_get("/status", handle_status)

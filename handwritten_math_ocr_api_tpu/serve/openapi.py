@@ -91,3 +91,20 @@ DOCS_HTML = """<!DOCTYPE html>
     </script>
   </body>
 </html>"""
+
+
+REDOC_HTML = """<!DOCTYPE html>
+<html>
+  <head>
+    <title>{title} — ReDoc</title>
+    <meta charset="utf-8"/>
+    <meta name="viewport" content="width=device-width, initial-scale=1">
+    <style>body {{ margin: 0; padding: 0; }}</style>
+  </head>
+  <body>
+    <noscript>ReDoc requires Javascript. The raw spec is at
+      <a href="/openapi.json">/openapi.json</a>.</noscript>
+    <redoc spec-url="/openapi.json"></redoc>
+    <script src="https://cdn.redoc.ly/redoc/latest/bundles/redoc.standalone.js"></script>
+  </body>
+</html>"""

@@ -444,6 +444,10 @@ def test_openapi_and_docs(model_dir):
         assert r.status == 200
         assert "swagger" in (await r.text()).lower()
 
+        r = await client.get("/redoc")
+        assert r.status == 200
+        assert "redoc" in (await r.text()).lower()
+
     _with_client(_serve_cfg(model_dir), fn)
 
 
