@@ -165,6 +165,16 @@ def cmd_make_synthetic(args) -> int:
     return 0
 
 
+def cmd_make_corpus(args) -> int:
+    from .data.synthetic import make_corpus
+
+    make_corpus(args.data_root, n_train=args.train, n_val=args.val,
+                n_test=args.test, seed=args.seed)
+    print(f"learnable corpus ({args.train}/{args.val}/{args.test}) "
+          f"-> {args.data_root}")
+    return 0
+
+
 def cmd_convert(args) -> int:
     """Reference PyTorch .pth -> serving artifact directory."""
     from .compat.torch_convert import convert_checkpoint
@@ -241,6 +251,16 @@ def build_parser() -> argparse.ArgumentParser:
     ms.add_argument("--val", type=int, default=64)
     ms.add_argument("--test", type=int, default=64)
     ms.set_defaults(fn=cmd_make_synthetic)
+
+    mc = sub.add_parser("make-corpus",
+                        help="generate a production-scale learnable corpus "
+                             "(images depict their labels)")
+    mc.add_argument("--data-root", default="data")
+    mc.add_argument("--train", type=int, default=20000)
+    mc.add_argument("--val", type=int, default=1000)
+    mc.add_argument("--test", type=int, default=1000)
+    mc.add_argument("--seed", type=int, default=0)
+    mc.set_defaults(fn=cmd_make_corpus)
 
     cv = sub.add_parser("convert-checkpoint",
                         help="convert a reference PyTorch .pth to a "

@@ -23,8 +23,9 @@ Key mappings (torch (out, in) linear weights are transposed to our
   transformer encoder stack.
 
 Numerical parity of the decoder mapping is asserted against torch core in
-tests/test_compat.py; swin/resnet mappings are asserted structurally
-(shape-exact) since torchvision is not in this image.
+tests/test_compat.py. The swin mapping is asserted numerically against an
+independent pure-torch torchvision-semantics oracle plus a committed golden
+fixture (tests/test_swin_parity.py); resnet mappings are shape-exact.
 """
 
 from __future__ import annotations

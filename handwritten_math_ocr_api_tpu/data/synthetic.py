@@ -122,6 +122,131 @@ def make_synthetic_dataset(root: str, splits=(("train", 32), ("validate", 8),
     return root
 
 
+_RICH_ATOMS = (
+    list("abcdefghknpqrstuvwxyz0123456789") +
+    ["+", "-", "=", "(", ")", ",", "!", "|"] + [
+        r"\alpha", r"\beta", r"\gamma", r"\theta", r"\lambda", r"\mu",
+        r"\pi", r"\sigma", r"\phi", r"\omega", r"\sum", r"\int", r"\prod",
+        r"\sin", r"\cos", r"\tan", r"\log", r"\cdot", r"\times", r"\pm",
+        r"\leq", r"\geq", r"\neq", r"\to", r"\infty", r"\partial",
+    ]
+)
+
+
+def rich_formula(rng: random.Random, max_len: int = 18,
+                 depth: int = 2) -> str:
+    """Structured random LaTeX with bounded nesting (frac/sqrt/sup/sub).
+
+    Unlike :func:`random_formula` (flat, 24-symbol alphabet) this covers a
+    realistic token inventory and nested groups, approximating MathWriting
+    label statistics for production-scale training runs."""
+
+    def expr(budget: int, d: int) -> List[str]:
+        out: List[str] = []
+        while budget > 0:
+            r = rng.random()
+            atom = rng.choice(_RICH_ATOMS)
+            if r < 0.12 and d > 0 and budget >= 7:
+                a = expr(rng.randint(1, 2), d - 1)
+                b = expr(rng.randint(1, 2), d - 1)
+                out += [r"\frac", "{", *a, "}", "{", *b, "}"]
+                budget -= 5 + len(a) + len(b)
+            elif r < 0.2 and d > 0 and budget >= 4:
+                a = expr(rng.randint(1, 2), d - 1)
+                out += [r"\sqrt", "{", *a, "}"]
+                budget -= 3 + len(a)
+            elif r < 0.32 and budget >= 4:
+                op = "^" if r < 0.26 else "_"
+                a = expr(1, 0)
+                out += [atom, op, "{", *a, "}"]
+                budget -= 4 + len(a)
+            else:
+                out.append(atom)
+                budget -= 1
+        return out
+
+    return " ".join(expr(rng.randint(3, max_len), depth))
+
+
+def _corpus_font(size: int):
+    """Scalable font for corpus rendering (matplotlib ships DejaVuSans)."""
+    from PIL import ImageFont
+
+    try:
+        import matplotlib
+        path = os.path.join(os.path.dirname(matplotlib.__file__),
+                            "mpl-data", "fonts", "ttf", "DejaVuSans.ttf")
+        return ImageFont.truetype(path, size)
+    except Exception:  # pragma: no cover - matplotlib always in image
+        return ImageFont.load_default()
+
+
+def render_corpus_image(text: str, rng: np.random.Generator,
+                        img_h: int = 96, img_w: int = 320) -> np.ndarray:
+    """Render LaTeX source as jittered, noisy text: black-ish ink on
+    white-ish paper, font size fitted to width. The pixels depict the label
+    (real OCR task) while size/position/contrast/noise vary per sample, so
+    a model must generalize over appearance, not memorize pixels."""
+    from PIL import Image, ImageDraw
+
+    size = int(rng.integers(16, 27))
+    font = _corpus_font(size)
+    probe = ImageDraw.Draw(Image.new("L", (8, 8)))
+    while size > 9 and probe.textlength(text, font=font) > img_w - 10:
+        size -= 2
+        font = _corpus_font(size)
+
+    bg = int(rng.integers(232, 256))
+    ink = int(rng.integers(0, 45))
+    img = Image.new("L", (img_w, img_h), bg)
+    draw = ImageDraw.Draw(img)
+    tw = draw.textlength(text, font=font)
+    x = int(rng.integers(2, max(3, int(img_w - tw - 4))))
+    y = int(img_h // 2 - size * 0.75 + rng.integers(-10, 11))
+    y = max(2, min(img_h - size - 4, y))
+    draw.text((x, y), text, fill=ink, font=font)
+
+    arr = np.asarray(img, np.float32)
+    arr += rng.normal(0.0, float(rng.uniform(2.0, 9.0)), arr.shape)
+    return np.clip(arr, 0, 255).astype(np.uint8)
+
+
+def make_corpus(root: str, n_train: int = 20000, n_val: int = 1000,
+                n_test: int = 1000, img_h: int = 96, img_w: int = 320,
+                seed: int = 0) -> str:
+    """Production-scale learnable corpus: distinct formulas per split
+    (test formulas unseen in training), written in the reference data
+    contract ({split}_formulas/*.png + {split}_labels.csv)."""
+    import cv2
+    import pandas as pd
+
+    prng = random.Random(seed)
+    nrng = np.random.default_rng(seed)
+    seen = set()
+
+    def fresh_formula() -> str:
+        while True:
+            f = rich_formula(prng)
+            if f not in seen:
+                seen.add(f)
+                return f
+
+    for split, count in (("train", n_train), ("validate", n_val),
+                         ("test", n_test)):
+        img_dir = os.path.join(root, f"{split}_formulas")
+        os.makedirs(img_dir, exist_ok=True)
+        rows = []
+        for i in range(count):
+            formula = fresh_formula()
+            name = f"{split}_{i:06d}.png"
+            cv2.imwrite(os.path.join(img_dir, name),
+                        render_corpus_image(formula, nrng, img_h, img_w))
+            rows.append({"image_filename": name, "latex_label": formula})
+        pd.DataFrame(rows).to_csv(
+            os.path.join(root, f"{split}_labels.csv"), index=False)
+    return root
+
+
 SAMPLE_INKML = """<ink xmlns="http://www.w3.org/2003/InkML">
   <annotation type="label">x ^ { 2 }</annotation>
   <annotation type="normalizedLabel">x ^ { 2 }</annotation>
