@@ -74,7 +74,9 @@ def cmd_train(args) -> int:
                         batch_size=args.batch_size),
         train=TrainConfig(checkpoint_dir=args.checkpoint_dir,
                           epochs=args.epochs,
-                          learning_rate=args.learning_rate),
+                          learning_rate=args.learning_rate,
+                          warmup_steps=args.warmup_steps,
+                          early_stop_patience=args.early_stop_patience),
     )
     train_loader, val_loader = get_data_loaders(tok, cfg.data, cfg.model)
     train_model(cfg, train_loader, val_loader, tok,
@@ -215,6 +217,8 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--batch-size", type=int, default=64)
     tr.add_argument("--epochs", type=int, default=20)
     tr.add_argument("--learning-rate", type=float, default=3e-4)
+    tr.add_argument("--warmup-steps", type=int, default=0)
+    tr.add_argument("--early-stop-patience", type=int, default=5)
     tr.add_argument("--resume-from", default=None)
     tr.add_argument("--mlflow-experiment", default=None)
     tr.set_defaults(fn=cmd_train)

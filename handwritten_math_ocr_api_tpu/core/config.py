@@ -136,6 +136,8 @@ class TrainConfig:
     learning_rate: float = 3e-4
     epochs: int = 20
     label_smoothing: float = 0.1
+    # Linear LR warmup steps (0 = off, matching the reference schedule).
+    warmup_steps: int = 0
     grad_clip_norm: float = 1.0
     # ReduceLROnPlateau equivalents (reference: src/train.py:18).
     plateau_factor: float = 0.5
@@ -204,6 +206,9 @@ class ServeConfig:
     max_batch_images: int = 10  # per /predict/batch request
     num_slots: int = 64         # continuous mode: KV-cache slot pool size
     segment_steps: int = 16     # continuous mode: steps between admissions
+    # Continuous mode multi-chip: shard the slot pool over a data-axis mesh
+    # of this many devices (BASELINE config 5's v5e-4 target => 4). 1 = off.
+    mesh_data_axis: int = 1
 
     @classmethod
     def from_env(cls) -> "ServeConfig":
@@ -245,6 +250,9 @@ class ServeConfig:
             num_slots=int(env.get("SERVING_NUM_SLOTS", defaults.num_slots)),
             segment_steps=int(
                 env.get("SERVING_SEGMENT_STEPS", defaults.segment_steps)
+            ),
+            mesh_data_axis=int(
+                env.get("SERVING_MESH_DATA", defaults.mesh_data_axis)
             ),
         )
 

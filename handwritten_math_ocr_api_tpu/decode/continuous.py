@@ -245,6 +245,7 @@ class ContinuousDecoder:
     @property
     def stats(self) -> dict:
         return {
+            "mesh": dict(self.mesh.shape) if self.mesh is not None else None,
             "segments_run": self.segments_run,
             "avg_occupancy": (self.occupancy_sum / self.segments_run
                               if self.segments_run else 0.0),

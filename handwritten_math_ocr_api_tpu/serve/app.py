@@ -117,10 +117,25 @@ class ServerState:
             from ..decode.continuous import ContinuousDecoder
             from .batcher import ContinuousServingEngine
 
+            mesh = None
+            if self.cfg.mesh_data_axis > 1:
+                from ..parallel import mesh as mesh_lib
+
+                n_dev = len(jax.devices())
+                if n_dev >= self.cfg.mesh_data_axis:
+                    mesh = mesh_lib.make_mesh(
+                        data=self.cfg.mesh_data_axis, tensor=1,
+                        devices=jax.devices()[:self.cfg.mesh_data_axis])
+                    logger.info("continuous engine on mesh %s",
+                                dict(mesh.shape))
+                else:
+                    logger.warning(
+                        "SERVING_MESH_DATA=%d but only %d device(s); "
+                        "running unsharded", self.cfg.mesh_data_axis, n_dev)
             decoder = ContinuousDecoder(
                 params, model_state, model_cfg, self.tokenizer,
                 num_slots=self.cfg.num_slots,
-                segment_steps=self.cfg.segment_steps)
+                segment_steps=self.cfg.segment_steps, mesh=mesh)
             self.batcher = ContinuousServingEngine(decoder)
         else:
             self.batcher = BatchingEngine(

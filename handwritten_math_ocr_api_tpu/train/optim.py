@@ -22,13 +22,23 @@ from ..core.config import TrainConfig
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    """clip-by-global-norm 1.0 -> Adam, with injectable learning rate."""
+    """clip-by-global-norm 1.0 -> Adam, with injectable learning rate.
+
+    Optional linear LR warmup (``cfg.warmup_steps``) is applied as a
+    multiplicative stage *after* Adam so it composes with the injected
+    plateau-scheduled learning rate (post-norm transformer decoders stall
+    at the uniform-logits plateau without warmup at lr 3e-4; the reference
+    avoided this only by its 220k-sample epoch length)."""
     adam = optax.inject_hyperparams(optax.adam)(
         learning_rate=cfg.learning_rate)
-    return optax.chain(
-        optax.clip_by_global_norm(cfg.grad_clip_norm),
-        adam,
-    )
+    stages = [optax.clip_by_global_norm(cfg.grad_clip_norm), adam]
+    if cfg.warmup_steps > 0:
+        import jax.numpy as jnp
+
+        w = float(cfg.warmup_steps)
+        stages.append(optax.scale_by_schedule(
+            lambda step: jnp.minimum(1.0, (step + 1.0) / w)))
+    return optax.chain(*stages)
 
 
 def get_learning_rate(opt_state) -> float:

@@ -370,6 +370,35 @@ def test_continuous_mode_serving(model_dir):
                             num_slots=4, segment_steps=4), fn)
 
 
+def test_continuous_mode_serving_meshed_64slots(model_dir):
+    """BASELINE config 5 end-to-end: continuous engine with a 64-row slot
+    pool sharded over an 8-device ('data',) mesh (virtual CPU devices via
+    conftest), 64 concurrent HTTP requests admitted mid-flight."""
+    async def fn(client):
+        b64 = base64.b64encode(_png_bytes()).decode()
+        rs = await asyncio.gather(*[
+            client.post("/predict", json={"image_data": b64})
+            for _ in range(64)
+        ])
+        assert all(r.status == 200 for r in rs)
+        bodies = [await r.json() for r in rs]
+        assert len({b["formula"] for b in bodies}) == 1  # same image
+
+        m = await (await client.get("/metrics")).json()
+        assert m["batching"]["mode"] == "continuous"
+        assert m["batching"]["mesh"] == {"data": 8, "tensor": 1}
+        assert m["batching"]["segments_run"] >= 1
+        assert m["batching"]["avg_occupancy"] > 0.0
+
+    _with_client(_serve_cfg(model_dir, batching_mode="continuous",
+                            num_slots=64, segment_steps=8,
+                            mesh_data_axis=8,
+                            # 64 concurrent from one client: lift the
+                            # per-client limits, they're not under test here
+                            rate_limit_per_minute=1000,
+                            max_concurrent_requests=128), fn)
+
+
 def test_batcher_fault_propagation():
     """A decode failure must reject every waiter with the error and leave
     the batcher serviceable for subsequent requests (fault injection)."""

@@ -140,6 +140,37 @@ def test_lr_injection_roundtrip():
     assert abs(get_learning_rate(new) - 1e-5) < 1e-12
 
 
+def test_warmup_scales_early_updates():
+    """warmup_steps ramps update magnitude linearly and composes with the
+    injected (plateau-scheduled) learning rate."""
+    import numpy as np
+
+    from handwritten_math_ocr_api_tpu.train.optim import make_optimizer
+
+    grads = {"w": jnp.ones((4,))}
+    params = {"w": jnp.zeros((4,))}
+
+    opt = make_optimizer(TrainConfig(warmup_steps=10, learning_rate=1e-3))
+    st = opt.init(params)
+    u1, st = opt.update(grads, st, params)
+    u2, st = opt.update(grads, st, params)
+    m1 = float(np.abs(np.asarray(u1["w"])).mean())
+    m2 = float(np.abs(np.asarray(u2["w"])).mean())
+    # step 0 scaled by 1/10, step 1 by 2/10 (identical adam direction here)
+    assert abs(m2 / m1 - 2.0) < 1e-3, (m1, m2)
+
+    # lr injection still reachable at the same opt_state index
+    st2 = set_learning_rate(st, 5e-4)
+    assert abs(get_learning_rate(st2) - 5e-4) < 1e-9  # f32 storage
+
+    # no warmup => full-size first update
+    opt0 = make_optimizer(TrainConfig(warmup_steps=0, learning_rate=1e-3))
+    st0 = opt0.init(params)
+    u0, _ = opt0.update(grads, st0, params)
+    m0 = float(np.abs(np.asarray(u0["w"])).mean())
+    assert abs(m1 * 10.0 - m0) < 1e-9
+
+
 def test_checkpoint_roundtrip(tmp_path):
     from handwritten_math_ocr_api_tpu.train import checkpoint as ck
 
