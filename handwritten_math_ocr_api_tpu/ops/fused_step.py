@@ -26,8 +26,9 @@ Numerics match ``models/decoder.decoder_step`` (post-norm order, f32 LN,
 log-softmax outside) — asserted by tests in interpret mode and on TPU.
 
 **Status: EXPERIMENTAL — measured SLOWER than the XLA path.** A/B on v5e
-(elision-proof, uncontended): XLA decode 3100 img/s vs this kernel 186
-img/s at batch 10. Root causes: (a) the masked-merge append writes the
+(elision-proof, uncontended): ~17x slower than XLA's decode schedule at
+batch 10 (round-1 absolute img/s figures retracted with the bench formula
+fix; the ratio stands). Root causes: (a) the masked-merge append writes the
 FULL (B, T, D) cache blocks back to HBM every step where XLA's
 ``dynamic_update_slice`` in a while_loop updates one row in place — 4x the
 cache bandwidth; (b) the G-matrix attention does its q*k/p*v products as

@@ -10,12 +10,13 @@ accuracy loss comes only from the int8 rounding of the weights
 (~1% RMS). Opt-in: ``DecodeEngine(..., quantize=True)``.
 
 **Status: EXPERIMENTAL.** Numerics are correct (tests/test_quant.py) but
-neither lowering realizes the bandwidth win on v5e (A/B/A verified):
-- naive XLA int8-weight matmuls: 3308 -> 0.39 -> 3277 img/s (the compiler
-  materializes a dequantized copy per step);
-- the per-matmul Pallas dequant kernel below: 3242 -> 2.37 -> 3188 img/s
-  (~48 pallas custom-calls per decode step; per-call launch overhead
-  inside the while_loop dwarfs the saved bytes).
+neither lowering realizes the bandwidth win on v5e (A/B/A ratios verified;
+round-1 absolute img/s figures retracted with the bench formula fix):
+- naive XLA int8-weight matmuls: ~8000x slower than the bf16 path (the
+  compiler materializes a dequantized copy per step);
+- the per-matmul Pallas dequant kernel below: ~2% slower (~48 pallas
+  custom-calls per decode step; per-call launch overhead inside the
+  while_loop dwarfs the saved bytes).
 The viable design is int8 dequant fused inside a single whole-layer kernel
 (combine with ops/fused_step.py once its cache write-back is row-granular)
 — staged for a future round. Keep ``quantize=True`` off in production.
