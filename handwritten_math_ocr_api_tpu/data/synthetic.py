@@ -168,6 +168,73 @@ def rich_formula(rng: random.Random, max_len: int = 18,
     return " ".join(expr(rng.randint(3, max_len), depth))
 
 
+_VARS = list("abcdefghknpqrstuvwxyz") + [
+    r"\alpha", r"\beta", r"\gamma", r"\theta", r"\lambda", r"\mu",
+    r"\pi", r"\sigma", r"\phi", r"\omega",
+]
+_FUNCS = [r"\sin", r"\cos", r"\tan", r"\log"]
+_BINOPS = ["+", "+", "+", "-", "-", "=", r"\cdot", r"\times", r"\pm",
+           r"\leq", r"\geq", r"\neq", r"\to"]
+
+
+def structured_formula(rng: random.Random, max_terms: int = 5,
+                       depth: int = 2) -> str:
+    """Sample from a small weighted grammar of realistic math expressions
+    (polynomial terms, fractions, roots, trig, sums/integrals). Unlike
+    :func:`rich_formula` (i.i.d. random tokens), productions share global
+    statistics across samples, so a seq2seq model's language-model component
+    *generalizes* between splits — mirroring real MathWriting label
+    structure — and validation loss tracks train loss."""
+
+    def number() -> List[str]:
+        return [str(rng.randint(0, 9)) for _ in range(
+            1 if rng.random() < 0.8 else 2)]
+
+    def var() -> List[str]:
+        return [rng.choice(_VARS)]
+
+    def atom(d: int) -> List[str]:
+        r = rng.random()
+        if r < 0.40:
+            return var()
+        if r < 0.55:
+            return number()
+        if r < 0.63 and d > 0:
+            return [r"\frac", "{", *expr(1, d - 1), "}",
+                    "{", *expr(1, d - 1), "}"]
+        if r < 0.70 and d > 0:
+            return [r"\sqrt", "{", *expr(1, d - 1), "}"]
+        if r < 0.78:
+            return [rng.choice(_FUNCS), "(", *var(), ")"]
+        if r < 0.84 and d > 0:
+            return [r"\sum", "_", "{", *var(), "=", *number(), "}",
+                    "^", "{", *number(), "}", *term(d - 1)]
+        if r < 0.88 and d > 0:
+            return [r"\int", *term(d - 1), *var()]
+        return var()
+
+    def term(d: int) -> List[str]:
+        base = atom(d)
+        r = rng.random()
+        if r < 0.25:  # power, mostly squares/cubes
+            exp = str(rng.choice([2, 2, 2, 3, 3, rng.randint(4, 9)]))
+            return [*base, "^", "{", exp, "}"]
+        if r < 0.38:  # subscript index
+            return [*base, "_", "{", *(var() if rng.random() < 0.6
+                                       else number()), "}"]
+        if r < 0.46:  # coefficient
+            return [*number(), *base]
+        return base
+
+    def expr(n_terms: int, d: int) -> List[str]:
+        out = term(d)
+        for _ in range(n_terms - 1):
+            out += [rng.choice(_BINOPS)] + term(d)
+        return out
+
+    return " ".join(expr(rng.randint(1, max_terms), depth))
+
+
 def _corpus_font(size: int):
     """Scalable font for corpus rendering (matplotlib ships DejaVuSans)."""
     from PIL import ImageFont
@@ -189,7 +256,7 @@ def render_corpus_image(text: str, rng: np.random.Generator,
     a model must generalize over appearance, not memorize pixels."""
     from PIL import Image, ImageDraw
 
-    size = int(rng.integers(16, 27))
+    size = int(rng.integers(18, 29))
     font = _corpus_font(size)
     probe = ImageDraw.Draw(Image.new("L", (8, 8)))
     while size > 9 and probe.textlength(text, font=font) > img_w - 10:
@@ -207,7 +274,7 @@ def render_corpus_image(text: str, rng: np.random.Generator,
     draw.text((x, y), text, fill=ink, font=font)
 
     arr = np.asarray(img, np.float32)
-    arr += rng.normal(0.0, float(rng.uniform(2.0, 9.0)), arr.shape)
+    arr += rng.normal(0.0, float(rng.uniform(1.0, 6.0)), arr.shape)
     return np.clip(arr, 0, 255).astype(np.uint8)
 
 
@@ -226,10 +293,13 @@ def make_corpus(root: str, n_train: int = 20000, n_val: int = 1000,
 
     def fresh_formula() -> str:
         while True:
-            f = rich_formula(prng)
-            if f not in seen:
-                seen.add(f)
-                return f
+            f = structured_formula(prng)
+            # keep renders legible: very long sources would be shrunk below
+            # glyph-recognizable size in the fixed-width image
+            if len(f.split()) > 28 or f in seen:
+                continue
+            seen.add(f)
+            return f
 
     for split, count in (("train", n_train), ("validate", n_val),
                          ("test", n_test)):
