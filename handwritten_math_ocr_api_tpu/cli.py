@@ -61,12 +61,20 @@ def cmd_build_vocab(args) -> int:
 
 def cmd_train(args) -> int:
     from .core.config import Config, DataConfig, ModelConfig, TrainConfig
-    from .core.tokenizer import Tokenizer, load_vocab
-    from .data.dataset import get_data_loaders
+    from .core.tokenizer import Tokenizer, load_vocab, save_vocab
+    from .data.dataset import DataLoader, get_data_loaders
     from .train.loop import train_model
 
-    vocab, idx2char = load_vocab(
-        os.path.join(args.checkpoint_dir, "vocab.json"))
+    if args.synthetic_stream:
+        # infinite-variety streaming corpus: fix the vocab from the grammar
+        from .data.synthetic import SyntheticStreamDataset, grammar_vocab
+
+        vocab = grammar_vocab()
+        save_vocab(vocab, os.path.join(args.checkpoint_dir, "vocab.json"))
+        idx2char = {i: t for t, i in vocab.items()}
+    else:
+        vocab, idx2char = load_vocab(
+            os.path.join(args.checkpoint_dir, "vocab.json"))
     tok = Tokenizer(vocab, idx2char)
     cfg = Config(
         model=_model_config(args, len(vocab)),
@@ -78,7 +86,17 @@ def cmd_train(args) -> int:
                           warmup_steps=args.warmup_steps,
                           early_stop_patience=args.early_stop_patience),
     )
-    train_loader, val_loader = get_data_loaders(tok, cfg.data, cfg.model)
+    if args.synthetic_stream:
+        mc = cfg.model
+        mk = lambda n, seed, freeze: DataLoader(
+            SyntheticStreamDataset(tok, n, mc.img_h, mc.img_w,
+                                   mc.max_seq_len, seed=seed, freeze=freeze),
+            cfg.data.batch_size, shuffle=False,
+            num_workers=cfg.data.num_workers, drop_remainder=True)
+        train_loader = mk(args.synthetic_stream, 0, False)
+        val_loader = mk(max(args.batch_size * 16, 1024), 777, True)
+    else:
+        train_loader, val_loader = get_data_loaders(tok, cfg.data, cfg.model)
     train_model(cfg, train_loader, val_loader, tok,
                 resume_from=args.resume_from,
                 mlflow_experiment=args.mlflow_experiment)
@@ -219,6 +237,10 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--learning-rate", type=float, default=3e-4)
     tr.add_argument("--warmup-steps", type=int, default=0)
     tr.add_argument("--early-stop-patience", type=int, default=5)
+    tr.add_argument("--synthetic-stream", type=int, default=0, metavar="N",
+                    help="train on an infinite synthetic stream, N samples "
+                         "per epoch (fresh formulas every epoch; vocab "
+                         "fixed from the grammar)")
     tr.add_argument("--resume-from", default=None)
     tr.add_argument("--mlflow-experiment", default=None)
     tr.set_defaults(fn=cmd_train)

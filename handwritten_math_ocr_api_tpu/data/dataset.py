@@ -139,6 +139,8 @@ class DataLoader:
         return out
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if hasattr(self.dataset, "set_epoch"):  # streaming datasets
+            self.dataset.set_epoch(self._epoch)
         batches = self._batch_indices()
         self._epoch += 1
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)

@@ -317,6 +317,79 @@ def make_corpus(root: str, n_train: int = 20000, n_val: int = 1000,
     return root
 
 
+def grammar_vocab() -> dict:
+    """Full token inventory of :func:`structured_formula`, in the
+    tokenizer's vocab convention (specials first, then sorted tokens) —
+    lets streaming training fix the vocab without a materialized corpus."""
+    tokens = set(_VARS) | set(_FUNCS) | set(_BINOPS)
+    tokens |= {str(d) for d in range(10)}
+    tokens |= {"{", "}", "^", "_", "(", ")", r"\frac", r"\sqrt", r"\sum",
+               r"\int"}
+    vocab = {"<pad>": 0, "<sos>": 1, "<eos>": 2, "<unk>": 3}
+    for t in sorted(tokens):
+        vocab[t] = len(vocab)
+    return vocab
+
+
+class SyntheticStreamDataset:
+    """Infinite-variety synthetic dataset: ``(epoch, idx)`` deterministically
+    seeds a freshly synthesized (image, caption) pair, so every epoch sees
+    formulas never seen before — label memorization is impossible and the
+    image is the only generalizable signal (the regime the reference got
+    for free from 220k real MathWriting samples).
+
+    Same interface as ``dataset.MathFormulaDataset`` (len/getitem +
+    img_h/img_w/max_seq_len attrs); ``DataLoader`` advances the stream via
+    ``set_epoch``. A val/test stream pins ``epoch`` (``freeze=True``) so
+    its samples are identical across evaluations.
+    """
+
+    def __init__(self, tokenizer, samples_per_epoch: int, img_h: int = 96,
+                 img_w: int = 320, max_seq_len: int = 150, seed: int = 0,
+                 max_tokens: int = 28, freeze: bool = False):
+        self.tokenizer = tokenizer
+        self.n = samples_per_epoch
+        self.img_h, self.img_w = img_h, img_w
+        self.max_seq_len = max_seq_len
+        self.seed = seed
+        self.max_tokens = max_tokens
+        self.freeze = freeze
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        if not self.freeze:
+            self._epoch = int(epoch)
+
+    def __len__(self) -> int:
+        return self.n
+
+    def _sample_key(self, idx: int) -> int:
+        # SplitMix-style mix of (seed, epoch, idx) into one 63-bit key;
+        # stable across processes (unlike hash(), which is salted)
+        idx = int(idx)  # numpy ints overflow C-long multiplication
+        z = (int(self.seed) * 0x9E3779B97F4A7C15
+             + int(self._epoch) * 0xBF58476D1CE4E5B9
+             + idx * 0x94D049BB133111EB) & (2 ** 64 - 1)
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & (2 ** 64 - 1)
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & (2 ** 64 - 1)
+        return (z ^ (z >> 31)) & (2 ** 63 - 1)
+
+    def formula_at(self, idx: int) -> str:
+        prng = random.Random(self._sample_key(idx))
+        while True:
+            f = structured_formula(prng)
+            if len(f.split()) <= self.max_tokens:
+                return f
+
+    def __getitem__(self, idx: int):
+        formula = self.formula_at(idx)
+        nrng = np.random.default_rng(self._sample_key(idx) ^ 0x5555AAAA)
+        img = render_corpus_image(formula, nrng, self.img_h, self.img_w)
+        ids = self.tokenizer.encode(formula, max_len=self.max_seq_len)
+        length = min(len(self.tokenizer.encode(formula)), self.max_seq_len)
+        return img, np.asarray(ids, np.int32), length
+
+
 SAMPLE_INKML = """<ink xmlns="http://www.w3.org/2003/InkML">
   <annotation type="label">x ^ { 2 }</annotation>
   <annotation type="normalizedLabel">x ^ { 2 }</annotation>

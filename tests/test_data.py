@@ -176,3 +176,38 @@ def test_render_inkml_dir(tmp_path):
     df = pd.read_csv(tmp_path / "labels.csv")
     assert list(df.columns) == ["image_filename", "latex_label"]
     assert len(df) == 3
+
+
+def test_synthetic_stream_dataset():
+    """Streaming corpus: fresh formulas per epoch, frozen streams pinned,
+    grammar vocab covers every generated token (no <unk>)."""
+    from handwritten_math_ocr_api_tpu.core.tokenizer import Tokenizer
+    from handwritten_math_ocr_api_tpu.data.dataset import DataLoader
+    from handwritten_math_ocr_api_tpu.data.synthetic import (
+        SyntheticStreamDataset, grammar_vocab,
+    )
+
+    v = grammar_vocab()
+    tok = Tokenizer(v, {i: t for t, i in v.items()})
+    ds = SyntheticStreamDataset(tok, 8, seed=0)
+    f0 = [ds.formula_at(i) for i in range(4)]
+    ds.set_epoch(1)
+    assert [ds.formula_at(i) for i in range(4)] != f0
+
+    frozen = SyntheticStreamDataset(tok, 8, seed=0, freeze=True)
+    frozen.set_epoch(5)
+    assert [frozen.formula_at(i) for i in range(4)] == f0
+
+    img, ids, ln = ds[0]
+    assert img.shape == (96, 320) and img.dtype == np.uint8
+    assert ids.shape == (150,) and 0 < ln <= 28 + 2
+
+    unk = v["<unk>"]
+    for i in range(300):
+        assert unk not in tok.encode(ds.formula_at(i))
+
+    loader = DataLoader(ds, batch_size=4, num_workers=2,
+                        drop_remainder=True)
+    e1 = [b["image"].sum() for b in loader]
+    e2 = [b["image"].sum() for b in loader]
+    assert e1 != e2  # set_epoch hook advances the stream
