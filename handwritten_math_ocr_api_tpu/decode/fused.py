@@ -20,6 +20,7 @@ from ..core.config import EOS_ID, ModelConfig, PAD_ID, SOS_ID
 from ..models import layers
 from ..ops.fused_step import (
     _round_up, build_stacked, fused_decoder_layers_step,
+    fused_decoder_layers_step_v2,
 )
 from .greedy import GreedyResult
 
@@ -57,9 +58,14 @@ def greedy_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
                         max_len: int | None = None, *,
                         sos_id: int = SOS_ID, eos_id: int = EOS_ID,
                         pad_id: int = PAD_ID,
-                        interpret: bool | None = None) -> GreedyResult:
+                        interpret: bool | None = None,
+                        variant: str = "v2") -> GreedyResult:
     """Drop-in equivalent of decode.greedy.greedy_decode using the fused
-    layer kernel. ``stacked`` from ops.fused_step.build_stacked."""
+    layer kernel. ``stacked`` from ops.fused_step.build_stacked.
+
+    variant "v2" (default): compute-only kernel, cache rows appended by two
+    dynamic_update_slice on the stacked caches — no (B, T, D) write-back.
+    variant "v1": the round-1 aliased-write-back kernel (kept for A/B)."""
     B = memory.shape[0]
     l_enc_actual = memory.shape[1]
     T_out = max_len or cfg.max_seq_len
@@ -89,9 +95,18 @@ def greedy_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
     def body(state):
         step, prev, finished, tokens, lp_sum, count, sk, sv = state
         x_emb = (emb[prev] + pos_table[step]).astype(dtype)   # (B, D)
-        x, sk, sv = fused_decoder_layers_step(
-            stacked, cfg, x_emb, sk, sv, cross_k, cross_v, step,
-            l_enc_actual=l_enc_actual, interpret=interpret)
+        if variant == "v2":
+            x, k_new, v_new = fused_decoder_layers_step_v2(
+                stacked, cfg, x_emb, sk, sv, cross_k, cross_v, step,
+                l_enc_actual=l_enc_actual, interpret=interpret)
+            sk = jax.lax.dynamic_update_slice(
+                sk, k_new[:, :, None, :], (0, 0, step, 0))
+            sv = jax.lax.dynamic_update_slice(
+                sv, v_new[:, :, None, :], (0, 0, step, 0))
+        else:
+            x, sk, sv = fused_decoder_layers_step(
+                stacked, cfg, x_emb, sk, sv, cross_k, cross_v, step,
+                l_enc_actual=l_enc_actual, interpret=interpret)
         logits = layers.linear(fc_out, x.astype(jnp.float32))  # (B, V)
 
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)

@@ -201,6 +201,177 @@ def _make_kernel(cfg: ModelConfig, B: int, T: int, L_enc: int,
     return kernel
 
 
+def _make_kernel_v2(cfg: ModelConfig, B: int, T: int, L_enc: int,
+                    l_enc_actual: int):
+    """Compute-only variant: caches are READ-ONLY inputs; the kernel merges
+    the freshly-projected K/V row into its VMEM copy for attention and
+    emits it as a tiny (B, D) output per layer — the HBM cache append is a
+    single dynamic_update_slice on the stacked cache *outside* the kernel.
+    Removes v1's pathology (12.3 MB/step of (B, T, D) cache write-back +
+    aliasing copies inside the while_loop)."""
+    D = cfg.d_model
+    scale = 1.0 / (cfg.head_dim ** 0.5)
+    n_layers = cfg.num_decoder_layers
+
+    def kernel(pos_ref, x_ref, g_ref,
+               w_qkv, b_qkv, w_out, b_out, w_cq, b_cq, w_co, b_co,
+               w_ff1, b_ff1, w_ff2, b_ff2, ln,
+               sk_in, sv_in, ck_ref, cv_ref,
+               x_out, k_new_out, v_new_out,
+               x_scr):
+        layer = pl.program_id(0)
+        pos = pos_ref[0]
+        G = g_ref[:].astype(jnp.float32)               # (D, H)
+
+        @pl.when(layer == 0)
+        def _():
+            x_scr[:] = x_ref[:].astype(jnp.float32)
+
+        x = x_scr[:]                                   # (B, D) f32
+        cdt = sk_in.dtype
+
+        # ---- self-attention; new K/V row merged in VMEM only ----
+        qkv = jnp.dot(x.astype(w_qkv.dtype), w_qkv[0],
+                      preferred_element_type=jnp.float32) + b_qkv[0]
+        q, k_new, v_new = (qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:])
+        k_new_out[0] = k_new.astype(k_new_out.dtype)
+        v_new_out[0] = v_new.astype(v_new_out.dtype)
+
+        slot = jax.lax.broadcasted_iota(jnp.int32, (B, T, 1), 1)
+        at_pos = slot == pos
+        k = jnp.where(at_pos, k_new[:, None, :].astype(cdt), sk_in[0])
+        v = jnp.where(at_pos, v_new[:, None, :].astype(cdt), sv_in[0])
+
+        kf = k.astype(jnp.float32)
+        prod = (q * scale)[:, None, :] * kf            # (B, T, D)
+        logits = jax.lax.dot_general(
+            prod, G, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (B, T, H)
+        logits = jnp.where(slot <= pos, logits, -jnp.inf)
+        m = jnp.max(logits, axis=1, keepdims=True)
+        w = jnp.exp(logits - m)
+        probs = w / jnp.sum(w, axis=1, keepdims=True)  # (B, T, H)
+        probs_d = jax.lax.dot_general(
+            probs, G, dimension_numbers=(((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (B, T, D)
+        attn = jnp.sum(probs_d * v.astype(jnp.float32), axis=1)  # (B, D)
+        sa = jnp.dot(attn.astype(w_out.dtype), w_out[0],
+                     preferred_element_type=jnp.float32) + b_out[0]
+        x = _ln(x + sa, ln[0, 0], ln[0, 1])
+
+        # ---- cross-attention (precomputed memory K/V) ----
+        qc = jnp.dot(x.astype(w_cq.dtype), w_cq[0],
+                     preferred_element_type=jnp.float32) + b_cq[0]
+        ckf = ck_ref[0].astype(jnp.float32)            # (B, L_enc, D)
+        cvf = cv_ref[0].astype(jnp.float32)
+        prod_c = (qc * scale)[:, None, :] * ckf
+        logits_c = jax.lax.dot_general(
+            prod_c, G, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (B, L_enc, H)
+        if l_enc_actual < L_enc:  # mask tile-padding slots
+            slot_c = jax.lax.broadcasted_iota(jnp.int32, (B, L_enc, 1), 1)
+            logits_c = jnp.where(slot_c < l_enc_actual, logits_c, -jnp.inf)
+        mc = jnp.max(logits_c, axis=1, keepdims=True)
+        wc = jnp.exp(logits_c - mc)
+        probs_c = wc / jnp.sum(wc, axis=1, keepdims=True)
+        probs_cd = jax.lax.dot_general(
+            probs_c, G, dimension_numbers=(((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        attn_c = jnp.sum(probs_cd * cvf, axis=1)       # (B, D)
+        ca = jnp.dot(attn_c.astype(w_co.dtype), w_co[0],
+                     preferred_element_type=jnp.float32) + b_co[0]
+        x = _ln(x + ca, ln[0, 2], ln[0, 3])
+
+        # ---- FFN ----
+        h = jnp.dot(x.astype(w_ff1.dtype), w_ff1[0],
+                    preferred_element_type=jnp.float32) + b_ff1[0]
+        h = jnp.maximum(h, 0.0)
+        ff = jnp.dot(h.astype(w_ff2.dtype), w_ff2[0],
+                     preferred_element_type=jnp.float32) + b_ff2[0]
+        x = _ln(x + ff, ln[0, 4], ln[0, 5])
+
+        x_scr[:] = x
+
+        @pl.when(layer == n_layers - 1)
+        def _():
+            x_out[:] = x.astype(x_out.dtype)
+
+    return kernel
+
+
+def fused_decoder_layers_step_v2(stacked, cfg: ModelConfig, x_emb, self_k,
+                                 self_v, cross_k, cross_v, pos,
+                                 l_enc_actual: int | None = None,
+                                 *, interpret: bool | None = None):
+    """Compute-only fused step. Caches are inputs only; returns
+    (x_out (B, D) f32, k_new (L, B, D), v_new (L, B, D)) — the caller
+    appends the rows with one dynamic_update_slice per stacked cache."""
+    from . import default_interpret
+
+    if interpret is None:
+        interpret = default_interpret()
+    L, B, T, D = self_k.shape
+    L_enc = cross_k.shape[2]
+    if l_enc_actual is None:
+        l_enc_actual = L_enc
+    ff = cfg.dim_feedforward
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+    G = jnp.asarray(_group_matrix(D, cfg.nhead, np.float32))
+
+    def fixed(shape):
+        return pl.BlockSpec(shape, lambda l, pos_ref: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def per_layer(shape):
+        return pl.BlockSpec((1,) + shape,
+                            lambda l, pos_ref: (l,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L,),
+        in_specs=[
+            fixed((B, D)),                  # x_emb
+            fixed((D, cfg.nhead)),          # G
+            per_layer((D, 3 * D)),          # w_qkv
+            per_layer((1, 3 * D)),          # b_qkv
+            per_layer((D, D)), per_layer((1, D)),      # w_out, b_out
+            per_layer((D, D)), per_layer((1, D)),      # w_cq, b_cq
+            per_layer((D, D)), per_layer((1, D)),      # w_co, b_co
+            per_layer((D, ff)), per_layer((1, ff)),    # w_ff1, b_ff1
+            per_layer((ff, D)), per_layer((1, D)),     # w_ff2, b_ff2
+            per_layer((6, D)),              # ln
+            per_layer((B, T, D)),           # self_k (read-only)
+            per_layer((B, T, D)),           # self_v (read-only)
+            per_layer((B, L_enc, D)),       # cross_k
+            per_layer((B, L_enc, D)),       # cross_v
+        ],
+        out_specs=(
+            fixed((B, D)),                  # x_out
+            per_layer((B, D)),              # k_new
+            per_layer((B, D)),              # v_new
+        ),
+        scratch_shapes=[pltpu.VMEM((B, D), jnp.float32)],
+    )
+
+    kernel = _make_kernel_v2(cfg, B, T, L_enc, l_enc_actual)
+    x_out, k_new, v_new = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, D), jnp.float32),
+            jax.ShapeDtypeStruct((L, B, D), self_k.dtype),
+            jax.ShapeDtypeStruct((L, B, D), self_v.dtype),
+        ),
+        interpret=interpret,
+    )(pos_arr, x_emb, G, stacked["w_qkv"], stacked["b_qkv"],
+      stacked["w_out"], stacked["b_out"], stacked["w_cq"], stacked["b_cq"],
+      stacked["w_co"], stacked["b_co"], stacked["w_ff1"], stacked["b_ff1"],
+      stacked["w_ff2"], stacked["b_ff2"], stacked["ln"],
+      self_k, self_v, cross_k, cross_v)
+    return x_out, k_new, v_new
+
+
 def fused_decoder_layers_step(stacked, cfg: ModelConfig, x_emb, self_k,
                               self_v, cross_k, cross_v, pos,
                               l_enc_actual: int | None = None,

@@ -14,7 +14,7 @@ from handwritten_math_ocr_api_tpu.decode.fused import (
 from handwritten_math_ocr_api_tpu.decode.greedy import greedy_decode
 from handwritten_math_ocr_api_tpu.models import decoder as dec
 from handwritten_math_ocr_api_tpu.ops.fused_step import (
-    build_stacked, fused_decoder_layers_step,
+    build_stacked, fused_decoder_layers_step, fused_decoder_layers_step_v2,
 )
 
 CFG = ModelConfig(
@@ -54,6 +54,44 @@ def test_fused_step_matches_jnp_step(setup):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=3e-5, rtol=1e-4)
         prev = jnp.argmax(want, axis=-1).astype(jnp.int32)
+
+
+def test_fused_step_v2_matches_jnp_step(setup):
+    """Compute-only kernel + external stacked-cache DUS == jnp step."""
+    params, stacked, memory = setup
+    B = memory.shape[0]
+    cache = dec.init_cache(params, CFG, memory, max_len=16)
+    sk, sv, ck, cv = init_fused_cache(params, CFG, memory, max_len=16)
+
+    rng = np.random.default_rng(1)
+    prev = jnp.asarray(rng.integers(0, CFG.vocab_size, (B,)), jnp.int32)
+    for t in range(4):
+        want, cache = dec.decoder_step(params, CFG, prev, jnp.int32(t),
+                                       cache)
+        x_emb = (params["embedding"]["table"][prev]
+                 + params["pos"]["table"][t]).astype(jnp.float32)
+        x, k_new, v_new = fused_decoder_layers_step_v2(
+            stacked, CFG, x_emb, sk, sv, ck, cv, jnp.int32(t),
+            l_enc_actual=memory.shape[1], interpret=True)
+        sk = jax.lax.dynamic_update_slice(sk, k_new[:, :, None, :],
+                                          (0, 0, t, 0))
+        sv = jax.lax.dynamic_update_slice(sv, v_new[:, :, None, :],
+                                          (0, 0, t, 0))
+        from handwritten_math_ocr_api_tpu.models import layers
+
+        got = layers.linear(params["fc_out"], x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=3e-5, rtol=1e-4)
+        prev = jnp.argmax(want, axis=-1).astype(jnp.int32)
+
+
+def test_fused_greedy_v1_variant_matches_jnp_greedy(setup):
+    params, stacked, memory = setup
+    want = greedy_decode(params, CFG, memory, CFG.max_seq_len)
+    got = greedy_decode_fused(params, stacked, CFG, memory,
+                              CFG.max_seq_len, interpret=True, variant="v1")
+    np.testing.assert_array_equal(np.asarray(got.tokens),
+                                  np.asarray(want.tokens))
 
 
 def test_fused_greedy_matches_jnp_greedy(setup):
