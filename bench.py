@@ -9,6 +9,12 @@ north-star target is >=50x that (~143 img/s) on v5e-1.
 Random weights decode to max_seq_len (no early <eos>), so the measured
 number is the worst-case full-150-step decode — conservative vs production.
 
+Decode path: the fused decoder-layer Pallas megakernel (v2, compute-only;
+ops/fused_step.py), the serving-configurable fast path
+(SERVING_USE_FUSED=1) — measured ~2x XLA's decode schedule on v5e
+(benchmarks/ab_fused.py). Set MATHOCR_BENCH_XLA=1 to measure the default
+XLA path instead.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -42,14 +48,27 @@ def main() -> None:
     cfg = ModelConfig()  # flagship Swin-T + 8-layer decoder, bf16
     params, state = init_model(jax.random.PRNGKey(0), cfg)
 
+    use_xla = os.environ.get("MATHOCR_BENCH_XLA", "0") == "1"
+    if not use_xla:
+        from handwritten_math_ocr_api_tpu.decode.fused import (
+            greedy_decode_fused,
+        )
+        from handwritten_math_ocr_api_tpu.ops.fused_step import build_stacked
+
+        stacked = build_stacked(params["decoder"], cfg)
+
     # Force the full 150-step decode (random weights could emit <eos>
     # immediately and fake the number): unreachable eos id => every image
     # pays the worst-case decode cost.
     @jax.jit
     def decode(params, images):
         memory, _ = model_mod.encode(params, state, cfg, images)
-        return greedy_decode(params["decoder"], cfg, memory,
-                             cfg.max_seq_len, eos_id=cfg.vocab_size + 1)
+        if use_xla:
+            return greedy_decode(params["decoder"], cfg, memory,
+                                 cfg.max_seq_len, eos_id=cfg.vocab_size + 1)
+        return greedy_decode_fused(
+            params["decoder"], stacked, cfg, memory, cfg.max_seq_len,
+            eos_id=cfg.vocab_size + 1, interpret=False)
 
     rng = np.random.default_rng(0)
     images = jax.numpy.asarray(rng.standard_normal(

@@ -82,6 +82,12 @@ class ModelConfig:
     # Compute dtype for the forward pass. bf16 feeds the MXU at full rate;
     # params are kept f32 and cast per-op.
     dtype: str = "bfloat16"
+    # LayerNorm the encoder memory before the decoder. Off by default to
+    # match the reference's raw feature tap (src/model_swin.py:40 — fine
+    # there because its encoder was pretrained); enable for from-scratch
+    # training, where a random-init trunk's unnormalized residual stream
+    # (~10x unit scale) saturates cross-attention with confident noise.
+    memory_norm: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -209,6 +215,10 @@ class ServeConfig:
     # Continuous mode multi-chip: shard the slot pool over a data-axis mesh
     # of this many devices (BASELINE config 5's v5e-4 target => 4). 1 = off.
     mesh_data_axis: int = 1
+    # Greedy decode via the fused decoder-layer Pallas megakernel (~2x the
+    # XLA step on v5e; see BENCHMARKS.md). bf16 argmax ties can flip rare
+    # tokens vs the XLA path, so it is opt-in for serving.
+    use_fused_decode: bool = False
 
     @classmethod
     def from_env(cls) -> "ServeConfig":
@@ -254,6 +264,10 @@ class ServeConfig:
             mesh_data_axis=int(
                 env.get("SERVING_MESH_DATA", defaults.mesh_data_axis)
             ),
+            use_fused_decode=env.get(
+                "SERVING_USE_FUSED",
+                "1" if defaults.use_fused_decode else "0") in
+            ("1", "true", "True"),
         )
 
 

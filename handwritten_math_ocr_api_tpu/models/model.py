@@ -48,6 +48,8 @@ def init_model(key, cfg: ModelConfig) -> Tuple[Dict, State]:
     }
     if cfg.encoder == "res18trans":
         params["trans_encoder"] = resnet.init_trans_encoder_params(k_trans, cfg)
+    if cfg.memory_norm:
+        params["memory_norm"] = layers.layer_norm_init(cfg.d_model)
     return params, state
 
 
@@ -73,6 +75,8 @@ def encode(params, state: State, cfg: ModelConfig, images: Array, *,
             memory = resnet.trans_encoder_apply(
                 params["trans_encoder"], memory, cfg,
                 deterministic=deterministic, rng=rng)
+    if cfg.memory_norm:
+        memory = layers.layer_norm(params["memory_norm"], memory)
     return memory, new_state
 
 

@@ -112,7 +112,8 @@ class ServerState:
         self.tokenizer = Tokenizer(vocab, idx2char)
         self.model_cfg = model_cfg
         self.engine = DecodeEngine(params, model_state, model_cfg,
-                                   tokenizer=self.tokenizer)
+                                   tokenizer=self.tokenizer,
+                                   use_fused=self.cfg.use_fused_decode)
         if self.cfg.batching_mode == "continuous":
             from ..decode.continuous import ContinuousDecoder
             from .batcher import ContinuousServingEngine

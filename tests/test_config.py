@@ -29,6 +29,8 @@ def test_serve_config_from_env():
         "CORS_ORIGINS": "https://a.com, https://b.com",
         "SERVING_BATCH_MODE": "continuous",
         "SERVING_NUM_SLOTS": "16",
+        "SERVING_MESH_DATA": "4",
+        "SERVING_USE_FUSED": "1",
     }
     with mock.patch.dict(os.environ, env):
         cfg = ServeConfig.from_env()
@@ -39,6 +41,8 @@ def test_serve_config_from_env():
     assert cfg.cors_origins == ("https://a.com", "https://b.com")
     assert cfg.batching_mode == "continuous"
     assert cfg.num_slots == 16
+    assert cfg.mesh_data_axis == 4
+    assert cfg.use_fused_decode is True
 
 
 def test_model_config_reference_hparams():

@@ -236,3 +236,25 @@ def test_tp_rules_shard_expected_params():
     # replicated leaf: layernorm scale
     ln = sharded["decoder"]["layers"][0]["norm1"]["scale"]
     assert tuple(ln.sharding.spec) == ()
+
+
+def test_memory_norm_gates_param_and_normalizes():
+    """memory_norm=True adds an LN on the encoder memory (from-scratch
+    training stability); default False keeps the reference-exact tap so
+    converted checkpoints are unaffected."""
+    from handwritten_math_ocr_api_tpu.models.model import encode, init_model
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal((2, TINY.img_h, TINY.img_w, 1)),
+                         jnp.float32)
+
+    p0, s0 = init_model(jax.random.PRNGKey(0), TINY)
+    assert "memory_norm" not in p0
+
+    cfg = TINY.replace(memory_norm=True, dtype="float32")
+    p1, s1 = init_model(jax.random.PRNGKey(0), cfg)
+    assert "memory_norm" in p1
+    mem, _ = encode(p1, s1, cfg, images)
+    m = np.asarray(mem)
+    np.testing.assert_allclose(m.mean(-1), 0.0, atol=1e-4)
+    np.testing.assert_allclose(m.std(-1), 1.0, atol=2e-2)
