@@ -38,11 +38,14 @@ def main():
     from handwritten_math_ocr_api_tpu.decode.greedy import greedy_decode
     from handwritten_math_ocr_api_tpu.models import model as model_mod
     from handwritten_math_ocr_api_tpu.models.model import init_model
-    from handwritten_math_ocr_api_tpu.ops.fused_step import build_stacked
+    from handwritten_math_ocr_api_tpu.ops.fused_step import (
+        build_stacked, quantize_stacked,
+    )
 
     cfg = ModelConfig()
     params, state = init_model(jax.random.PRNGKey(0), cfg)
     stacked = build_stacked(params["decoder"], cfg)
+    stacked_q = quantize_stacked(stacked)
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.standard_normal(
         (BATCH, cfg.img_h, cfg.img_w, 1)).astype(np.float32))
@@ -54,7 +57,7 @@ def main():
         return greedy_decode(params["decoder"], cfg, memory,
                              cfg.max_seq_len, eos_id=eos_unreachable)
 
-    def make_fused(variant):
+    def make_fused(variant, stk):
         @jax.jit
         def decode_fused(params, stacked, images):
             memory, _ = model_mod.encode(params, state, cfg, images)
@@ -62,12 +65,13 @@ def main():
                 params["decoder"], stacked, cfg, memory, cfg.max_seq_len,
                 eos_id=eos_unreachable, interpret=False, variant=variant)
 
-        return lambda: decode_fused(params, stacked, images)
+        return lambda: decode_fused(params, stk, images)
 
     arms = {
         "xla": lambda: decode_xla(params, images),
-        "v2": make_fused("v2"),
-        "v1": make_fused("v1"),
+        "v2": make_fused("v2", stacked),
+        "v2q": make_fused("v2", stacked_q),  # int8 weights in-kernel
+        "v1": make_fused("v1", stacked),
     }
 
     results = []

@@ -202,23 +202,50 @@ def _make_kernel(cfg: ModelConfig, B: int, T: int, L_enc: int,
 
 
 def _make_kernel_v2(cfg: ModelConfig, B: int, T: int, L_enc: int,
-                    l_enc_actual: int):
+                    l_enc_actual: int, quantized: bool = False):
     """Compute-only variant: caches are READ-ONLY inputs; the kernel merges
     the freshly-projected K/V row into its VMEM copy for attention and
     emits it as a tiny (B, D) output per layer — the HBM cache append is a
     single dynamic_update_slice on the stacked cache *outside* the kernel.
     Removes v1's pathology (12.3 MB/step of (B, T, D) cache write-back +
-    aliasing copies inside the while_loop)."""
+    aliasing copies inside the while_loop).
+
+    ``quantized``: weights arrive as int8 with per-output-column f32
+    scales; dequant happens on the matmul *output* (scale commutes with a
+    per-column-scaled weight), so the HBM weight stream is halved and no
+    dequantized copy is ever materialized."""
     D = cfg.d_model
     scale = 1.0 / (cfg.head_dim ** 0.5)
     n_layers = cfg.num_decoder_layers
 
-    def kernel(pos_ref, x_ref, g_ref,
-               w_qkv, b_qkv, w_out, b_out, w_cq, b_cq, w_co, b_co,
-               w_ff1, b_ff1, w_ff2, b_ff2, ln,
-               sk_in, sv_in, ck_ref, cv_ref,
-               x_out, k_new_out, v_new_out,
-               x_scr):
+    def kernel(*refs):
+        if quantized:
+            (pos_ref, x_ref, g_ref,
+             w_qkv, s_qkv, b_qkv, w_out, s_out, b_out,
+             w_cq, s_cq, b_cq, w_co, s_co, b_co,
+             w_ff1, s_ff1, b_ff1, w_ff2, s_ff2, b_ff2,
+             ln, sk_in, sv_in, ck_ref, cv_ref,
+             x_out, k_new_out, v_new_out, x_scr) = refs
+
+            def mm(x, w_ref, s_ref):
+                # int8 -> bf16 is exact (|w_q| <= 127); accumulate f32 on
+                # the MXU, apply the per-column scale to the output
+                y = jnp.dot(x.astype(jnp.bfloat16),
+                            w_ref[0].astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+                return y * s_ref[0]
+        else:
+            (pos_ref, x_ref, g_ref,
+             w_qkv, b_qkv, w_out, b_out, w_cq, b_cq, w_co, b_co,
+             w_ff1, b_ff1, w_ff2, b_ff2,
+             ln, sk_in, sv_in, ck_ref, cv_ref,
+             x_out, k_new_out, v_new_out, x_scr) = refs
+            s_qkv = s_out = s_cq = s_co = s_ff1 = s_ff2 = None
+
+            def mm(x, w_ref, s_ref):
+                return jnp.dot(x.astype(w_ref.dtype), w_ref[0],
+                               preferred_element_type=jnp.float32)
+
         layer = pl.program_id(0)
         pos = pos_ref[0]
         G = g_ref[:].astype(jnp.float32)               # (D, H)
@@ -231,8 +258,7 @@ def _make_kernel_v2(cfg: ModelConfig, B: int, T: int, L_enc: int,
         cdt = sk_in.dtype
 
         # ---- self-attention; new K/V row merged in VMEM only ----
-        qkv = jnp.dot(x.astype(w_qkv.dtype), w_qkv[0],
-                      preferred_element_type=jnp.float32) + b_qkv[0]
+        qkv = mm(x, w_qkv, s_qkv) + b_qkv[0]
         q, k_new, v_new = (qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:])
         k_new_out[0] = k_new.astype(k_new_out.dtype)
         v_new_out[0] = v_new.astype(v_new_out.dtype)
@@ -255,13 +281,11 @@ def _make_kernel_v2(cfg: ModelConfig, B: int, T: int, L_enc: int,
             probs, G, dimension_numbers=(((2,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)        # (B, T, D)
         attn = jnp.sum(probs_d * v.astype(jnp.float32), axis=1)  # (B, D)
-        sa = jnp.dot(attn.astype(w_out.dtype), w_out[0],
-                     preferred_element_type=jnp.float32) + b_out[0]
+        sa = mm(attn, w_out, s_out) + b_out[0]
         x = _ln(x + sa, ln[0, 0], ln[0, 1])
 
         # ---- cross-attention (precomputed memory K/V) ----
-        qc = jnp.dot(x.astype(w_cq.dtype), w_cq[0],
-                     preferred_element_type=jnp.float32) + b_cq[0]
+        qc = mm(x, w_cq, s_cq) + b_cq[0]
         ckf = ck_ref[0].astype(jnp.float32)            # (B, L_enc, D)
         cvf = cv_ref[0].astype(jnp.float32)
         prod_c = (qc * scale)[:, None, :] * ckf
@@ -278,16 +302,13 @@ def _make_kernel_v2(cfg: ModelConfig, B: int, T: int, L_enc: int,
             probs_c, G, dimension_numbers=(((2,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         attn_c = jnp.sum(probs_cd * cvf, axis=1)       # (B, D)
-        ca = jnp.dot(attn_c.astype(w_co.dtype), w_co[0],
-                     preferred_element_type=jnp.float32) + b_co[0]
+        ca = mm(attn_c, w_co, s_co) + b_co[0]
         x = _ln(x + ca, ln[0, 2], ln[0, 3])
 
         # ---- FFN ----
-        h = jnp.dot(x.astype(w_ff1.dtype), w_ff1[0],
-                    preferred_element_type=jnp.float32) + b_ff1[0]
+        h = mm(x, w_ff1, s_ff1) + b_ff1[0]
         h = jnp.maximum(h, 0.0)
-        ff = jnp.dot(h.astype(w_ff2.dtype), w_ff2[0],
-                     preferred_element_type=jnp.float32) + b_ff2[0]
+        ff = mm(h, w_ff2, s_ff2) + b_ff2[0]
         x = _ln(x + ff, ln[0, 4], ln[0, 5])
 
         x_scr[:] = x
@@ -299,17 +320,39 @@ def _make_kernel_v2(cfg: ModelConfig, B: int, T: int, L_enc: int,
     return kernel
 
 
+WEIGHT_KEYS = ("w_qkv", "w_out", "w_cq", "w_co", "w_ff1", "w_ff2")
+
+
+def quantize_stacked(stacked) -> Dict[str, jax.Array]:
+    """int8-quantize the six stacked weight tensors per output column
+    (ops.quant semantics, vmapped over the layer axis). Returns a new dict
+    with ``{k}`` replaced by int8 and ``{k}_s`` f32 (L, 1, out) scales."""
+    from .quant import quantize_weight
+
+    out = dict(stacked)
+    for k in WEIGHT_KEYS:
+        w_q, s = jax.vmap(quantize_weight)(stacked[k].astype(jnp.float32))
+        out[k] = w_q
+        out[f"{k}_s"] = s[:, None, :]
+    return out
+
+
 def fused_decoder_layers_step_v2(stacked, cfg: ModelConfig, x_emb, self_k,
                                  self_v, cross_k, cross_v, pos,
                                  l_enc_actual: int | None = None,
                                  *, interpret: bool | None = None):
     """Compute-only fused step. Caches are inputs only; returns
     (x_out (B, D) f32, k_new (L, B, D), v_new (L, B, D)) — the caller
-    appends the rows with one dynamic_update_slice per stacked cache."""
+    appends the rows with one dynamic_update_slice per stacked cache.
+
+    If ``stacked`` came from :func:`quantize_stacked` (detected by the
+    ``w_qkv_s`` key), weights stream from HBM as int8 and dequantize on the
+    matmul output inside the kernel (half the weight bandwidth)."""
     from . import default_interpret
 
     if interpret is None:
         interpret = default_interpret()
+    quantized = "w_qkv_s" in stacked
     L, B, T, D = self_k.shape
     L_enc = cross_k.shape[2]
     if l_enc_actual is None:
@@ -327,25 +370,31 @@ def fused_decoder_layers_step_v2(stacked, cfg: ModelConfig, x_emb, self_k,
                             lambda l, pos_ref: (l,) + (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
+    def weight_specs(name, shape):
+        specs = [per_layer(shape)]
+        if quantized:
+            specs.append(per_layer((1, shape[-1])))  # per-column scale
+        return specs
+
+    in_specs = [fixed((B, D)), fixed((D, cfg.nhead))]
+    in_specs += weight_specs("w_qkv", (D, 3 * D)) + [per_layer((1, 3 * D))]
+    in_specs += weight_specs("w_out", (D, D)) + [per_layer((1, D))]
+    in_specs += weight_specs("w_cq", (D, D)) + [per_layer((1, D))]
+    in_specs += weight_specs("w_co", (D, D)) + [per_layer((1, D))]
+    in_specs += weight_specs("w_ff1", (D, ff)) + [per_layer((1, ff))]
+    in_specs += weight_specs("w_ff2", (ff, D)) + [per_layer((1, D))]
+    in_specs += [
+        per_layer((6, D)),              # ln
+        per_layer((B, T, D)),           # self_k (read-only)
+        per_layer((B, T, D)),           # self_v (read-only)
+        per_layer((B, L_enc, D)),       # cross_k
+        per_layer((B, L_enc, D)),       # cross_v
+    ]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(L,),
-        in_specs=[
-            fixed((B, D)),                  # x_emb
-            fixed((D, cfg.nhead)),          # G
-            per_layer((D, 3 * D)),          # w_qkv
-            per_layer((1, 3 * D)),          # b_qkv
-            per_layer((D, D)), per_layer((1, D)),      # w_out, b_out
-            per_layer((D, D)), per_layer((1, D)),      # w_cq, b_cq
-            per_layer((D, D)), per_layer((1, D)),      # w_co, b_co
-            per_layer((D, ff)), per_layer((1, ff)),    # w_ff1, b_ff1
-            per_layer((ff, D)), per_layer((1, D)),     # w_ff2, b_ff2
-            per_layer((6, D)),              # ln
-            per_layer((B, T, D)),           # self_k (read-only)
-            per_layer((B, T, D)),           # self_v (read-only)
-            per_layer((B, L_enc, D)),       # cross_k
-            per_layer((B, L_enc, D)),       # cross_v
-        ],
+        in_specs=in_specs,
         out_specs=(
             fixed((B, D)),                  # x_out
             per_layer((B, D)),              # k_new
@@ -354,7 +403,23 @@ def fused_decoder_layers_step_v2(stacked, cfg: ModelConfig, x_emb, self_k,
         scratch_shapes=[pltpu.VMEM((B, D), jnp.float32)],
     )
 
-    kernel = _make_kernel_v2(cfg, B, T, L_enc, l_enc_actual)
+    def weight_args(name, bias):
+        args = [stacked[name]]
+        if quantized:
+            args.append(stacked[f"{name}_s"])
+        return args + [stacked[bias]]
+
+    operands = [pos_arr, x_emb, G]
+    operands += weight_args("w_qkv", "b_qkv")
+    operands += weight_args("w_out", "b_out")
+    operands += weight_args("w_cq", "b_cq")
+    operands += weight_args("w_co", "b_co")
+    operands += weight_args("w_ff1", "b_ff1")
+    operands += weight_args("w_ff2", "b_ff2")
+    operands += [stacked["ln"], self_k, self_v, cross_k, cross_v]
+
+    kernel = _make_kernel_v2(cfg, B, T, L_enc, l_enc_actual,
+                             quantized=quantized)
     x_out, k_new, v_new = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -364,11 +429,7 @@ def fused_decoder_layers_step_v2(stacked, cfg: ModelConfig, x_emb, self_k,
             jax.ShapeDtypeStruct((L, B, D), self_v.dtype),
         ),
         interpret=interpret,
-    )(pos_arr, x_emb, G, stacked["w_qkv"], stacked["b_qkv"],
-      stacked["w_out"], stacked["b_out"], stacked["w_cq"], stacked["b_cq"],
-      stacked["w_co"], stacked["b_co"], stacked["w_ff1"], stacked["b_ff1"],
-      stacked["w_ff2"], stacked["b_ff2"], stacked["ln"],
-      self_k, self_v, cross_k, cross_v)
+    )(*operands)
     return x_out, k_new, v_new
 
 

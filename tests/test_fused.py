@@ -148,3 +148,52 @@ def test_fused_cache_layout_and_padding(setup):
     assert ck.shape == (2, 3, 16, 32)   # L_enc=6 rounded to 16
     # padding rows are zero; kernel masks them
     assert float(jnp.abs(ck[:, :, 6:]).max()) == 0.0
+
+
+def test_fused_step_v2_quantized_matches_dequantized(setup):
+    """v2 with int8 weights + in-kernel output-side dequant must equal v2
+    run on the explicitly dequantized (w_q * scale) weights, up to the bf16
+    matmul rounding the quantized path uses."""
+    from handwritten_math_ocr_api_tpu.ops.fused_step import (
+        WEIGHT_KEYS, quantize_stacked,
+    )
+
+    params, stacked, memory = setup
+    stacked_q = quantize_stacked(stacked)
+    stacked_dq = dict(stacked)
+    for k in WEIGHT_KEYS:
+        stacked_dq[k] = (stacked_q[k].astype(jnp.float32)
+                         * stacked_q[f"{k}_s"])
+
+    B = memory.shape[0]
+    sk, sv, ck, cv = init_fused_cache(params, CFG, memory, max_len=16)
+    rng = np.random.default_rng(2)
+    prev = jnp.asarray(rng.integers(0, CFG.vocab_size, (B,)), jnp.int32)
+    x_emb = (params["embedding"]["table"][prev]
+             + params["pos"]["table"][0]).astype(jnp.float32)
+
+    x_dq, k_dq, v_dq = fused_decoder_layers_step_v2(
+        stacked_dq, CFG, x_emb, sk, sv, ck, cv, jnp.int32(0),
+        l_enc_actual=memory.shape[1], interpret=True)
+    x_q, k_q, v_q = fused_decoder_layers_step_v2(
+        stacked_q, CFG, x_emb, sk, sv, ck, cv, jnp.int32(0),
+        l_enc_actual=memory.shape[1], interpret=True)
+    np.testing.assert_allclose(np.asarray(x_q), np.asarray(x_dq),
+                               atol=5e-2, rtol=5e-2)
+    np.testing.assert_allclose(np.asarray(k_q), np.asarray(k_dq),
+                               atol=5e-2, rtol=5e-2)
+
+
+def test_fused_greedy_v2_quantized_tokens_close(setup):
+    """End-to-end greedy with in-kernel int8 weights: tokens should mostly
+    match the full-precision fused path (int8 rounding can flip rare
+    near-ties on random weights)."""
+    from handwritten_math_ocr_api_tpu.ops.fused_step import quantize_stacked
+
+    params, stacked, memory = setup
+    want = greedy_decode_fused(params, stacked, CFG, memory,
+                               CFG.max_seq_len, interpret=True)
+    got = greedy_decode_fused(params, quantize_stacked(stacked), CFG,
+                              memory, CFG.max_seq_len, interpret=True)
+    tw, tg = np.asarray(want.tokens), np.asarray(got.tokens)
+    assert (tw == tg).mean() > 0.8, (tw, tg)
