@@ -122,7 +122,7 @@ def cmd_evaluate(args) -> int:
     state, _ = create_train_state(jax.random.PRNGKey(0), mc,
                                   Config().train)
     state, _meta = load_checkpoint(args.checkpoint_dir, args.checkpoint,
-                                   state)
+                                   state, params_only=True)
     engine = DecodeEngine(state.params, state.model_state, mc,
                           DecodeConfig(), tok)
     loader = get_test_loader(tok, dc, mc)
@@ -151,7 +151,7 @@ def cmd_predict(args) -> int:
     mc = _model_config(args, len(vocab))
     state, _ = create_train_state(jax.random.PRNGKey(0), mc, Config().train)
     state, _meta = load_checkpoint(args.checkpoint_dir, args.checkpoint,
-                                   state)
+                                   state, params_only=True)
     engine = DecodeEngine(state.params, state.model_state, mc,
                           DecodeConfig(), tok)
     img = preprocess_file(args.image, mc)

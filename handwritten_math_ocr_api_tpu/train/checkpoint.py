@@ -45,20 +45,31 @@ def save_checkpoint(directory: str, name: str, state: TrainState,
     return path
 
 
-def load_checkpoint(directory: str, name: str,
-                    template: TrainState) -> Tuple[TrainState, Dict]:
-    """Restore into the structure of ``template`` (shapes/dtypes/shardings)."""
+def load_checkpoint(directory: str, name: str, template: TrainState,
+                    params_only: bool = False) -> Tuple[TrainState, Dict]:
+    """Restore into the structure of ``template`` (shapes/dtypes/shardings).
+
+    ``params_only``: skip the optimizer state — evaluation/serving loads
+    must not depend on the training run's optimizer chain structure
+    (e.g. whether warmup was enabled)."""
     path = os.path.abspath(os.path.join(directory, name))
     ckptr = ocp.PyTreeCheckpointer()
     target = {
         "params": template.params,
-        "opt_state": template.opt_state,
         "model_state": template.model_state,
         "step": template.step,
     }
-    restored = ckptr.restore(path, item=target)
+    if not params_only:
+        target["opt_state"] = template.opt_state
+    try:
+        restored = ckptr.restore(path, item=target,
+                                 partial_restore=params_only)
+    except TypeError:  # older orbax without partial_restore kwarg
+        restored = ckptr.restore(path, item=target)
     state = template.replace(
-        params=restored["params"], opt_state=restored["opt_state"],
+        params=restored["params"],
+        opt_state=(template.opt_state if params_only
+                   else restored["opt_state"]),
         model_state=restored["model_state"], step=restored["step"])
     meta_path = os.path.join(path, _META)
     meta = json.load(open(meta_path)) if os.path.exists(meta_path) else {}

@@ -258,3 +258,21 @@ def test_memory_norm_gates_param_and_normalizes():
     m = np.asarray(mem)
     np.testing.assert_allclose(m.mean(-1), 0.0, atol=1e-4)
     np.testing.assert_allclose(m.std(-1), 1.0, atol=2e-2)
+
+
+def test_checkpoint_params_only_across_optimizer_chains(tmp_path):
+    """Eval/predict must load checkpoints regardless of the training run's
+    optimizer chain (e.g. warmup on/off changes opt_state structure)."""
+    from handwritten_math_ocr_api_tpu.train import checkpoint as ck
+
+    tc_warm = TrainConfig(checkpoint_dir=str(tmp_path), warmup_steps=100)
+    state, _ = create_train_state(jax.random.PRNGKey(0), TINY, tc_warm)
+    ck.save_checkpoint(str(tmp_path), "m", state, epoch=1, metric=2.0)
+
+    tc_plain = TrainConfig(checkpoint_dir=str(tmp_path))  # no warmup stage
+    fresh, _ = create_train_state(jax.random.PRNGKey(42), TINY, tc_plain)
+    restored, meta = ck.load_checkpoint(str(tmp_path), "m", fresh,
+                                        params_only=True)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
