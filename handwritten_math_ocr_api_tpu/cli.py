@@ -124,7 +124,8 @@ def cmd_evaluate(args) -> int:
     state, _meta = load_checkpoint(args.checkpoint_dir, args.checkpoint,
                                    state, params_only=True)
     engine = DecodeEngine(state.params, state.model_state, mc,
-                          DecodeConfig(), tok)
+                          DecodeConfig(), tok,
+                          use_fused=getattr(args, "use_fused", False))
     loader = get_test_loader(tok, dc, mc)
     results = evaluate_model(engine, loader, tok,
                              beam_size=args.beam_size)
@@ -252,6 +253,8 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--checkpoint", default="best_model")
     ev.add_argument("--batch-size", type=int, default=64)
     ev.add_argument("--beam-size", type=int, default=None)
+    ev.add_argument("--use-fused", action="store_true",
+                    help="greedy decode via the fused Pallas megakernel")
     ev.add_argument("--out-dir", default="results")
     ev.set_defaults(fn=cmd_evaluate)
 
