@@ -28,7 +28,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=15)
     ap.add_argument("--arms", default="xla,v2,xla,v1,xla")
+    ap.add_argument("--batch", type=int, default=BATCH)
     args = ap.parse_args()
+    batch = args.batch
 
     import jax
     import jax.numpy as jnp
@@ -48,7 +50,7 @@ def main():
     stacked_q = quantize_stacked(stacked)
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.standard_normal(
-        (BATCH, cfg.img_h, cfg.img_w, 1)).astype(np.float32))
+        (batch, cfg.img_h, cfg.img_w, 1)).astype(np.float32))
     eos_unreachable = cfg.vocab_size + 1
 
     @jax.jit
@@ -86,8 +88,9 @@ def main():
             total = total + r.logprob_sum.sum()
         assert np.isfinite(float(total))
         dt = (time.perf_counter() - t0) / args.iters
-        res = {"arm": arm, "ms_per_batch10": round(dt * 1e3, 2),
-               "imgs_per_sec": round(BATCH / dt, 2),
+        res = {"arm": arm, "batch": batch,
+               "ms_per_batch": round(dt * 1e3, 2),
+               "imgs_per_sec": round(batch / dt, 2),
                "us_per_step": round(dt * 1e6 / cfg.max_seq_len, 1)}
         results.append(res)
         print(json.dumps(res), flush=True)
