@@ -11,8 +11,6 @@ with tests/test_fused.py and bench variants.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

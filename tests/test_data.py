@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 
 from handwritten_math_ocr_api_tpu.core.config import (
-    EOS_ID, PAD_ID, SOS_ID, DataConfig, ModelConfig,
+    EOS_ID, SOS_ID, DataConfig, ModelConfig,
 )
 from handwritten_math_ocr_api_tpu.core.tokenizer import (
     Tokenizer, create_vocab_from_csvs,

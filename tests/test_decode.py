@@ -12,7 +12,7 @@ from handwritten_math_ocr_api_tpu.core.config import (
 )
 from handwritten_math_ocr_api_tpu.core.tokenizer import Tokenizer
 from handwritten_math_ocr_api_tpu.decode.api import (
-    EMPTY_RESULT_FALLBACK, DecodeEngine, pick_bucket,
+    DecodeEngine, pick_bucket,
 )
 from handwritten_math_ocr_api_tpu.decode.beam import beam_decode
 from handwritten_math_ocr_api_tpu.decode.greedy import greedy_decode

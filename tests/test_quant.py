@@ -2,7 +2,6 @@
 closeness of quantized decode, and engine integration."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
