@@ -41,13 +41,14 @@ def main():
     from handwritten_math_ocr_api_tpu.models import model as model_mod
     from handwritten_math_ocr_api_tpu.models.model import init_model
     from handwritten_math_ocr_api_tpu.ops.fused_step import (
-        build_stacked, quantize_stacked,
+        build_stacked, build_stacked_full, quantize_stacked,
     )
 
     cfg = ModelConfig()
     params, state = init_model(jax.random.PRNGKey(0), cfg)
     stacked = build_stacked(params["decoder"], cfg)
     stacked_q = quantize_stacked(stacked)
+    stacked_full = build_stacked_full(params["decoder"], cfg)
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.standard_normal(
         (batch, cfg.img_h, cfg.img_w, 1)).astype(np.float32))
@@ -74,6 +75,8 @@ def main():
         "v2": make_fused("v2", stacked),
         "v2q": make_fused("v2", stacked_q),  # int8 weights in-kernel
         "v1": make_fused("v1", stacked),
+        "v3": make_fused("v3", stacked_full),  # whole-step, batch-major
+        "v4": make_fused("v4", stacked_full),  # whole-step, time-major
     }
 
     results = []

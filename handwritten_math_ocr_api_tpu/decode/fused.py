@@ -17,8 +17,8 @@ import jax.numpy as jnp
 from ..core.config import EOS_ID, ModelConfig, PAD_ID, SOS_ID
 from ..models import layers
 from ..ops.fused_step import (
-    _round_up, build_stacked, fused_decoder_layers_step,
-    fused_decoder_layers_step_v2,
+    _round_up, build_stacked, build_stacked_full, fused_decoder_layers_step,
+    fused_decoder_layers_step_v2, fused_whole_step,
 )
 from .greedy import GreedyResult
 
@@ -63,13 +63,27 @@ def greedy_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
 
     variant "v2" (default): compute-only kernel, cache rows appended by two
     dynamic_update_slice on the stacked caches — no (B, T, D) write-back.
+    variant "v4": whole-step kernel — embedding gather, all layers, output
+    head (argmax + log-prob) and in-place cache-row append in ONE Pallas
+    program; only the (B,)-vector eos bookkeeping stays in XLA. ``stacked``
+    must come from build_stacked_full (auto-built here if the head tables
+    are missing). Uses time-major (L, T, B, D) caches.
+    variant "v3": the same whole-step kernel over v2's batch-major caches
+    (fresh rows appended by dynamic_update_slice outside).
     variant "v1": the round-1 aliased-write-back kernel (kept for A/B)."""
     B = memory.shape[0]
     l_enc_actual = memory.shape[1]
+    if variant in ("v3", "v4") and "emb" not in stacked:
+        stacked = build_stacked_full(decoder_params, cfg)
     T_out = max_len or cfg.max_seq_len
     dtype = jnp.dtype(cfg.dtype)
     self_k, self_v, cross_k, cross_v = init_fused_cache(
         decoder_params, cfg, memory, max_len)
+    if variant == "v4":  # whole-step kernel wants time-major self caches
+        L = cfg.num_decoder_layers
+        T_pad = _round_up(T_out, 16)
+        self_k = jnp.zeros((L, T_pad, B, cfg.d_model), dtype)
+        self_v = jnp.zeros_like(self_k)
 
     emb = decoder_params["embedding"]["table"]
     pos_table = decoder_params["pos"]["table"]
@@ -92,6 +106,30 @@ def greedy_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
 
     def body(state):
         step, prev, finished, tokens, lp_sum, count, sk, sv = state
+        if variant in ("v3", "v4"):
+            if variant == "v4":
+                nxt, logp, sk, sv = fused_whole_step(
+                    stacked, cfg, prev, sk, sv, cross_k, cross_v, step,
+                    l_enc_actual=l_enc_actual, interpret=interpret)
+            else:  # v3: batch-major caches, rows appended here
+                nxt, logp, k_new, v_new = fused_whole_step(
+                    stacked, cfg, prev, sk, sv, cross_k, cross_v, step,
+                    l_enc_actual=l_enc_actual, interpret=interpret,
+                    time_major=False)
+                sk = jax.lax.dynamic_update_slice(
+                    sk, k_new[:, :, None, :], (0, 0, step, 0))
+                sv = jax.lax.dynamic_update_slice(
+                    sv, v_new[:, :, None, :], (0, 0, step, 0))
+            is_eos = nxt == eos_id
+            lp_sum = lp_sum + jnp.where(finished, 0.0, logp)
+            count = count + jnp.where(finished | is_eos, 0, 1)
+            emit = jnp.where(finished, pad_id, nxt)
+            tokens = jax.lax.dynamic_update_slice(tokens, emit[:, None],
+                                                  (0, step))
+            finished = finished | is_eos
+            prev_next = jnp.where(finished, eos_id, nxt)
+            return (step + 1, prev_next, finished, tokens, lp_sum, count,
+                    sk, sv)
         x_emb = (emb[prev] + pos_table[step]).astype(dtype)   # (B, D)
         if variant == "v2":
             x, k_new, v_new = fused_decoder_layers_step_v2(

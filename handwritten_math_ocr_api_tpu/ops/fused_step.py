@@ -329,6 +329,30 @@ def _make_kernel_v2(cfg: ModelConfig, B: int, T: int, L_enc: int,
 WEIGHT_KEYS = ("w_qkv", "w_out", "w_cq", "w_co", "w_ff1", "w_ff2")
 
 
+def build_stacked_full(decoder_params, cfg: ModelConfig) -> Dict[str, jax.Array]:
+    """:func:`build_stacked` plus the embedding / positional / output-head
+    tables the whole-step kernel (v4) needs, padded to the 128-lane tile.
+
+    Tables stay f32 to match the jnp path bit-for-bit: the XLA decode step
+    reads ``emb[prev] + pos[step]`` in f32 before the dtype cast, and runs
+    ``fc_out`` in f32 (models/decoder.py). Padded vocab columns get a -1e9
+    head bias so they can never win the in-kernel argmax and contribute
+    exactly 0 to the softmax normalizer (exp underflows)."""
+    st = dict(build_stacked(decoder_params, cfg))
+    emb = jnp.asarray(decoder_params["embedding"]["table"], jnp.float32)
+    V = emb.shape[0]
+    Vp = _round_up(V, 128)
+    st["emb"] = jnp.pad(emb, ((0, Vp - V), (0, 0)))
+    pos_tab = jnp.asarray(decoder_params["pos"]["table"], jnp.float32)
+    Tp = _round_up(pos_tab.shape[0], 8)  # sublane tile for the VMEM block
+    st["pos_emb"] = jnp.pad(pos_tab, ((0, Tp - pos_tab.shape[0]), (0, 0)))
+    w = jnp.asarray(decoder_params["fc_out"]["w"], jnp.float32)
+    b = jnp.asarray(decoder_params["fc_out"]["b"], jnp.float32)
+    st["w_head"] = jnp.pad(w, ((0, 0), (0, Vp - V)))
+    st["b_head"] = jnp.pad(b, (0, Vp - V), constant_values=-1e9)[None, :]
+    return st
+
+
 def quantize_stacked(stacked) -> Dict[str, jax.Array]:
     """int8-quantize the six stacked weight tensors per output column
     (ops.quant semantics, vmapped over the layer axis). Returns a new dict
@@ -341,6 +365,278 @@ def quantize_stacked(stacked) -> Dict[str, jax.Array]:
         out[k] = w_q
         out[f"{k}_s"] = s[:, None, :]
     return out
+
+
+def _make_kernel_v4(cfg: ModelConfig, B: int, T: int, L_enc: int,
+                    l_enc_actual: int, Vp: int, Tp: int,
+                    time_major: bool = True):
+    """Whole-step kernel: embedding gather (one-hot MXU matmul) + all
+    decoder layers + output head (logits, argmax, chosen log-prob) in one
+    Pallas program, with the fresh K/V rows written straight into the HBM
+    caches via dynamic out-block index maps (aliased, single-row writes).
+
+    Per decode step this leaves ~zero XLA ops outside the kernel: the only
+    external work is the (B,)-vector finished/eos bookkeeping of the while
+    loop. Compare v2, which leaves embedding + fc_out + argmax + softmax +
+    two cache dynamic_update_slice calls to XLA (~24 us/step of dispatch
+    overhead at batch 10 — see benchmarks/diag_cache_scaling.py).
+
+    Self-cache layout here is (L, T, B, D) — time-major, unlike v1/v2's
+    (L, B, T, D) — so the per-step fresh row is a (1, 1, B, D) out block
+    whose last two dims are whole-array (tileable), written in place at
+    ``pos`` via the scalar-prefetch index map."""
+    D = cfg.d_model
+    scale = 1.0 / (cfg.head_dim ** 0.5)
+    n_layers = cfg.num_decoder_layers
+
+    def kernel(pos_ref, prev_ref, g_ref, emb_ref, pos_tab_ref,
+               w_qkv, b_qkv, w_out, b_out, w_cq, b_cq, w_co, b_co,
+               w_ff1, b_ff1, w_ff2, b_ff2, ln,
+               sk_in, sv_in, ck_ref, cv_ref, w_head_ref, b_head_ref,
+               nxt_out, logp_out, sk_row_out, sv_row_out,
+               x_scr):
+        layer = pl.program_id(0)
+        pos = pos_ref[0]
+        G = g_ref[:].astype(jnp.float32)               # (D, H)
+        wdt = w_qkv.dtype
+
+        @pl.when(layer == 0)
+        def _():
+            # one-hot embedding gather on the MXU: onehotT (Vp, B) with
+            # onehotT[v, b] = (prev[b] == v), contracted over Vp against the
+            # f32 table; exact row selection, no transposes.
+            iota_v = jax.lax.broadcasted_iota(jnp.int32, (Vp, B), 0)
+            onehot_t = (iota_v == prev_ref[:]).astype(jnp.float32)
+            x0 = jax.lax.dot_general(
+                onehot_t, emb_ref[:],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # (B, D)
+            # positional row via the same one-hot trick (dynamic sublane
+            # indexing is not tileable; a (1, Tp) @ (Tp, D) matmul is)
+            iota_p = jax.lax.broadcasted_iota(jnp.int32, (1, Tp), 1)
+            oh_pos = (iota_p == pos).astype(jnp.float32)
+            pos_row = jnp.dot(oh_pos, pos_tab_ref[:],
+                              preferred_element_type=jnp.float32)  # (1, D)
+            x0 = x0 + pos_row
+            # match the jnp path: cast to the compute dtype, then f32
+            x_scr[:] = x0.astype(wdt).astype(jnp.float32)
+
+        x = x_scr[:]                                   # (B, D) f32
+        cdt = sk_in.dtype
+
+        def mm(x, w_ref):
+            return jnp.dot(x.astype(w_ref.dtype), w_ref[0],
+                           preferred_element_type=jnp.float32)
+
+        # ---- self-attention; fresh K/V row -> HBM via out index map ----
+        qkv = mm(x, w_qkv) + b_qkv[0]
+        q, k_new, v_new = (qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:])
+        if time_major:
+            # cache blocks are (T, B, D); the fresh row is an in-place
+            # (1, 1, B, D) HBM write; reductions run over the leading
+            # (untiled) T axis
+            sk_row_out[0, 0] = k_new.astype(cdt)
+            sv_row_out[0, 0] = v_new.astype(cdt)
+            slot = jax.lax.broadcasted_iota(jnp.int32, (T, B, 1), 0)
+            at_pos = slot == pos
+            k = jnp.where(at_pos, k_new[None, :, :].astype(cdt), sk_in[0])
+            v = jnp.where(at_pos, v_new[None, :, :].astype(cdt), sv_in[0])
+            t_axis = 0
+        else:
+            # batch-major (B, T, D) blocks, same as v2: fresh rows are
+            # emitted as (L, B, D) outputs and appended by the caller
+            sk_row_out[0] = k_new.astype(cdt)
+            sv_row_out[0] = v_new.astype(cdt)
+            slot = jax.lax.broadcasted_iota(jnp.int32, (B, T, 1), 1)
+            at_pos = slot == pos
+            k = jnp.where(at_pos, k_new[:, None, :].astype(cdt), sk_in[0])
+            v = jnp.where(at_pos, v_new[:, None, :].astype(cdt), sv_in[0])
+            t_axis = 1
+
+        kf = k.astype(jnp.float32)
+        if time_major:
+            prod = (q * scale)[None, :, :] * kf        # (T, B, D)
+        else:
+            prod = (q * scale)[:, None, :] * kf        # (B, T, D)
+        logits = jax.lax.dot_general(
+            prod, G, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (., ., H)
+        logits = jnp.where(slot <= pos, logits, -jnp.inf)
+        m = jnp.max(logits, axis=t_axis, keepdims=True)
+        w = jnp.exp(logits - m)
+        probs = w / jnp.sum(w, axis=t_axis, keepdims=True)
+        probs_d = jax.lax.dot_general(
+            probs, G, dimension_numbers=(((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (., ., D)
+        attn = jnp.sum(probs_d * v.astype(jnp.float32), axis=t_axis)
+        sa = mm(attn, w_out) + b_out[0]
+        x = _ln(x + sa, ln[0, 0], ln[0, 1])
+
+        # ---- cross-attention (precomputed memory K/V) ----
+        qc = mm(x, w_cq) + b_cq[0]
+        ckf = ck_ref[0].astype(jnp.float32)            # (B, L_enc, D)
+        cvf = cv_ref[0].astype(jnp.float32)
+        prod_c = (qc * scale)[:, None, :] * ckf
+        logits_c = jax.lax.dot_general(
+            prod_c, G, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (B, L_enc, H)
+        if l_enc_actual < L_enc:  # mask tile-padding slots
+            slot_c = jax.lax.broadcasted_iota(jnp.int32, (B, L_enc, 1), 1)
+            logits_c = jnp.where(slot_c < l_enc_actual, logits_c, -jnp.inf)
+        mc = jnp.max(logits_c, axis=1, keepdims=True)
+        wc = jnp.exp(logits_c - mc)
+        probs_c = wc / jnp.sum(wc, axis=1, keepdims=True)
+        probs_cd = jax.lax.dot_general(
+            probs_c, G, dimension_numbers=(((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        attn_c = jnp.sum(probs_cd * cvf, axis=1)       # (B, D)
+        ca = mm(attn_c, w_co) + b_co[0]
+        x = _ln(x + ca, ln[0, 2], ln[0, 3])
+
+        # ---- FFN ----
+        h = mm(x, w_ff1) + b_ff1[0]
+        h = jnp.maximum(h, 0.0)
+        ff = mm(h, w_ff2) + b_ff2[0]
+        x = _ln(x + ff, ln[0, 4], ln[0, 5])
+
+        x_scr[:] = x
+
+        # ---- output head: logits, first-argmax, chosen log-prob ----
+        @pl.when(layer == n_layers - 1)
+        def _():
+            logits_v = jnp.dot(x, w_head_ref[:],
+                               preferred_element_type=jnp.float32)
+            logits_v = logits_v + b_head_ref[:]        # (B, Vp) f32
+            mv = jnp.max(logits_v, axis=-1, keepdims=True)
+            se = jnp.sum(jnp.exp(logits_v - mv), axis=-1, keepdims=True)
+            iota = jax.lax.broadcasted_iota(jnp.int32, logits_v.shape, 1)
+            idx = jnp.min(jnp.where(logits_v >= mv, iota, Vp), axis=-1,
+                          keepdims=True)               # first max, as argmax
+            p_max = jnp.exp(mv - (mv + jnp.log(se)))   # softmax of chosen
+            nxt_out[:] = idx.astype(jnp.int32)
+            logp_out[:] = jnp.log(p_max + 1e-10)       # reference numerics
+
+    return kernel
+
+
+def fused_whole_step(stacked, cfg: ModelConfig, prev, self_k, self_v,
+                     cross_k, cross_v, pos,
+                     l_enc_actual: int | None = None,
+                     *, interpret: bool | None = None,
+                     time_major: bool = True):
+    """One whole greedy-decode step as a single Pallas program.
+
+    prev: (B,) int32 previous tokens; cross_k/v: (L, B, L_enc_pad, D);
+    ``stacked`` must come from :func:`build_stacked_full`.
+
+    time_major=True ("v4"): self_k/v are (L, T, B, D) caches, donated —
+    the fresh rows are written in place at ``pos`` via aliased single-row
+    out blocks. Returns (nxt (B,) i32, logp (B,) f32, self_k', self_v').
+
+    time_major=False ("v3"): self_k/v are v2's (L, B, T, D) caches, read
+    only; the fresh rows come back as (L, B, D) for the caller to append
+    (keeps the T-row sublane layout, whose cache-block DMA is ~1.5x
+    cheaper than time-major's B-padded tiles at small batch). Returns
+    (nxt, logp, k_new (L, B, D), v_new (L, B, D))."""
+    from . import default_interpret
+
+    if interpret is None:
+        interpret = default_interpret()
+    if time_major:
+        L, T, B, D = self_k.shape
+    else:
+        L, B, T, D = self_k.shape
+    L_enc = cross_k.shape[2]
+    if l_enc_actual is None:
+        l_enc_actual = L_enc
+    ff = cfg.dim_feedforward
+    Vp = stacked["emb"].shape[0]
+    Tp = stacked["pos_emb"].shape[0]
+    pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
+    G = jnp.asarray(_group_matrix(D, cfg.nhead, np.float32))
+
+    def fixed(shape):
+        return pl.BlockSpec(shape, lambda l, p: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def per_layer(shape):
+        return pl.BlockSpec((1,) + shape,
+                            lambda l, p: (l,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L,),
+        in_specs=[
+            fixed((1, B)),                  # prev tokens (int32 row)
+            fixed((D, cfg.nhead)),          # G
+            fixed((Vp, D)),                 # embedding table (f32)
+            fixed((Tp, D)),                 # positional table (f32)
+            per_layer((D, 3 * D)), per_layer((1, 3 * D)),  # w_qkv, b_qkv
+            per_layer((D, D)), per_layer((1, D)),          # w_out, b_out
+            per_layer((D, D)), per_layer((1, D)),          # w_cq, b_cq
+            per_layer((D, D)), per_layer((1, D)),          # w_co, b_co
+            per_layer((D, ff)), per_layer((1, ff)),        # w_ff1, b_ff1
+            per_layer((ff, D)), per_layer((1, D)),         # w_ff2, b_ff2
+            per_layer((6, D)),              # ln
+            per_layer((T, B, D) if time_major else (B, T, D)),  # self_k
+            per_layer((T, B, D) if time_major else (B, T, D)),  # self_v
+            per_layer((B, L_enc, D)),       # cross_k
+            per_layer((B, L_enc, D)),       # cross_v
+            fixed((D, Vp)),                 # w_head (f32)
+            fixed((1, Vp)),                 # b_head (f32, pads -1e9)
+        ],
+        out_specs=(
+            fixed((B, 1)),                  # next token ids
+            fixed((B, 1)),                  # chosen log-prob
+        ) + ((
+            # single fresh cache row per layer, written in place at pos
+            pl.BlockSpec((1, 1, B, D), lambda l, p: (l, p[0], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B, D), lambda l, p: (l, p[0], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ) if time_major else (
+            per_layer((B, D)),              # k_new, appended by caller
+            per_layer((B, D)),              # v_new
+        )),
+        scratch_shapes=[pltpu.VMEM((B, D), jnp.float32)],
+    )
+
+    if time_major:
+        kv_out_shapes = (
+            jax.ShapeDtypeStruct(self_k.shape, self_k.dtype),
+            jax.ShapeDtypeStruct(self_v.shape, self_v.dtype),
+        )
+        # operand indices incl. scalar prefetch: pos=0, prev=1, G=2, emb=3,
+        # pos_tab=4, 13 weight arrays at 5..17, self_k=18, self_v=19,
+        # cross_k=20, cross_v=21, w_head=22, b_head=23
+        aliases = {18: 2, 19: 3}
+    else:
+        kv_out_shapes = (
+            jax.ShapeDtypeStruct((L, B, D), self_k.dtype),
+            jax.ShapeDtypeStruct((L, B, D), self_v.dtype),
+        )
+        aliases = {}
+
+    kernel = _make_kernel_v4(cfg, B, T, L_enc, l_enc_actual, Vp, Tp,
+                             time_major=time_major)
+    nxt, logp, k_out, v_out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        ) + kv_out_shapes,
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(pos_arr, jnp.asarray(prev, jnp.int32)[None, :], G,
+      stacked["emb"], stacked["pos_emb"],
+      stacked["w_qkv"], stacked["b_qkv"], stacked["w_out"], stacked["b_out"],
+      stacked["w_cq"], stacked["b_cq"], stacked["w_co"], stacked["b_co"],
+      stacked["w_ff1"], stacked["b_ff1"], stacked["w_ff2"], stacked["b_ff2"],
+      stacked["ln"], self_k, self_v, cross_k, cross_v,
+      stacked["w_head"], stacked["b_head"])
+    return nxt[:, 0], logp[:, 0], k_out, v_out
 
 
 def fused_decoder_layers_step_v2(stacked, cfg: ModelConfig, x_emb, self_k,

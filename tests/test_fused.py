@@ -108,6 +108,43 @@ def test_fused_greedy_matches_jnp_greedy(setup):
                                   np.asarray(want.token_count))
 
 
+@pytest.mark.parametrize("variant", ["v3", "v4"])
+def test_fused_greedy_whole_step_matches_jnp_greedy(setup, variant):
+    """Whole-step kernel (embedding gather + layers + head + argmax all in
+    one Pallas program): v4 = time-major caches with in-place aliased row
+    writes; v3 = batch-major caches with external appends."""
+    from handwritten_math_ocr_api_tpu.ops.fused_step import build_stacked_full
+
+    params, _, memory = setup
+    stacked_full = build_stacked_full(params, CFG)
+    want = greedy_decode(params, CFG, memory, CFG.max_seq_len)
+    got = greedy_decode_fused(params, stacked_full, CFG, memory,
+                              CFG.max_seq_len, interpret=True,
+                              variant=variant)
+    np.testing.assert_array_equal(np.asarray(got.tokens),
+                                  np.asarray(want.tokens))
+    np.testing.assert_allclose(np.asarray(got.logprob_sum),
+                               np.asarray(want.logprob_sum),
+                               atol=1e-3, rtol=1e-3)
+    np.testing.assert_array_equal(np.asarray(got.token_count),
+                                  np.asarray(want.token_count))
+
+
+def test_build_stacked_full_padding():
+    """Head-table padding: padded vocab columns must carry a -1e9 bias so
+    they can never win the in-kernel argmax."""
+    from handwritten_math_ocr_api_tpu.ops.fused_step import build_stacked_full
+
+    params = dec.init_decoder_params(jax.random.PRNGKey(3), CFG)
+    st = build_stacked_full(params, CFG)
+    V = CFG.vocab_size
+    assert st["emb"].shape[0] % 128 == 0
+    assert st["w_head"].shape[1] == st["emb"].shape[0]
+    assert float(jnp.abs(st["emb"][V:]).max()) == 0.0
+    assert (np.asarray(st["b_head"][0, V:]) == -1e9).all()
+    assert st["pos_emb"].shape[0] % 8 == 0
+
+
 def test_engine_use_fused_matches_default(setup):
     from handwritten_math_ocr_api_tpu.core.config import (
         DecodeConfig, SwinConfig,
