@@ -72,7 +72,8 @@ def main():
 
     arms = {
         "xla": lambda: decode_xla(params, images),
-        "v2": make_fused("v2", stacked),
+        "v2": make_fused("v2", stacked),     # elementwise attention (default)
+        "v2m": make_fused("v2m", stacked),   # batched-MXU attention A/B
         "v2q": make_fused("v2", stacked_q),  # int8 weights in-kernel
         "v1": make_fused("v1", stacked),
         "v3": make_fused("v3", stacked_full),  # whole-step, batch-major

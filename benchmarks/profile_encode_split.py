@@ -60,6 +60,12 @@ def main():
         return memory.sum()
 
     @jax.jit
+    def encode_pallas(params, images):
+        memory, _ = model_mod.encode(params, state, cfg, images,
+                                     use_pallas=True)
+        return memory.sum()
+
+    @jax.jit
     def full(params, stacked, images):
         memory, _ = model_mod.encode(params, state, cfg, images)
         r = greedy_decode_fused(
@@ -79,15 +85,21 @@ def main():
         return r.logprob_sum.sum()
 
     enc = timed(encode_only, params, images)
+    encp = timed(encode_pallas, params, images)
     dec = timed(decode_only, params, stacked, memory)
     tot = timed(full, params, stacked, images)
-    print(json.dumps({
+    out = {
         "batch": BATCH,
         "encode_ms": round(enc * 1e3, 2),
+        "encode_pallas_ms": round(encp * 1e3, 2),
         "decode_loop_ms": round(dec * 1e3, 2),
         "full_ms": round(tot * 1e3, 2),
         "decode_us_per_step": round(dec * 1e6 / 150, 1),
-    }, indent=None), flush=True)
+    }
+    print(json.dumps(out, indent=None), flush=True)
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "encode_split_results.json"), "w") as f:
+        json.dump(out, f, indent=2)
 
 
 if __name__ == "__main__":

@@ -63,6 +63,10 @@ def greedy_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
 
     variant "v2" (default): compute-only kernel, cache rows appended by two
     dynamic_update_slice on the stacked caches — no (B, T, D) write-back.
+    variant "v2m": v2 with attention as batched MXU matmuls and the fresh
+    row as an online-softmax term. A/B-measured SLOWER than v2 at batch 10
+    (83 vs 68 us/step): B-batched matmuls with M=H=8 are poor MXU shapes
+    (160 tiny matmuls per step). Kept for A/B evidence.
     variant "v4": whole-step kernel — embedding gather, all layers, output
     head (argmax + log-prob) and in-place cache-row append in ONE Pallas
     program; only the (B,)-vector eos bookkeeping stays in XLA. ``stacked``
@@ -131,10 +135,11 @@ def greedy_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
             return (step + 1, prev_next, finished, tokens, lp_sum, count,
                     sk, sv)
         x_emb = (emb[prev] + pos_table[step]).astype(dtype)   # (B, D)
-        if variant == "v2":
+        if variant in ("v2", "v2m"):
             x, k_new, v_new = fused_decoder_layers_step_v2(
                 stacked, cfg, x_emb, sk, sv, cross_k, cross_v, step,
-                l_enc_actual=l_enc_actual, interpret=interpret)
+                l_enc_actual=l_enc_actual, interpret=interpret,
+                mxu_attn=variant == "v2m")
             sk = jax.lax.dynamic_update_slice(
                 sk, k_new[:, :, None, :], (0, 0, step, 0))
             sv = jax.lax.dynamic_update_slice(

@@ -208,7 +208,8 @@ def _make_kernel(cfg: ModelConfig, B: int, T: int, L_enc: int,
 
 
 def _make_kernel_v2(cfg: ModelConfig, B: int, T: int, L_enc: int,
-                    l_enc_actual: int, quantized: bool = False):
+                    l_enc_actual: int, quantized: bool = False,
+                    mxu_attn: bool = False):
     """Compute-only variant: caches are READ-ONLY inputs; the kernel merges
     the freshly-projected K/V row into its VMEM copy for attention and
     emits it as a tiny (B, D) output per layer — the HBM cache append is a
@@ -219,14 +220,27 @@ def _make_kernel_v2(cfg: ModelConfig, B: int, T: int, L_enc: int,
     ``quantized``: weights arrive as int8 with per-output-column f32
     scales; dequant happens on the matmul *output* (scale commutes with a
     per-column-scaled weight), so the HBM weight stream is halved and no
-    dequantized copy is ever materialized."""
+    dequantized copy is ever materialized.
+
+    ``mxu_attn``: attention as two batched MXU matmuls per site —
+    ``logits = K @ (q ⊙ G)`` and ``out_heads = probsᵀ @ V`` — with the
+    fresh K/V row folded in as a separate online-softmax term. The
+    hypothesis was that removing the (B, T, D)-sized VPU work (f32
+    casts of K/V, q⊙K product, probs⊙V product, row merge) would win,
+    since the DMA probe showed the kernel compute-bound. **Measured
+    SLOWER** (83 vs 68 us/step wall, 96 vs 79 us/step device-chained,
+    batch 10): dot_general with a B-sized batch dimension and M=H=8
+    lowers to ~160 tiny matmuls per step — worse MXU utilization than
+    the VPU elementwise formulation it replaces. Default False (the
+    elementwise formulation); True kept for A/B evidence
+    (benchmarks/ab_device_results.json)."""
     D = cfg.d_model
     scale = 1.0 / (cfg.head_dim ** 0.5)
     n_layers = cfg.num_decoder_layers
 
     def kernel(*refs):
         if quantized:
-            (pos_ref, x_ref, g_ref,
+            (pos_ref, x_ref, g_ref, gt_ref,
              w_qkv, s_qkv, b_qkv, w_out, s_out, b_out,
              w_cq, s_cq, b_cq, w_co, s_co, b_co,
              w_ff1, s_ff1, b_ff1, w_ff2, s_ff2, b_ff2,
@@ -241,7 +255,7 @@ def _make_kernel_v2(cfg: ModelConfig, B: int, T: int, L_enc: int,
                             preferred_element_type=jnp.float32)
                 return y * s_ref[0]
         else:
-            (pos_ref, x_ref, g_ref,
+            (pos_ref, x_ref, g_ref, gt_ref,
              w_qkv, b_qkv, w_out, b_out, w_cq, b_cq, w_co, b_co,
              w_ff1, b_ff1, w_ff2, b_ff2,
              ln, sk_in, sv_in, ck_ref, cv_ref,
@@ -255,6 +269,7 @@ def _make_kernel_v2(cfg: ModelConfig, B: int, T: int, L_enc: int,
         layer = pl.program_id(0)
         pos = pos_ref[0]
         G = g_ref[:].astype(jnp.float32)               # (D, H)
+        GT = gt_ref[:].astype(jnp.float32)             # (H, D)
 
         @pl.when(layer == 0)
         def _():
@@ -270,44 +285,93 @@ def _make_kernel_v2(cfg: ModelConfig, B: int, T: int, L_enc: int,
         v_new_out[0] = v_new.astype(v_new_out.dtype)
 
         slot = jax.lax.broadcasted_iota(jnp.int32, (B, T, 1), 1)
-        at_pos = slot == pos
-        k = jnp.where(at_pos, k_new[:, None, :].astype(cdt), sk_in[0])
-        v = jnp.where(at_pos, v_new[:, None, :].astype(cdt), sv_in[0])
+        if mxu_attn:
+            # logits over CACHED rows only (strictly < pos); the fresh row
+            # joins as a scalar-per-head online-softmax term, so the cache
+            # is never merged/cast — it feeds the MXU as stored (bf16)
+            q_s = q * scale                            # (B, D) f32
+            qg = (q_s[:, :, None] * G[None, :, :]).astype(cdt)  # (B, D, H)
+            logits = jax.lax.dot_general(
+                sk_in[0], qg,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)    # (B, T, H)
+            logits = jnp.where(slot < pos, logits, -jnp.inf)
+            lnew = jnp.dot(q_s * k_new, G,
+                           preferred_element_type=jnp.float32)  # (B, H)
+            m = jnp.maximum(jnp.max(logits, axis=1), lnew)      # (B, H)
+            w = jnp.exp(logits - m[:, None, :])        # (B, T, H)
+            w_n = jnp.exp(lnew - m)                    # (B, H)
+            s = jnp.sum(w, axis=1) + w_n               # (B, H)
+            probs = (w / s[:, None, :]).astype(cdt)    # (B, T, H)
+            pv = jax.lax.dot_general(
+                probs, sv_in[0],
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)    # (B, H, D)
+            attn = jnp.sum(pv * GT[None, :, :], axis=1)         # (B, D)
+            p_new = jnp.dot(w_n / s, GT,
+                            preferred_element_type=jnp.float32)  # (B, D)
+            attn = attn + p_new * v_new
+        else:
+            at_pos = slot == pos
+            k = jnp.where(at_pos, k_new[:, None, :].astype(cdt), sk_in[0])
+            v = jnp.where(at_pos, v_new[:, None, :].astype(cdt), sv_in[0])
 
-        kf = k.astype(jnp.float32)
-        prod = (q * scale)[:, None, :] * kf            # (B, T, D)
-        logits = jax.lax.dot_general(
-            prod, G, dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (B, T, H)
-        logits = jnp.where(slot <= pos, logits, -jnp.inf)
-        m = jnp.max(logits, axis=1, keepdims=True)
-        w = jnp.exp(logits - m)
-        probs = w / jnp.sum(w, axis=1, keepdims=True)  # (B, T, H)
-        probs_d = jax.lax.dot_general(
-            probs, G, dimension_numbers=(((2,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (B, T, D)
-        attn = jnp.sum(probs_d * v.astype(jnp.float32), axis=1)  # (B, D)
+            kf = k.astype(jnp.float32)
+            prod = (q * scale)[:, None, :] * kf        # (B, T, D)
+            logits = jax.lax.dot_general(
+                prod, G, dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # (B, T, H)
+            logits = jnp.where(slot <= pos, logits, -jnp.inf)
+            m = jnp.max(logits, axis=1, keepdims=True)
+            w = jnp.exp(logits - m)
+            probs = w / jnp.sum(w, axis=1, keepdims=True)  # (B, T, H)
+            probs_d = jax.lax.dot_general(
+                probs, G, dimension_numbers=(((2,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)    # (B, T, D)
+            attn = jnp.sum(probs_d * v.astype(jnp.float32), axis=1)
         sa = mm(attn, w_out, s_out) + b_out[0]
         x = _ln(x + sa, ln[0, 0], ln[0, 1])
 
         # ---- cross-attention (precomputed memory K/V) ----
         qc = mm(x, w_cq, s_cq) + b_cq[0]
-        ckf = ck_ref[0].astype(jnp.float32)            # (B, L_enc, D)
-        cvf = cv_ref[0].astype(jnp.float32)
-        prod_c = (qc * scale)[:, None, :] * ckf
-        logits_c = jax.lax.dot_general(
-            prod_c, G, dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (B, L_enc, H)
-        if l_enc_actual < L_enc:  # mask tile-padding slots
-            slot_c = jax.lax.broadcasted_iota(jnp.int32, (B, L_enc, 1), 1)
-            logits_c = jnp.where(slot_c < l_enc_actual, logits_c, -jnp.inf)
-        mc = jnp.max(logits_c, axis=1, keepdims=True)
-        wc = jnp.exp(logits_c - mc)
-        probs_c = wc / jnp.sum(wc, axis=1, keepdims=True)
-        probs_cd = jax.lax.dot_general(
-            probs_c, G, dimension_numbers=(((2,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        attn_c = jnp.sum(probs_cd * cvf, axis=1)       # (B, D)
+        if mxu_attn:
+            qg_c = ((qc * scale)[:, :, None] * G[None, :, :]).astype(cdt)
+            logits_c = jax.lax.dot_general(
+                ck_ref[0], qg_c,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)    # (B, L_enc, H)
+            if l_enc_actual < L_enc:  # mask tile-padding slots
+                slot_c = jax.lax.broadcasted_iota(
+                    jnp.int32, (B, L_enc, 1), 1)
+                logits_c = jnp.where(slot_c < l_enc_actual, logits_c,
+                                     -jnp.inf)
+            mc = jnp.max(logits_c, axis=1, keepdims=True)
+            wc = jnp.exp(logits_c - mc)
+            probs_c = (wc / jnp.sum(wc, axis=1, keepdims=True)).astype(cdt)
+            pv_c = jax.lax.dot_general(
+                probs_c, cv_ref[0],
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)    # (B, H, D)
+            attn_c = jnp.sum(pv_c * GT[None, :, :], axis=1)     # (B, D)
+        else:
+            ckf = ck_ref[0].astype(jnp.float32)        # (B, L_enc, D)
+            cvf = cv_ref[0].astype(jnp.float32)
+            prod_c = (qc * scale)[:, None, :] * ckf
+            logits_c = jax.lax.dot_general(
+                prod_c, G, dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # (B, L_enc, H)
+            if l_enc_actual < L_enc:  # mask tile-padding slots
+                slot_c = jax.lax.broadcasted_iota(
+                    jnp.int32, (B, L_enc, 1), 1)
+                logits_c = jnp.where(slot_c < l_enc_actual, logits_c,
+                                     -jnp.inf)
+            mc = jnp.max(logits_c, axis=1, keepdims=True)
+            wc = jnp.exp(logits_c - mc)
+            probs_c = wc / jnp.sum(wc, axis=1, keepdims=True)
+            probs_cd = jax.lax.dot_general(
+                probs_c, G, dimension_numbers=(((2,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            attn_c = jnp.sum(probs_cd * cvf, axis=1)   # (B, D)
         ca = mm(attn_c, w_co, s_co) + b_co[0]
         x = _ln(x + ca, ln[0, 2], ln[0, 3])
 
@@ -642,14 +706,18 @@ def fused_whole_step(stacked, cfg: ModelConfig, prev, self_k, self_v,
 def fused_decoder_layers_step_v2(stacked, cfg: ModelConfig, x_emb, self_k,
                                  self_v, cross_k, cross_v, pos,
                                  l_enc_actual: int | None = None,
-                                 *, interpret: bool | None = None):
+                                 *, interpret: bool | None = None,
+                                 mxu_attn: bool = False):
     """Compute-only fused step. Caches are inputs only; returns
     (x_out (B, D) f32, k_new (L, B, D), v_new (L, B, D)) — the caller
     appends the rows with one dynamic_update_slice per stacked cache.
 
     If ``stacked`` came from :func:`quantize_stacked` (detected by the
     ``w_qkv_s`` key), weights stream from HBM as int8 and dequantize on the
-    matmul output inside the kernel (half the weight bandwidth)."""
+    matmul output inside the kernel (half the weight bandwidth).
+
+    ``mxu_attn=True`` selects the batched-MXU attention formulation
+    (measured slower at batch 10; see :func:`_make_kernel_v2`)."""
     from . import default_interpret
 
     if interpret is None:
@@ -662,6 +730,7 @@ def fused_decoder_layers_step_v2(stacked, cfg: ModelConfig, x_emb, self_k,
     ff = cfg.dim_feedforward
     pos_arr = jnp.asarray(pos, jnp.int32).reshape(1)
     G = jnp.asarray(_group_matrix(D, cfg.nhead, np.float32))
+    GT = jnp.asarray(G.T)
 
     def fixed(shape):
         return pl.BlockSpec(shape, lambda l, pos_ref: (0,) * len(shape),
@@ -678,7 +747,8 @@ def fused_decoder_layers_step_v2(stacked, cfg: ModelConfig, x_emb, self_k,
             specs.append(per_layer((1, shape[-1])))  # per-column scale
         return specs
 
-    in_specs = [fixed((B, D)), fixed((D, cfg.nhead))]
+    in_specs = [fixed((B, D)), fixed((D, cfg.nhead)),
+                fixed((cfg.nhead, D))]
     in_specs += weight_specs("w_qkv", (D, 3 * D)) + [per_layer((1, 3 * D))]
     in_specs += weight_specs("w_out", (D, D)) + [per_layer((1, D))]
     in_specs += weight_specs("w_cq", (D, D)) + [per_layer((1, D))]
@@ -711,7 +781,7 @@ def fused_decoder_layers_step_v2(stacked, cfg: ModelConfig, x_emb, self_k,
             args.append(stacked[f"{name}_s"])
         return args + [stacked[bias]]
 
-    operands = [pos_arr, x_emb, G]
+    operands = [pos_arr, x_emb, G, GT]
     operands += weight_args("w_qkv", "b_qkv")
     operands += weight_args("w_out", "b_out")
     operands += weight_args("w_cq", "b_cq")
@@ -721,7 +791,7 @@ def fused_decoder_layers_step_v2(stacked, cfg: ModelConfig, x_emb, self_k,
     operands += [stacked["ln"], self_k, self_v, cross_k, cross_v]
 
     kernel = _make_kernel_v2(cfg, B, T, L_enc, l_enc_actual,
-                             quantized=quantized)
+                             quantized=quantized, mxu_attn=mxu_attn)
     x_out, k_new, v_new = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -56,8 +56,12 @@ def test_fused_step_matches_jnp_step(setup):
         prev = jnp.argmax(want, axis=-1).astype(jnp.int32)
 
 
-def test_fused_step_v2_matches_jnp_step(setup):
-    """Compute-only kernel + external stacked-cache DUS == jnp step."""
+@pytest.mark.parametrize("mxu_attn", [False, True])
+def test_fused_step_v2_matches_jnp_step(setup, mxu_attn):
+    """Compute-only kernel + external stacked-cache DUS == jnp step.
+
+    mxu_attn=True covers the batched-MXU online-softmax attention
+    formulation (variant "v2m")."""
     params, stacked, memory = setup
     B = memory.shape[0]
     cache = dec.init_cache(params, CFG, memory, max_len=16)
@@ -72,7 +76,8 @@ def test_fused_step_v2_matches_jnp_step(setup):
                  + params["pos"]["table"][t]).astype(jnp.float32)
         x, k_new, v_new = fused_decoder_layers_step_v2(
             stacked, CFG, x_emb, sk, sv, ck, cv, jnp.int32(t),
-            l_enc_actual=memory.shape[1], interpret=True)
+            l_enc_actual=memory.shape[1], interpret=True,
+            mxu_attn=mxu_attn)
         sk = jax.lax.dynamic_update_slice(sk, k_new[:, :, None, :],
                                           (0, 0, t, 0))
         sv = jax.lax.dynamic_update_slice(sv, v_new[:, :, None, :],
