@@ -29,35 +29,34 @@ import numpy as np  # noqa: E402
 
 
 def top_ops_from_trace(out_dir: str, n_decodes: int):
+    """Parse the jax.profiler xplane dump with jax's own ProfileData and
+    aggregate device-op time. Returns per-decode busy time + top ops."""
     try:
-        from tensorflow.core.profiler.protobuf import xplane_pb2
+        from jax.profiler import ProfileData
     except Exception:
         return None
     paths = glob.glob(os.path.join(out_dir, "**", "*.xplane.pb"),
                       recursive=True)
     if not paths:
         return None
-    space = xplane_pb2.XSpace()
-    with open(sorted(paths)[-1], "rb") as f:
-        space.ParseFromString(f.read())
+    data = ProfileData.from_file(sorted(paths)[-1])
     best = 0.0
     top = None
-    for plane in space.planes:
+    for plane in data.planes:
         name = plane.name.lower()
         if "tpu" not in name and "device" not in name:
             continue
-        busy_ps = 0
+        busy_ns = 0
         by_op = {}
         for line in plane.lines:
             for ev in line.events:
-                busy_ps += ev.duration_ps
-                meta = plane.event_metadata.get(ev.metadata_id)
-                key = meta.name if meta is not None else "?"
-                by_op[key] = by_op.get(key, 0) + ev.duration_ps
-        ms = busy_ps / 1e9 / n_decodes
+                dur = ev.duration_ns
+                busy_ns += dur
+                by_op[ev.name] = by_op.get(ev.name, 0) + dur
+        ms = busy_ns / 1e6 / n_decodes
         if ms > best:
             best = ms
-            top = [{"op": k, "us_per_decode": round(v / 1e6 / n_decodes, 1)}
+            top = [{"op": k, "us_per_decode": round(v / 1e3 / n_decodes, 1)}
                    for k, v in sorted(by_op.items(), key=lambda kv: -kv[1])
                    [:12]]
     if not best:
@@ -90,6 +89,11 @@ def main():
     params, state = init_model(jax.random.PRNGKey(0), cfg)
     stacked = build_stacked(params["decoder"], cfg)
     stacked_full = build_stacked_full(params["decoder"], cfg)
+    if "v5" in args.arms:
+        from handwritten_math_ocr_api_tpu.ops.whole_decode import (
+            build_resident,
+        )
+        resident = build_resident(params["decoder"], cfg, quantize=True)
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.standard_normal(
         (args.batch, cfg.img_h, cfg.img_w, 1)).astype(np.float32))
@@ -98,11 +102,15 @@ def main():
     def decode_raw(variant):
         def fn(params, images):
             memory, _ = model_mod.encode(params, state, cfg, images)
+            if variant == "enc":  # encoder only, for trace attribution
+                return type("R", (), {"logprob_sum": memory.sum()})
             if variant == "xla":
                 return greedy_decode(params["decoder"], cfg, memory,
                                      cfg.max_seq_len, eos_id=eos_unreachable)
-            stk = stacked_full if variant in ("v3", "v4") else (
-                quantize_stacked(stacked) if variant == "v2q" else stacked)
+            stk = resident if variant == "v5" else (
+                stacked_full if variant in ("v3", "v4") else (
+                    quantize_stacked(stacked) if variant == "v2q"
+                    else stacked))
             return greedy_decode_fused(
                 params["decoder"], stk, cfg, memory, cfg.max_seq_len,
                 eos_id=eos_unreachable, interpret=False,

@@ -49,6 +49,12 @@ def main():
     stacked = build_stacked(params["decoder"], cfg)
     stacked_q = quantize_stacked(stacked)
     stacked_full = build_stacked_full(params["decoder"], cfg)
+
+    def resident():
+        from handwritten_math_ocr_api_tpu.ops.whole_decode import (
+            build_resident,
+        )
+        return build_resident(params["decoder"], cfg, quantize=True)
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.standard_normal(
         (batch, cfg.img_h, cfg.img_w, 1)).astype(np.float32))
@@ -78,6 +84,7 @@ def main():
         "v1": make_fused("v1", stacked),
         "v3": make_fused("v3", stacked_full),  # whole-step, batch-major
         "v4": make_fused("v4", stacked_full),  # whole-step, time-major
+        "v5": make_fused("v5", resident()),    # whole-DECODE, int8-resident
     }
 
     results = []

@@ -74,7 +74,22 @@ def greedy_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
     are missing). Uses time-major (L, T, B, D) caches.
     variant "v3": the same whole-step kernel over v2's batch-major caches
     (fresh rows appended by dynamic_update_slice outside).
-    variant "v1": the round-1 aliased-write-back kernel (kept for A/B)."""
+    variant "v1": the round-1 aliased-write-back kernel (kept for A/B).
+    variant "v5": the whole-DECODE kernel (ops/whole_decode.py) — the
+    entire loop in one Pallas launch with weights resident in VMEM;
+    ``stacked`` should come from ops.whole_decode.build_resident (int8)
+    for the flagship size; a build_stacked_full bundle works for small
+    configs and is auto-completed here."""
+    if variant == "v5":
+        from ..ops.whole_decode import build_resident, fused_whole_decode
+
+        if "emb" not in stacked or "_params" not in stacked:
+            stacked = build_resident(decoder_params, cfg, quantize=True)
+        res = fused_whole_decode(
+            stacked, cfg, memory, max_len, sos_id=sos_id, eos_id=eos_id,
+            pad_id=pad_id, interpret=interpret)
+        return GreedyResult(res.tokens, res.lengths, res.logprob_sum,
+                            res.token_count)
     B = memory.shape[0]
     l_enc_actual = memory.shape[1]
     if variant in ("v3", "v4") and "emb" not in stacked:
