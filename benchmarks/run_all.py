@@ -46,19 +46,34 @@ def _model(encoder="swin_t"):
     return cfg, params, state
 
 
-def _decode_fn(cfg, state, use_real_eos=False):
+def _decode_fn(cfg, params, state, use_real_eos=False):
+    """Greedy decode on the production fast path (fused megakernel v2,
+    the SERVING_USE_FUSED=1 path). Set MATHOCR_BENCH_XLA=1 for the plain
+    XLA schedule instead."""
     import jax
 
     from handwritten_math_ocr_api_tpu.decode.greedy import greedy_decode
     from handwritten_math_ocr_api_tpu.models import model as model_mod
 
     eos = 2 if use_real_eos else cfg.vocab_size + 1
+    use_xla = os.environ.get("MATHOCR_BENCH_XLA", "0") == "1"
+    if not use_xla:
+        from handwritten_math_ocr_api_tpu.decode.fused import (
+            greedy_decode_fused,
+        )
+        from handwritten_math_ocr_api_tpu.ops.fused_step import build_stacked
+
+        stacked = build_stacked(params["decoder"], cfg)
 
     @jax.jit
     def decode(params, images):
         memory, _ = model_mod.encode(params, state, cfg, images)
-        return greedy_decode(params["decoder"], cfg, memory,
-                             cfg.max_seq_len, eos_id=eos)
+        if use_xla:
+            return greedy_decode(params["decoder"], cfg, memory,
+                                 cfg.max_seq_len, eos_id=eos)
+        return greedy_decode_fused(params["decoder"], stacked, cfg, memory,
+                                   cfg.max_seq_len, eos_id=eos,
+                                   interpret=False)
 
     return decode
 
@@ -75,6 +90,13 @@ def _time_pipelined(fn, *args, iters=20):
     # latter can return before real execution, which would push cold-start
     # cost into the timed region
     np.asarray(jax.tree_util.tree_leaves(r)[0])
+    # untimed pre-roll (bench.py methodology): the first post-compile
+    # stretch through the tunnel runs 4-5x slower than steady state
+    # (program upload / QoS ramp) and would contaminate the window
+    total = jnp.float32(0.0)
+    for _ in range(8):
+        total = total + fn(*args).logprob_sum.sum()
+    assert np.isfinite(float(total))
     total = jnp.float32(0.0)
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -86,10 +108,15 @@ def _time_pipelined(fn, *args, iters=20):
 
 def bench_single_image(encoder: str, iters: int):
     cfg, params, state = _model(encoder)
-    decode = _decode_fn(cfg, state)
+    decode = _decode_fn(cfg, params, state)
     rng = np.random.default_rng(0)
-    img = np.asarray(rng.standard_normal((1, cfg.img_h, cfg.img_w, 1)),
-                     np.float32)
+    # pre-staged on device (bench.py methodology): the tunnel's host->device
+    # bandwidth would otherwise dominate the measurement; production serving
+    # overlaps upload with decode via the batcher
+    import jax.numpy as jnp
+
+    img = jnp.asarray(rng.standard_normal((1, cfg.img_h, cfg.img_w, 1)),
+                      jnp.float32)
     dt = _time_pipelined(decode, params, img, iters=iters)
     return {
         "metric": f"single_image_greedy_latency_{encoder}",
@@ -101,10 +128,12 @@ def bench_single_image(encoder: str, iters: int):
 
 def bench_batch10(iters: int):
     cfg, params, state = _model()
-    decode = _decode_fn(cfg, state)
+    decode = _decode_fn(cfg, params, state)
     rng = np.random.default_rng(0)
-    imgs = np.asarray(rng.standard_normal((10, cfg.img_h, cfg.img_w, 1)),
-                      np.float32)
+    import jax.numpy as jnp
+
+    imgs = jnp.asarray(rng.standard_normal((10, cfg.img_h, cfg.img_w, 1)),
+                       jnp.float32)
     dt = _time_pipelined(decode, params, imgs, iters=iters)
     ips = 10 / dt
     return {
@@ -206,8 +235,19 @@ def main() -> None:
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "results.json")
+    # partial runs (--configs subset) merge into the existing artifact by
+    # metric name instead of dropping the configs that didn't run
+    merged = {}
+    if os.path.exists(out):
+        try:
+            with open(out) as f:
+                merged = {r["metric"]: r for r in json.load(f)}
+        except Exception:
+            merged = {}
+    for r in results:
+        merged[r["metric"]] = r
     with open(out, "w") as f:
-        json.dump(results, f, indent=2)
+        json.dump(list(merged.values()), f, indent=2)
 
 
 if __name__ == "__main__":

@@ -79,7 +79,9 @@ def greedy_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
     entire loop in one Pallas launch with weights resident in VMEM;
     ``stacked`` should come from ops.whole_decode.build_resident (int8)
     for the flagship size; a build_stacked_full bundle works for small
-    configs and is auto-completed here."""
+    configs and is auto-completed here. Measured at parity with v2 at
+    batch 10 and slower at batch 1 — experimental, see the module
+    docstring for the A/B record."""
     if variant == "v5":
         from ..ops.whole_decode import build_resident, fused_whole_decode
 

@@ -10,11 +10,17 @@ program inverts the memory equation:
 
 - weights stream HBM->VMEM ONCE per decode (int8-quantized they fit
   comfortably: ~5.2 MB + scales), not once per step;
-- cross-attention K/V (precomputed, ~2.6 MB bf16) are VMEM-resident;
-- only the growing self-attention KV cache lives in HBM, read back each
-  step with chunk-granular DMA *gated on the current position* — chunks
-  beyond ``pos`` are neither copied nor computed, so both DMA bytes and
-  VPU work scale with the live prefix, not the padded T;
+- cross-attention K/V (precomputed, ~4 MB bf16 at the padded batch) are
+  VMEM-resident;
+- only the growing self-attention KV cache lives in HBM — ONE merged
+  (L, T, B, 2D) array holding K and V side by side in lanes, read back
+  each step with ONE DMA per layer whose length is selected from four
+  static prefix buckets (T/4, T/2, 3T/4, T) by the current position, so
+  DMA bytes scale with the live prefix and the per-step DMA count stays
+  at 8 reads + 1 row write-back;
+- the read for layer l+1 is issued right after layer l's attention has
+  consumed the landing buffer, so it overlaps cross-attention + FFN
+  compute (cross-layer pipelining with a single buffer);
 - the embedding gather, positional add, output head, argmax, log-prob
   and finished/eos bookkeeping all happen in-kernel (proven in the v4
   whole-step kernel, ops/fused_step.py:434), leaving ZERO XLA ops and
@@ -25,29 +31,44 @@ The grid is a single program; the step loop is an in-kernel
 the kernel; the worst-case full-length decode is exactly what bench.py
 measures, and serving keeps the early-exit v2 path for short outputs).
 
-Self-cache layout is TIME-major ``(L, T, B, D)`` (merged heads): Mosaic
-keeps the last two dims tiled even for HBM refs, so per-row write-backs
-and chunk reads must slice the untiled T axis (batch-major's 1-row T
-slice fails tile alignment). Weight layout comes from ``build_stacked_full`` (+
-``quantize_stacked`` for the int8-resident production configuration;
-bf16-resident works for small configs / tests but does not fit VMEM at
-the flagship size together with the buffers).
+Self-cache layout is TIME-major ``(L, T, B, 2D)`` (merged heads, K then
+V in lanes): Mosaic keeps the last two dims tiled even for HBM refs, so
+per-row write-backs and prefix reads must slice the untiled T axis, and
+the batch dim must be padded to 16 for full-B slices to stay
+tile-aligned (the driver pads and un-pads; MXU/VPU tiles were already
+16-row padded, so the cost is confined to DMA bytes).
 
 Numerics: identical matmul/LN semantics to the v2 kernel (f32
 accumulate, f32 LN, int8 dequant on the matmul output); the chunked
-attention applies softmax from a full (B, T, H) f32 logits buffer, so
+attention applies softmax from a full (T, B, H) f32 logits buffer, so
 the only divergence from v2 is the f32 summation order of the
 probs*V reduction (chunk-ordered vs single reduce). Verified against
-the v2q path in tests/test_whole_decode.py.
+the jnp greedy path in tests/test_whole_decode.py.
 
 Reference behavior being replaced: the serving greedy loop
 (/root/reference/app/src/im2latex.py:15-57) and batched greedy
 (/root/reference/src/inference.py:7-25), re-imagined as a single TPU
 program rather than a Python token loop.
+
+**Status: EXPERIMENTAL — measured at parity with v2, not faster.**
+Device-chained A/B on v5e (batch 10, full 150-step decode, encoder
+subtracted): v5 loop ~54 us/step vs v2's ~51; at batch 1 v5 loses
+clearly (11.0 vs 7.9 ms/decode — the mandatory 16-row batch padding
+wastes 15/16 of every VPU/DMA tile). The weight-residency saving
+(~13 us/step of HBM traffic) is real but fully consumed by what the
+per-step grid path gets for free: Mosaic's software-pipelined block DMA
+and per-program scheduling. A/B ablations that did NOT close the gap:
+DMA count 5x reduction (merged K/V + bucket-selected single read per
+layer: 91 -> 85 us/step), cross-layer DMA/compute overlap, static
+layer unroll (85 -> 83). Production stays on v2 (SERVING_USE_FUSED);
+this module is kept as a correct, tested design probe with the Mosaic
+constraints documented above. A/B levers: MATHOCR_V5_CH (DMA/compute
+chunk rows), MATHOCR_V5_UNROLL=1 (static layer unroll).
 """
 
 from __future__ import annotations
 
+import os
 from typing import Dict, NamedTuple
 
 import jax
@@ -73,12 +94,13 @@ def _make_kernel(cfg: ModelConfig, B: int, T: int, T_out: int, L_enc: int,
                  l_enc_actual: int, Vp: int, Tp: int, CH: int,
                  quantized: bool, sos_id: int, eos_id: int, pad_id: int):
     D = cfg.d_model
-    H = cfg.nhead
-    ff = cfg.dim_feedforward
     L = cfg.num_decoder_layers
     scale = 1.0 / (cfg.head_dim ** 0.5)
     n_chunks = T // CH
     wdt = jnp.dtype(cfg.dtype)
+    # prefix buckets for the per-layer cache read: one DMA, length picked
+    # by the live prefix (pos); strictly increasing, last covers T
+    buckets = sorted({max(T // 4, 1), max(T // 2, 1), max(3 * T // 4, 1), T})
 
     def kernel(*refs):
         if quantized:
@@ -86,9 +108,9 @@ def _make_kernel(cfg: ModelConfig, B: int, T: int, T_out: int, L_enc: int,
              w_qkv, s_qkv, b_qkv, w_out, s_out, b_out,
              w_cq, s_cq, b_cq, w_co, s_co, b_co,
              w_ff1, s_ff1, b_ff1, w_ff2, s_ff2, b_ff2,
-             ln, ck_ref, cv_ref, sk_in, sv_in,
-             sk_out, sv_out, tok_out, lp_out, cnt_out,
-             kbuf, vbuf, lg_scr, acc_scr, rows_k, rows_v, sems) = refs
+             ln, ck_ref, cv_ref, skv_in,
+             skv_out, tok_out, lp_out, cnt_out,
+             kvbuf, lg_scr, acc_scr, rows, sems) = refs
 
             def mm(x, w, s):
                 y = jnp.dot(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
@@ -98,26 +120,57 @@ def _make_kernel(cfg: ModelConfig, B: int, T: int, T_out: int, L_enc: int,
             (g_ref, emb_ref, pos_tab_ref, w_head_ref, b_head_ref,
              w_qkv, b_qkv, w_out, b_out, w_cq, b_cq, w_co, b_co,
              w_ff1, b_ff1, w_ff2, b_ff2,
-             ln, ck_ref, cv_ref, sk_in, sv_in,
-             sk_out, sv_out, tok_out, lp_out, cnt_out,
-             kbuf, vbuf, lg_scr, acc_scr, rows_k, rows_v, sems) = refs
-            s_qkv = s_out = s_cq = s_co = s_ff1 = s_ff2 = [None] * 0
+             ln, ck_ref, cv_ref, skv_in,
+             skv_out, tok_out, lp_out, cnt_out,
+             kvbuf, lg_scr, acc_scr, rows, sems) = refs
+            s_qkv = s_out = s_cq = s_co = s_ff1 = s_ff2 = None
 
             def mm(x, w, s):
                 return jnp.dot(x.astype(w.dtype), w,
                                preferred_element_type=jnp.float32)
 
         G = g_ref[:].astype(jnp.float32)                    # (D, H)
-        cdt = sk_out.dtype
+        cdt = skv_out.dtype
         tok_out[...] = jnp.full((B, T), pad_id, jnp.int32)
 
         def scl(t, l):
             return t[l] if quantized else None
 
+        def kv_dma(l, p):
+            """The bucket-selected prefix copy for layer ``l`` at position
+            ``p`` — exactly one bucket condition fires."""
+            def mk(hi):
+                return pltpu.make_async_copy(
+                    skv_out.at[l, pl.ds(0, hi)],
+                    kvbuf.at[pl.ds(0, hi)],
+                    sems.at[0])
+            conds = []
+            for bi, hi in enumerate(buckets):
+                lo = buckets[bi - 1] if bi else 0
+                cond = (p <= hi) if bi == 0 else ((p > lo) & (p <= hi))
+                conds.append((cond, hi))
+            return conds, mk
+
+        def start_kv(l, p):
+            conds, mk = kv_dma(l, p)
+            for cond, hi in conds:
+                @pl.when(cond)
+                def _(hi=hi):
+                    mk(hi).start()
+
+        def wait_kv(l, p):
+            conds, mk = kv_dma(l, p)
+            for cond, hi in conds:
+                @pl.when(cond)
+                def _(hi=hi):
+                    mk(hi).wait()
+
         def step_body(pos, carry):
             prev, fin, lp, cnt = carry  # (B,1) i32 / i32(0,1) / f32 / i32
+            start_kv(0, pos)
 
-            # ---- embedding + positional, in f32 then cast (jnp parity) --
+            # ---- embedding + positional, in f32 then cast (jnp parity);
+            # overlaps layer 0's cache DMA ----
             iota_v = jax.lax.broadcasted_iota(jnp.int32, (B, Vp), 1)
             onehot = (iota_v == prev).astype(jnp.float32)   # (B, Vp)
             x0 = jnp.dot(onehot, emb_ref[:],
@@ -129,41 +182,15 @@ def _make_kernel(cfg: ModelConfig, B: int, T: int, T_out: int, L_enc: int,
             x = (x0 + pos_row).astype(wdt).astype(jnp.float32)
 
             def layer_body(l, x):
-                # -- gated chunk DMA of this layer's cached K/V prefix --
-                # caches are TIME-major (L, T, B, D): chunk slices land on
-                # the untiled T axis (HBM refs keep (B, D) tiling, so
-                # slicing B or T-in-batch-major-layout by 1 is illegal)
-                for c in range(n_chunks):
-                    @pl.when(c * CH <= pos)
-                    def _(c=c):
-                        pltpu.make_async_copy(
-                            sk_out.at[l, pl.ds(c * CH, CH)],
-                            kbuf.at[pl.ds(c * CH, CH)],
-                            sems.at[0]).start()
-                        pltpu.make_async_copy(
-                            sv_out.at[l, pl.ds(c * CH, CH)],
-                            vbuf.at[pl.ds(c * CH, CH)],
-                            sems.at[1]).start()
-
-                # overlap: qkv projection while cache chunks stream
+                # qkv projection overlaps this layer's cache DMA
                 qkv = mm(x, w_qkv[l], scl(s_qkv, l)) + b_qkv[l]
                 q = qkv[:, :D]
                 k_new = qkv[:, D:2 * D]
                 v_new = qkv[:, 2 * D:]
-                rows_k[pl.ds(l, 1)] = k_new.astype(cdt)[None, None, :, :]
-                rows_v[pl.ds(l, 1)] = v_new.astype(cdt)[None, None, :, :]
+                rows[pl.ds(l, 1)] = jnp.concatenate(
+                    [k_new, v_new], axis=-1).astype(cdt)[None, None, :, :]
 
-                for c in range(n_chunks):
-                    @pl.when(c * CH <= pos)
-                    def _(c=c):
-                        pltpu.make_async_copy(
-                            sk_out.at[l, pl.ds(c * CH, CH)],
-                            kbuf.at[pl.ds(c * CH, CH)],
-                            sems.at[0]).wait()
-                        pltpu.make_async_copy(
-                            sv_out.at[l, pl.ds(c * CH, CH)],
-                            vbuf.at[pl.ds(c * CH, CH)],
-                            sems.at[1]).wait()
+                wait_kv(l, pos)
 
                 # -- self-attention pass 1: logits per live chunk --
                 q_s = q * scale                             # (B, D) f32
@@ -171,7 +198,7 @@ def _make_kernel(cfg: ModelConfig, B: int, T: int, T_out: int, L_enc: int,
                 for c in range(n_chunks):
                     @pl.when(c * CH <= pos)
                     def _(c=c):
-                        kc = kbuf[c * CH:(c + 1) * CH].astype(
+                        kc = kvbuf[c * CH:(c + 1) * CH, :, :D].astype(
                             jnp.float32)                    # (CH, B, D)
                         prod = q_s[None, :, :] * kc
                         lg = jax.lax.dot_general(
@@ -199,7 +226,16 @@ def _make_kernel(cfg: ModelConfig, B: int, T: int, T_out: int, L_enc: int,
                             pc, G,
                             dimension_numbers=(((2,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)  # (CH,B,D)
-                        vc = vbuf[c * CH:(c + 1) * CH].astype(jnp.float32)
+                        vc = kvbuf[c * CH:(c + 1) * CH, :, D:].astype(
+                            jnp.float32)
+                        # rows past the DMA'd prefix hold garbage; their
+                        # probs are 0 but 0*NaN = NaN — mask V explicitly.
+                        # (fresh iota, not a slice of ``slot``: Mosaic's
+                        # vector_extract_strided_slice crashes on slicing
+                        # the (T, B, 1) iota inside scf.if)
+                        slc = jax.lax.broadcasted_iota(
+                            jnp.int32, (CH, B, 1), 0) + c * CH
+                        vc = jnp.where(slc < pos, vc, 0.0)
                         acc_scr[...] += jnp.sum(pd * vc, axis=0)
                 # fresh-row term: probs at slot==pos (came from lnew) * v_new
                 w_pos = jnp.sum(
@@ -207,6 +243,13 @@ def _make_kernel(cfg: ModelConfig, B: int, T: int, T_out: int, L_enc: int,
                 p_new = jnp.dot(w_pos, G.T,
                                 preferred_element_type=jnp.float32)  # (B, D)
                 attn = acc_scr[...] + p_new * v_new
+
+                # the landing buffer is free now: issue the NEXT layer's
+                # cache read so it overlaps cross-attention + FFN compute
+                @pl.when(l < L - 1)
+                def _():
+                    start_kv(l + 1, pos)
+
                 sa = mm(attn, w_out[l], scl(s_out, l)) + b_out[l]
                 x = _ln(x + sa, ln[l, 0], ln[l, 1])
 
@@ -239,14 +282,17 @@ def _make_kernel(cfg: ModelConfig, B: int, T: int, T_out: int, L_enc: int,
                 f = mm(h, w_ff2[l], scl(s_ff2, l)) + b_ff2[l]
                 return _ln(x + f, ln[l, 4], ln[l, 5])
 
-            x = jax.lax.fori_loop(0, L, layer_body, x)
+            if os.environ.get("MATHOCR_V5_UNROLL", "0") == "1":
+                # static unroll: weight indices become compile-time
+                # constants (A/B lever vs the dynamic-index fori)
+                for li in range(L):
+                    x = layer_body(li, x)
+            else:
+                x = jax.lax.fori_loop(0, L, layer_body, x)
 
-            # append this step's fresh K/V rows: one strided DMA per cache
+            # append this step's fresh K/V rows: ONE strided DMA
             pltpu.make_async_copy(
-                rows_k, sk_out.at[:, pl.ds(pos, 1)], sems.at[2]
-            ).start()
-            pltpu.make_async_copy(
-                rows_v, sv_out.at[:, pl.ds(pos, 1)], sems.at[3]
+                rows, skv_out.at[:, pl.ds(pos, 1)], sems.at[1]
             ).start()
 
             # ---- output head (overlaps the row write-back) ----
@@ -271,10 +317,7 @@ def _make_kernel(cfg: ModelConfig, B: int, T: int, T_out: int, L_enc: int,
             prev = jnp.where(fin == 1, eos_id, nxt)
 
             pltpu.make_async_copy(
-                rows_k, sk_out.at[:, pl.ds(pos, 1)], sems.at[2]
-            ).wait()
-            pltpu.make_async_copy(
-                rows_v, sv_out.at[:, pl.ds(pos, 1)], sems.at[3]
+                rows, skv_out.at[:, pl.ds(pos, 1)], sems.at[1]
             ).wait()
             return prev, fin, lp, cnt
 
@@ -317,29 +360,27 @@ def fused_whole_decode(stacked, cfg: ModelConfig, memory,
     B = _round_up(B_in, 16)
     if B != B_in:
         memory = jnp.pad(memory, ((0, B - B_in), (0, 0), (0, 0)))
-    # decoder_params only used for cross-K/V projection weights; rebuild a
-    # minimal view from the stacked arrays is not possible (they hold only
-    # self/ffn weights), so callers pass decoder params via stacked["_params"]
+    # cross-K/V projection needs the raw decoder params; callers pass them
+    # via stacked["_params"] (see build_resident)
     dec_params = stacked.get("_params")
     if dec_params is None:
         raise ValueError("stacked must carry '_params' (see build_resident)")
     _bk, _bv, cross_k, cross_v = init_fused_cache(
         dec_params, cfg, memory, max_len=T_out)
-    # TIME-major self caches (L, T, B, D): chunk reads and single-row
-    # write-backs slice the untiled T axis (see _make_kernel)
+    # TIME-major merged self cache (L, T, B, 2D): K in lanes [0, D),
+    # V in [D, 2D) — one bucket-selected DMA per layer reads both
     L, _, T, _ = _bk.shape
-    cdt0 = _bk.dtype
+    cdt = _bk.dtype
     del _bk, _bv
-    self_k = jnp.zeros((L, T, B, D), cdt0)
-    self_v = jnp.zeros((L, T, B, D), cdt0)
+    self_kv = jnp.zeros((L, T, B, 2 * D), cdt)
     L_enc = cross_k.shape[2]
-    CH = 32 if T % 32 == 0 else 16
+    CH = int(os.environ.get("MATHOCR_V5_CH", "0")) or (
+        32 if T % 32 == 0 else 16)
+    assert T % CH == 0, (T, CH)
     Vp = stacked["emb"].shape[0]
     Tp = stacked["pos_emb"].shape[0]
     H = cfg.nhead
-    ff = cfg.dim_feedforward
     G = jnp.asarray(_group_matrix(D, cfg.nhead, np.float32))
-    cdt = self_k.dtype
 
     def vmem():
         return pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -350,14 +391,13 @@ def fused_whole_decode(stacked, cfg: ModelConfig, memory,
         return pl.BlockSpec(memory_space=pltpu.HBM)
 
     # inputs: G, emb, pos_tab, w_head, b_head, <weights: 6x(w[,s],b)>, ln,
-    #         ck, cv, sk, sv
+    #         ck, cv, skv
     n_vmem = 5 + (18 if quantized else 12) + 1 + 2
-    in_specs = [vmem()] * n_vmem + [hbm(), hbm()]
-    i_sk = n_vmem
-    out_specs = [hbm(), hbm(), vmem(), vmem(), vmem()]
+    in_specs = [vmem()] * n_vmem + [hbm()]
+    i_skv = n_vmem
+    out_specs = [hbm(), vmem(), vmem(), vmem()]
     out_shape = [
-        jax.ShapeDtypeStruct(self_k.shape, cdt),
-        jax.ShapeDtypeStruct(self_v.shape, cdt),
+        jax.ShapeDtypeStruct(self_kv.shape, cdt),
         jax.ShapeDtypeStruct((B, T), jnp.int32),
         jax.ShapeDtypeStruct((B, 1), jnp.float32),
         jax.ShapeDtypeStruct((B, 1), jnp.int32),
@@ -376,25 +416,23 @@ def fused_whole_decode(stacked, cfg: ModelConfig, memory,
 
     kernel = _make_kernel(cfg, B, T, T_out, L_enc, l_enc_actual, Vp, Tp,
                           CH, quantized, sos_id, eos_id, pad_id)
-    _, _, tokens, lp, cnt = pl.pallas_call(
+    _, tokens, lp, cnt = pl.pallas_call(
         kernel,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((T, B, D), cdt),           # kbuf (time-major)
-            pltpu.VMEM((T, B, D), cdt),           # vbuf
+            pltpu.VMEM((T, B, 2 * D), cdt),       # merged K/V landing buf
             pltpu.VMEM((T, B, H), jnp.float32),   # logits/probs
             pltpu.VMEM((B, D), jnp.float32),      # attention accumulator
-            pltpu.VMEM((L, 1, B, D), cdt),        # fresh K rows
-            pltpu.VMEM((L, 1, B, D), cdt),        # fresh V rows
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((L, 1, B, 2 * D), cdt),    # fresh K/V rows
+            pltpu.SemaphoreType.DMA((2,)),
         ],
-        input_output_aliases={i_sk: 0, i_sk + 1: 1},
+        input_output_aliases={i_skv: 0},
         interpret=interpret,
     )(G, stacked["emb"], stacked["pos_emb"], stacked["w_head"],
       stacked["b_head"], *weight_args(), stacked["ln"],
-      cross_k, cross_v, self_k, self_v)
+      cross_k, cross_v, self_kv)
 
     # drop cache-tile padding columns and batch padding rows
     tokens = tokens[:B_in, :T_out]
