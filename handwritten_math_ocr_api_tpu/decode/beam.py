@@ -36,7 +36,15 @@ class BeamResult(NamedTuple):
 
 
 def _gather_beams(x: Array, beam_idx: Array, B: int, K: int) -> Array:
-    """x: (B*K, ...) -> gathered by beam_idx (B, K) -> (B*K, ...)."""
+    """x: (B*K, ...) -> gathered by beam_idx (B, K) -> (B*K, ...).
+
+    Perf note (round-2 A/B on v5e, B=64 K=5): a one-hot batched-matmul
+    formulation of this permutation measured IDENTICAL to
+    ``take_along_axis`` (2091 vs 2032 ms per batch-64 beam decode), and
+    an isolated chained microbench put the full cache reorder at
+    ~2.4 ms/step vs ~2.9 ms/step for the decoder step itself — the
+    remaining beam cost is XLA's scheduling of the combined while body,
+    not the gather lowering. Keeping the simpler formulation."""
     shape = x.shape
     x = x.reshape(B, K, *shape[1:])
     idx = beam_idx.reshape(B, K, *([1] * (x.ndim - 2)))
