@@ -125,7 +125,8 @@ def cmd_evaluate(args) -> int:
                                    state, params_only=True)
     engine = DecodeEngine(state.params, state.model_state, mc,
                           DecodeConfig(), tok,
-                          use_fused=getattr(args, "use_fused", False))
+                          use_fused=getattr(args, "use_fused", False),
+                          quantize=getattr(args, "quantize", False))
     loader = get_test_loader(tok, dc, mc)
     results = evaluate_model(engine, loader, tok,
                              beam_size=args.beam_size)
@@ -255,6 +256,9 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--beam-size", type=int, default=None)
     ev.add_argument("--use-fused", action="store_true",
                     help="greedy decode via the fused Pallas megakernel")
+    ev.add_argument("--quantize", action="store_true",
+                    help="int8 decoder weights (in-kernel dequant with "
+                         "--use-fused, ops/quant.py path otherwise)")
     ev.add_argument("--out-dir", default="results")
     ev.set_defaults(fn=cmd_evaluate)
 

@@ -60,11 +60,16 @@ class DecodeEngine:
         self._stacked = None
         if use_fused:
             # fused decoder-layer megakernel (ops/fused_step.py): greedy
-            # decode only; beam falls back to the jnp path
-            from ..ops.fused_step import build_stacked
+            # decode only; beam falls back to the jnp path. With
+            # quantize=True the kernel streams int8 weights and dequants
+            # on the matmul output ("v2q" — measured at bf16 parity speed,
+            # halves decoder weight memory)
+            from ..ops.fused_step import build_stacked, quantize_stacked
 
             self._stacked = build_stacked(params["decoder"], cfg)
-        if quantize:
+            if quantize:
+                self._stacked = quantize_stacked(self._stacked)
+        elif quantize:
             # weight-only int8 decoder: halves the per-step HBM weight
             # traffic that bounds small-batch decode (ops/quant.py)
             from ..ops.quant import quantize_decoder_params

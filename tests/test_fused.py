@@ -181,6 +181,18 @@ def test_engine_use_fused_matches_default(setup):
     b = fused.predict_with_confidence(imgs)
     for (al, ac), (bl, bc) in zip(a, b):
         assert al == bl and abs(ac - bc) < 1e-3
+    # fused + int8 in-kernel dequant ("v2q"): same surface, tokens close
+    # (quantization can flip argmax ties on random weights)
+    fused_q = DecodeEngine(params, state, cfg,
+                           DecodeConfig(batch_buckets=(2,)), tokz,
+                           use_fused=True, quantize=True)
+    base_toks = base.predict_batch(imgs)
+    q_toks = fused_q.predict_batch(imgs)
+    assert len(q_toks) == len(base_toks)
+    for qt, bt in zip(q_toks, base_toks):
+        qs, bs = qt.split(), bt.split()
+        agree = sum(x == y for x, y in zip(qs, bs))
+        assert agree >= int(0.6 * min(len(qs), len(bs))), (qt, bt)
 
 
 def test_fused_cache_layout_and_padding(setup):
