@@ -88,10 +88,24 @@ class ModelConfig:
     # training, where a random-init trunk's unnormalized residual stream
     # (~10x unit scale) saturates cross-attention with confident noise.
     memory_norm: bool = False
+    # Decoder SELF-attention K/V heads (multi-query / grouped-query
+    # attention, arXiv:1911.02150): None = nhead (the reference's MHA,
+    # exact parity). nhead_kv=1 shrinks the decode KV cache — the
+    # dominant per-step HBM stream — by nhead x; queries stay multi-head.
+    # Cross-attention is untouched (its K/V are tiny and precomputed).
+    nhead_kv: "int | None" = None
 
     @property
     def head_dim(self) -> int:
         return self.d_model // self.nhead
+
+    @property
+    def kv_heads(self) -> int:
+        return self.nhead_kv if self.nhead_kv is not None else self.nhead
+
+    @property
+    def kv_dim(self) -> int:
+        return self.kv_heads * self.head_dim
 
     @property
     def encoder_len(self) -> int:

@@ -62,8 +62,8 @@ def init_slot_state(params, cfg: ModelConfig, num_slots: int,
     for i in range(cfg.num_decoder_layers):
         cache[f"cross_k_{i}"] = jnp.zeros((S, nh, L, dh), dtype)
         cache[f"cross_v_{i}"] = jnp.zeros((S, nh, L, dh), dtype)
-        cache[f"self_k_{i}"] = jnp.zeros((S, nh, T, dh), dtype)
-        cache[f"self_v_{i}"] = jnp.zeros((S, nh, T, dh), dtype)
+        cache[f"self_k_{i}"] = jnp.zeros((S, cfg.kv_heads, T, dh), dtype)
+        cache[f"self_v_{i}"] = jnp.zeros((S, cfg.kv_heads, T, dh), dtype)
     return SlotState(
         prev=jnp.full((S,), SOS_ID, jnp.int32),
         pos=jnp.zeros((S,), jnp.int32),

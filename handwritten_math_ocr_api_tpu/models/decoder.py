@@ -40,7 +40,11 @@ def init_decoder_params(key, cfg: ModelConfig):
     for i in range(cfg.num_decoder_layers):
         k1, k2, k3 = jax.random.split(keys[i], 3)
         layers_p.append({
-            "self_attn": layers.mha_init(k1, cfg.d_model),
+            # self-attention honors nhead_kv (MQA/GQA; default = MHA,
+            # exact reference parity); cross-attention stays full MHA —
+            # its K/V are precomputed once and tiny
+            "self_attn": layers.mha_init(k1, cfg.d_model,
+                                         kv_dim=cfg.kv_dim),
             "cross_attn": layers.mha_init(k2, cfg.d_model),
             "norm1": layers.layer_norm_init(cfg.d_model),
             "norm2": layers.layer_norm_init(cfg.d_model),
@@ -124,17 +128,21 @@ def _proj_qkv(p, x: Array, part: str) -> Array:
 
 
 def _proj_qkv_packed(p, x: Array) -> Tuple[Array, Array, Array]:
-    """One (D, 3D) matmul instead of three (D, D) — launch-bound decode
-    steps care."""
+    """One (D, D+2*kv_dim) matmul instead of three — launch-bound decode
+    steps care. kv_dim < D for MQA/GQA self-attention."""
+    d = x.shape[-1]
     b = p["b_qkv"].astype(x.dtype)
     if "w_qkv_q" in p:
         from ..ops.quant import dequant_matmul
 
         qkv = dequant_matmul(x, p["w_qkv_q"], p["w_qkv_scale"]) + b
+        total = p["w_qkv_q"].shape[1]
     else:
         w = p["w_qkv"].astype(x.dtype)
         qkv = jnp.dot(x, w, preferred_element_type=x.dtype) + b
-    return jnp.split(qkv, 3, axis=-1)
+        total = w.shape[1]
+    kvd = (total - d) // 2
+    return qkv[..., :d], qkv[..., d:d + kvd], qkv[..., d + kvd:]
 
 
 def _out_proj(p, x: Array) -> Array:
@@ -160,8 +168,10 @@ def init_cache(params, cfg: ModelConfig, memory: Array,
         cv = layers.split_heads(_proj_qkv(p["cross_attn"], memory, "v"), nh)
         cache[f"cross_k_{i}"] = ck  # (B, H, L_enc, Dh)
         cache[f"cross_v_{i}"] = cv
-        cache[f"self_k_{i}"] = jnp.zeros((B, nh, T, dh), dtype)
-        cache[f"self_v_{i}"] = jnp.zeros((B, nh, T, dh), dtype)
+        # self cache holds kv_heads heads: nhead_kv < nhead (MQA/GQA)
+        # shrinks the dominant per-step HBM stream by nhead/nhead_kv
+        cache[f"self_k_{i}"] = jnp.zeros((B, cfg.kv_heads, T, dh), dtype)
+        cache[f"self_v_{i}"] = jnp.zeros((B, cfg.kv_heads, T, dh), dtype)
     return cache
 
 
@@ -190,10 +200,10 @@ def decoder_step(params, cfg: ModelConfig, tok_ids: Array, pos: Array,
         sp = p["self_attn"]
         qp, kp, vp = _proj_qkv_packed(sp, x)
         q = layers.split_heads(qp, nh)                          # (B,H,1,Dh)
-        k_new = layers.split_heads(kp, nh)
-        v_new = layers.split_heads(vp, nh)
+        k_new = layers.split_heads(kp, cfg.kv_heads)
+        v_new = layers.split_heads(vp, cfg.kv_heads)
         if use_pallas:
-            # fused append+attention, cache updated in place
+            # fused append+attention, cache updated in place (MHA only)
             from ..ops.cache_attention import cache_append_attention
 
             sa, k, v = cache_append_attention(
@@ -204,7 +214,8 @@ def decoder_step(params, cfg: ModelConfig, tok_ids: Array, pos: Array,
                 cache[f"self_k_{i}"], k_new, (0, 0, pos, 0))
             v = jax.lax.dynamic_update_slice(
                 cache[f"self_v_{i}"], v_new, (0, 0, pos, 0))
-            sa = layers.attention(q, k, v, self_mask)
+            sa = layers.attention(q, layers.expand_kv_heads(k, nh),
+                                  layers.expand_kv_heads(v, nh), self_mask)
         new_cache[f"self_k_{i}"] = k
         new_cache[f"self_v_{i}"] = v
         sa = layers.merge_heads(sa)
@@ -256,13 +267,14 @@ def decoder_step_ragged(params, cfg: ModelConfig, tok_ids: Array,
         sp = p["self_attn"]
         qp, kp, vp = _proj_qkv_packed(sp, x)
         q = layers.split_heads(qp, nh)
-        k_new = layers.split_heads(kp, nh)
-        v_new = layers.split_heads(vp, nh)
+        k_new = layers.split_heads(kp, cfg.kv_heads)
+        v_new = layers.split_heads(vp, cfg.kv_heads)
         k = jax.vmap(row_update)(cache[f"self_k_{i}"], k_new, pos)
         v = jax.vmap(row_update)(cache[f"self_v_{i}"], v_new, pos)
         new_cache[f"self_k_{i}"] = k
         new_cache[f"self_v_{i}"] = v
-        sa = layers.attention(q, k, v, self_mask)
+        sa = layers.attention(q, layers.expand_kv_heads(k, nh),
+                              layers.expand_kv_heads(v, nh), self_mask)
         sa = layers.merge_heads(sa)
         sa = _out_proj(sp, sa)
         x = layers.layer_norm(p["norm1"], x + sa)

@@ -54,11 +54,14 @@ def embedding_init(key, num: int, dim: int, std: float = 0.02):
     return {"table": jax.random.normal(key, (num, dim), jnp.float32) * std}
 
 
-def mha_init(key, d_model: int):
+def mha_init(key, d_model: int, kv_dim: int | None = None):
+    """Packed q/k/v projection. ``kv_dim`` < d_model gives multi-/grouped-
+    query attention (k and v project to kv_dim; queries stay d_model)."""
+    kv = kv_dim if kv_dim is not None else d_model
     kq, ko = jax.random.split(key)
     return {
-        "w_qkv": _xavier_uniform(kq, (d_model, 3 * d_model)),
-        "b_qkv": jnp.zeros((3 * d_model,), jnp.float32),
+        "w_qkv": _xavier_uniform(kq, (d_model, d_model + 2 * kv)),
+        "b_qkv": jnp.zeros((d_model + 2 * kv,), jnp.float32),
         "w_out": _xavier_uniform(ko, (d_model, d_model)),
         "b_out": jnp.zeros((d_model,), jnp.float32),
     }
@@ -124,6 +127,22 @@ def merge_heads(x: Array) -> Array:
     return x.reshape(*lead, L, H * Dh)
 
 
+def expand_kv_heads(x: Array, num_heads: int) -> Array:
+    """(..., Hkv, L, Dh) -> (..., H, L, Dh) for grouped-query attention.
+
+    Hkv == num_heads: identity. Hkv == 1: returned unchanged — einsum
+    broadcasting in :func:`attention` handles the singleton head for free
+    (no materialized copy). 1 < Hkv < H: broadcast each kv head over its
+    query group (XLA fuses the broadcast into the consumer)."""
+    hkv = x.shape[-3]
+    if hkv in (num_heads, 1):
+        return x
+    g = num_heads // hkv
+    *lead, _, L, Dh = x.shape
+    x = jnp.broadcast_to(x[..., :, None, :, :], (*lead, hkv, g, L, Dh))
+    return x.reshape(*lead, num_heads, L, Dh)
+
+
 def attention(
     q: Array,
     k: Array,
@@ -177,13 +196,18 @@ def mha(
     d = query.shape[-1]
     w = p["w_qkv"].astype(query.dtype)
     b = p["b_qkv"].astype(query.dtype)
+    # k/v width from the packed weight: d for MHA, kv_dim < d for MQA/GQA
+    kvd = (w.shape[1] - d) // 2
+    kv_heads = num_heads * kvd // d
     q = jnp.dot(query, w[:, :d], preferred_element_type=query.dtype) + b[:d]
-    k = jnp.dot(kv, w[:, d:2 * d], preferred_element_type=query.dtype) + b[d:2 * d]
-    v = jnp.dot(kv, w[:, 2 * d:], preferred_element_type=query.dtype) + b[2 * d:]
+    k = jnp.dot(kv, w[:, d:d + kvd],
+                preferred_element_type=query.dtype) + b[d:d + kvd]
+    v = jnp.dot(kv, w[:, d + kvd:],
+                preferred_element_type=query.dtype) + b[d + kvd:]
     out = attention(
         split_heads(q, num_heads),
-        split_heads(k, num_heads),
-        split_heads(v, num_heads),
+        expand_kv_heads(split_heads(k, kv_heads), num_heads),
+        expand_kv_heads(split_heads(v, kv_heads), num_heads),
         mask,
         dropout_rate=dropout_rate,
         dropout_key=dropout_key,

@@ -64,6 +64,10 @@ def _round_up(x: int, m: int) -> int:
 def build_stacked(decoder_params, cfg: ModelConfig) -> Dict[str, jax.Array]:
     """Stack per-layer decoder weights into (L, ...) arrays (bf16 weights,
     f32 norms/biases) for the layer-grid kernel."""
+    if cfg.kv_heads != cfg.nhead:
+        raise NotImplementedError(
+            "fused decode kernels assume MHA (full-width K/V); use the XLA "
+            f"decode path for nhead_kv={cfg.nhead_kv}")
     layers = decoder_params["layers"]
     wdt = jnp.dtype(cfg.dtype)
 

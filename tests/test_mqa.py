@@ -1,0 +1,110 @@
+"""Multi-/grouped-query attention (nhead_kv): cache shapes, step-vs-full
+equivalence, and train-step smoke. MQA shrinks the decode self-KV cache
+(the dominant per-step HBM stream) by nhead/nhead_kv; default
+nhead_kv=None is exact MHA reference parity (asserted by the whole
+existing suite)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from handwritten_math_ocr_api_tpu.core.config import ModelConfig
+from handwritten_math_ocr_api_tpu.decode.greedy import greedy_decode
+from handwritten_math_ocr_api_tpu.models import decoder as dec
+
+
+def _cfg(nhead_kv):
+    return ModelConfig(
+        d_model=32, nhead=4, dim_feedforward=64, dropout=0.0,
+        num_decoder_layers=2, max_seq_len=10, vocab_size=20,
+        dtype="float32", nhead_kv=nhead_kv,
+    )
+
+
+@pytest.mark.parametrize("nhead_kv", [1, 2])
+def test_param_and_cache_shapes(nhead_kv):
+    cfg = _cfg(nhead_kv)
+    params = dec.init_decoder_params(jax.random.PRNGKey(0), cfg)
+    w = params["layers"][0]["self_attn"]["w_qkv"]
+    assert w.shape == (32, 32 + 2 * nhead_kv * cfg.head_dim)
+    # cross attention unchanged (full MHA)
+    assert params["layers"][0]["cross_attn"]["w_qkv"].shape == (32, 96)
+    memory = jnp.zeros((3, 6, 32))
+    cache = dec.init_cache(params, cfg, memory, max_len=10)
+    assert cache["self_k_0"].shape == (3, nhead_kv, 10, cfg.head_dim)
+    assert cache["cross_k_0"].shape == (3, 4, 6, cfg.head_dim)
+
+
+@pytest.mark.parametrize("nhead_kv", [1, 2])
+def test_step_matches_full_forward(nhead_kv):
+    """Cached decode step == teacher-forced forward on the same prefix."""
+    cfg = _cfg(nhead_kv)
+    params = dec.init_decoder_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    memory = jnp.asarray(rng.standard_normal((2, 6, 32)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 6)), jnp.int32)
+
+    full = dec.decoder_forward(params, cfg, memory, ids)  # (2, 6, V)
+
+    cache = dec.init_cache(params, cfg, memory, max_len=10)
+    for t in range(6):
+        step_logits, cache = dec.decoder_step(
+            params, cfg, ids[:, t], jnp.int32(t), cache)
+        np.testing.assert_allclose(np.asarray(step_logits),
+                                   np.asarray(full[:, t]),
+                                   atol=2e-4, rtol=1e-4)
+
+
+@pytest.mark.parametrize("nhead_kv", [1, 2])
+def test_ragged_step_matches_uniform(nhead_kv):
+    """Ragged step at uniform positions == plain step (MQA/GQA)."""
+    cfg = _cfg(nhead_kv)
+    params = dec.init_decoder_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    memory = jnp.asarray(rng.standard_normal((2, 6, 32)), jnp.float32)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (2,)), jnp.int32)
+    c1 = dec.init_cache(params, cfg, memory, max_len=10)
+    c2 = dec.init_cache(params, cfg, memory, max_len=10)
+    l1, _ = dec.decoder_step(params, cfg, toks, jnp.int32(0), c1)
+    l2, _ = dec.decoder_step_ragged(params, cfg, toks,
+                                    jnp.zeros((2,), jnp.int32), c2)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_greedy_decode_runs_mqa():
+    cfg = _cfg(1)
+    params = dec.init_decoder_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(2)
+    memory = jnp.asarray(rng.standard_normal((3, 6, 32)), jnp.float32)
+    res = greedy_decode(params, cfg, memory, cfg.max_seq_len)
+    assert res.tokens.shape == (3, cfg.max_seq_len)
+    assert np.isfinite(np.asarray(res.logprob_sum)).all()
+
+
+def test_train_step_learns_mqa():
+    """A few optimization steps reduce loss on a fixed tiny batch."""
+    from handwritten_math_ocr_api_tpu.core.config import TrainConfig
+    from handwritten_math_ocr_api_tpu.train.step import (
+        create_train_state, make_train_step,
+    )
+
+    cfg = ModelConfig(
+        d_model=32, nhead=4, dim_feedforward=64, dropout=0.0,
+        num_decoder_layers=2, max_seq_len=10, vocab_size=20,
+        dtype="float32", nhead_kv=1, encoder="resnet18",
+    )
+    tc = TrainConfig(learning_rate=1e-3)
+    state, optimizer = create_train_state(jax.random.PRNGKey(0), cfg, tc)
+    step = make_train_step(cfg, tc, optimizer)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal((2, 96, 320, 1)), jnp.float32)
+    caps = jnp.asarray(rng.integers(4, 20, (2, 10)), jnp.int32)
+    losses = []
+    for i in range(4):
+        state, metrics = step(state, images, caps, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
