@@ -233,6 +233,10 @@ class ServeConfig:
     # XLA step on v5e; see BENCHMARKS.md). bf16 argmax ties can flip rare
     # tokens vs the XLA path, so it is opt-in for serving.
     use_fused_decode: bool = False
+    # int8 decoder weights (in-kernel dequant when combined with the fused
+    # path). Measured quality-neutral on trained weights (BENCHMARKS.md:
+    # identical exact/CER/BLEU to bf16) at half the decoder weight memory.
+    quantize_decode: bool = False
 
     @classmethod
     def from_env(cls) -> "ServeConfig":
@@ -281,6 +285,10 @@ class ServeConfig:
             use_fused_decode=env.get(
                 "SERVING_USE_FUSED",
                 "1" if defaults.use_fused_decode else "0") in
+            ("1", "true", "True"),
+            quantize_decode=env.get(
+                "SERVING_QUANTIZE",
+                "1" if defaults.quantize_decode else "0") in
             ("1", "true", "True"),
         )
 

@@ -113,7 +113,8 @@ class ServerState:
         self.model_cfg = model_cfg
         self.engine = DecodeEngine(params, model_state, model_cfg,
                                    tokenizer=self.tokenizer,
-                                   use_fused=self.cfg.use_fused_decode)
+                                   use_fused=self.cfg.use_fused_decode,
+                                   quantize=self.cfg.quantize_decode)
         if self.cfg.batching_mode == "continuous":
             from ..decode.continuous import ContinuousDecoder
             from .batcher import ContinuousServingEngine
