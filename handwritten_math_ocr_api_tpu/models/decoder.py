@@ -214,8 +214,7 @@ def decoder_step(params, cfg: ModelConfig, tok_ids: Array, pos: Array,
                 cache[f"self_k_{i}"], k_new, (0, 0, pos, 0))
             v = jax.lax.dynamic_update_slice(
                 cache[f"self_v_{i}"], v_new, (0, 0, pos, 0))
-            sa = layers.attention(q, layers.expand_kv_heads(k, nh),
-                                  layers.expand_kv_heads(v, nh), self_mask)
+            sa = layers.grouped_attention(q, k, v, self_mask, nh)
         new_cache[f"self_k_{i}"] = k
         new_cache[f"self_v_{i}"] = v
         sa = layers.merge_heads(sa)
@@ -257,6 +256,9 @@ def decoder_step_ragged(params, cfg: ModelConfig, tok_ids: Array,
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1, T), 3)
     self_mask = jnp.where(slot_ids <= pos[:, None, None, None],
                           0.0, -jnp.inf).astype(jnp.float32)
+    # grouped-query attention adds a group dim; the batch-leading mask
+    # must broadcast as (B, Hkv, G, 1, T)
+    self_mask_g = (self_mask[:, None] if cfg.kv_heads != nh else self_mask)
 
     def row_update(c, new, p):
         # c: (H, T, Dh); new: (H, 1, Dh); p: scalar
@@ -273,8 +275,7 @@ def decoder_step_ragged(params, cfg: ModelConfig, tok_ids: Array,
         v = jax.vmap(row_update)(cache[f"self_v_{i}"], v_new, pos)
         new_cache[f"self_k_{i}"] = k
         new_cache[f"self_v_{i}"] = v
-        sa = layers.attention(q, layers.expand_kv_heads(k, nh),
-                              layers.expand_kv_heads(v, nh), self_mask)
+        sa = layers.grouped_attention(q, k, v, self_mask_g, nh)
         sa = layers.merge_heads(sa)
         sa = _out_proj(sp, sa)
         x = layers.layer_norm(p["norm1"], x + sa)

@@ -127,20 +127,28 @@ def merge_heads(x: Array) -> Array:
     return x.reshape(*lead, L, H * Dh)
 
 
-def expand_kv_heads(x: Array, num_heads: int) -> Array:
-    """(..., Hkv, L, Dh) -> (..., H, L, Dh) for grouped-query attention.
+def grouped_attention(q: Array, k: Array, v: Array,
+                      mask: Optional[Array], num_heads: int,
+                      **kwargs) -> Array:
+    """Attention where k/v may carry fewer heads than q (MQA/GQA).
 
-    Hkv == num_heads: identity. Hkv == 1: returned unchanged — einsum
-    broadcasting in :func:`attention` handles the singleton head for free
-    (no materialized copy). 1 < Hkv < H: broadcast each kv head over its
-    query group (XLA fuses the broadcast into the consumer)."""
-    hkv = x.shape[-3]
-    if hkv in (num_heads, 1):
-        return x
+    q: (..., H, Lq, Dh); k, v: (..., Hkv, Lk, Dh), Hkv | H. Rather than
+    materializing k/v at H heads, the QUERY is reshaped to
+    (..., Hkv, H/Hkv, Lq, Dh) and k/v gain a singleton group dim — einsum
+    broadcasting then reads each kv head once (A/B on v5e: the
+    materializing formulation made GQA *slower* than MHA; this one is
+    cache-bandwidth-proportional). ``mask`` must broadcast against
+    (..., Hkv, G, Lq, Lk); rank-4 masks whose leading dim is batch must
+    be expanded by the caller."""
+    hkv = k.shape[-3]
+    if hkv == num_heads:
+        return attention(q, k, v, mask, **kwargs)
     g = num_heads // hkv
-    *lead, _, L, Dh = x.shape
-    x = jnp.broadcast_to(x[..., :, None, :, :], (*lead, hkv, g, L, Dh))
-    return x.reshape(*lead, num_heads, L, Dh)
+    *lead, H, Lq, Dh = q.shape
+    qg = q.reshape(*lead, hkv, g, Lq, Dh)
+    out = attention(qg, k[..., :, None, :, :], v[..., :, None, :, :], mask,
+                    **kwargs)
+    return out.reshape(*lead, H, Lq, Dh)
 
 
 def attention(
@@ -204,11 +212,12 @@ def mha(
                 preferred_element_type=query.dtype) + b[d:d + kvd]
     v = jnp.dot(kv, w[:, d + kvd:],
                 preferred_element_type=query.dtype) + b[d + kvd:]
-    out = attention(
+    out = grouped_attention(
         split_heads(q, num_heads),
-        expand_kv_heads(split_heads(k, kv_heads), num_heads),
-        expand_kv_heads(split_heads(v, kv_heads), num_heads),
+        split_heads(k, kv_heads),
+        split_heads(v, kv_heads),
         mask,
+        num_heads,
         dropout_rate=dropout_rate,
         dropout_key=dropout_key,
         deterministic=deterministic,
