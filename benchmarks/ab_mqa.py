@@ -24,7 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
 
-KV = {"mha": None, "gqa2": 2, "mqa": 1}
+KV = {"mha": None, "gqa2": 2, "mqa": 1,
+      "mha_fused": None, "mqa_fused": 1}
 
 
 def main():
@@ -39,20 +40,29 @@ def main():
     import jax.numpy as jnp
 
     from handwritten_math_ocr_api_tpu.core.config import ModelConfig
+    from handwritten_math_ocr_api_tpu.decode.fused import greedy_decode_fused
     from handwritten_math_ocr_api_tpu.decode.greedy import greedy_decode
     from handwritten_math_ocr_api_tpu.models import model as model_mod
     from handwritten_math_ocr_api_tpu.models.model import init_model
+    from handwritten_math_ocr_api_tpu.ops.fused_step import build_stacked
 
     rng = np.random.default_rng(0)
     results = []
     for arm in args.arms.split(","):
         cfg = ModelConfig(nhead_kv=KV[arm])
         params, state = init_model(jax.random.PRNGKey(0), cfg)
+        fused = arm.endswith("_fused")
+        stacked = build_stacked(params["decoder"], cfg) if fused else None
         images = jnp.asarray(rng.standard_normal(
             (args.batch, cfg.img_h, cfg.img_w, 1)).astype(np.float32))
 
-        def raw(params, images, _cfg=cfg, _state=state):
+        def raw(params, images, _cfg=cfg, _state=state, _st=stacked,
+                _fused=fused):
             memory, _ = model_mod.encode(params, _state, _cfg, images)
+            if _fused:
+                return greedy_decode_fused(
+                    params["decoder"], _st, _cfg, memory, _cfg.max_seq_len,
+                    eos_id=_cfg.vocab_size + 1, interpret=False)
             return greedy_decode(params["decoder"], _cfg, memory,
                                  _cfg.max_seq_len,
                                  eos_id=_cfg.vocab_size + 1)

@@ -48,8 +48,14 @@ def init_fused_cache(decoder_params, cfg: ModelConfig, memory,
         pad = ((0, 0), (0, 0), (0, L_enc_pad - L_enc), (0, 0))
         ck = jnp.pad(ck, pad)
         cv = jnp.pad(cv, pad)
-    return (jnp.zeros((L, B, T, D), dtype),
-            jnp.zeros((L, B, T, D), dtype), ck, cv)
+    # self-cache lane width follows the self-attention weights: D for MHA,
+    # kv_dim < D under MQA/GQA (the v2 kernel replicates lanes on read)
+    w_self = decoder_params["layers"][0]["self_attn"]
+    total = (w_self["w_qkv_q"] if "w_qkv_q" in w_self
+             else w_self["w_qkv"]).shape[-1]
+    kvd = (total - D) // 2
+    return (jnp.zeros((L, B, T, kvd), dtype),
+            jnp.zeros((L, B, T, kvd), dtype), ck, cv)
 
 
 def greedy_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
@@ -82,6 +88,14 @@ def greedy_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
     configs and is auto-completed here. Measured at parity with v2 at
     batch 10 and slower at batch 1 — experimental, see the module
     docstring for the A/B record."""
+    if cfg.kv_heads != cfg.nhead and (variant != "v2"
+                                      or cfg.kv_heads != 1):
+        raise NotImplementedError(
+            f"fused variant {variant!r} supports MHA, and MQA (nhead_kv=1) "
+            "via variant='v2': the kernel's lane replication of the shared "
+            "K/V head is only head-order-correct at one kv head. GQA "
+            "(1 < nhead_kv < nhead) decodes on the XLA path — measured "
+            "unprofitable on v5e anyway (BENCHMARKS.md)")
     if variant == "v5":
         from ..ops.whole_decode import build_resident, fused_whole_decode
 

@@ -63,11 +63,9 @@ def _round_up(x: int, m: int) -> int:
 
 def build_stacked(decoder_params, cfg: ModelConfig) -> Dict[str, jax.Array]:
     """Stack per-layer decoder weights into (L, ...) arrays (bf16 weights,
-    f32 norms/biases) for the layer-grid kernel."""
-    if cfg.kv_heads != cfg.nhead:
-        raise NotImplementedError(
-            "fused decode kernels assume MHA (full-width K/V); use the XLA "
-            f"decode path for nhead_kv={cfg.nhead_kv}")
+    f32 norms/biases) for the layer-grid kernel. MQA/GQA configs
+    (nhead_kv < nhead) are supported by the v2 kernel — the packed qkv
+    width and cache lane width follow the weights."""
     layers = decoder_params["layers"]
     wdt = jnp.dtype(cfg.dtype)
 
@@ -213,7 +211,7 @@ def _make_kernel(cfg: ModelConfig, B: int, T: int, L_enc: int,
 
 def _make_kernel_v2(cfg: ModelConfig, B: int, T: int, L_enc: int,
                     l_enc_actual: int, quantized: bool = False,
-                    mxu_attn: bool = False):
+                    mxu_attn: bool = False, kv_dim: int | None = None):
     """Compute-only variant: caches are READ-ONLY inputs; the kernel merges
     the freshly-projected K/V row into its VMEM copy for attention and
     emits it as a tiny (B, D) output per layer — the HBM cache append is a
@@ -239,6 +237,9 @@ def _make_kernel_v2(cfg: ModelConfig, B: int, T: int, L_enc: int,
     elementwise formulation); True kept for A/B evidence
     (benchmarks/ab_device_results.json)."""
     D = cfg.d_model
+    kvd = kv_dim if kv_dim is not None else D
+    if kvd != D and mxu_attn:
+        raise NotImplementedError("mxu_attn A/B arm is MHA-only")
     scale = 1.0 / (cfg.head_dim ** 0.5)
     n_layers = cfg.num_decoder_layers
 
@@ -284,9 +285,19 @@ def _make_kernel_v2(cfg: ModelConfig, B: int, T: int, L_enc: int,
 
         # ---- self-attention; new K/V row merged in VMEM only ----
         qkv = mm(x, w_qkv, s_qkv) + b_qkv[0]
-        q, k_new, v_new = (qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:])
+        q = qkv[:, :D]
+        k_new = qkv[:, D:D + kvd]        # (B, kvd); kvd < D under MQA/GQA
+        v_new = qkv[:, D + kvd:]
         k_new_out[0] = k_new.astype(k_new_out.dtype)
         v_new_out[0] = v_new.astype(v_new_out.dtype)
+
+        def rep(t):
+            # MQA/GQA: replicate the shared K/V lanes up to D so the
+            # grouped-head G-matrix formulation applies unchanged (lane
+            # broadcast on the VPU; exact)
+            if kvd == D:
+                return t
+            return jnp.concatenate([t] * (D // kvd), axis=-1)
 
         slot = jax.lax.broadcasted_iota(jnp.int32, (B, T, 1), 1)
         if mxu_attn:
@@ -320,7 +331,7 @@ def _make_kernel_v2(cfg: ModelConfig, B: int, T: int, L_enc: int,
             k = jnp.where(at_pos, k_new[:, None, :].astype(cdt), sk_in[0])
             v = jnp.where(at_pos, v_new[:, None, :].astype(cdt), sv_in[0])
 
-            kf = k.astype(jnp.float32)
+            kf = rep(k.astype(jnp.float32))
             prod = (q * scale)[:, None, :] * kf        # (B, T, D)
             logits = jax.lax.dot_general(
                 prod, G, dimension_numbers=(((2,), (0,)), ((), ())),
@@ -332,7 +343,7 @@ def _make_kernel_v2(cfg: ModelConfig, B: int, T: int, L_enc: int,
             probs_d = jax.lax.dot_general(
                 probs, G, dimension_numbers=(((2,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)    # (B, T, D)
-            attn = jnp.sum(probs_d * v.astype(jnp.float32), axis=1)
+            attn = jnp.sum(probs_d * rep(v.astype(jnp.float32)), axis=1)
         sa = mm(attn, w_out, s_out) + b_out[0]
         x = _ln(x + sa, ln[0, 0], ln[0, 1])
 
@@ -727,7 +738,8 @@ def fused_decoder_layers_step_v2(stacked, cfg: ModelConfig, x_emb, self_k,
     if interpret is None:
         interpret = default_interpret()
     quantized = "w_qkv_s" in stacked
-    L, B, T, D = self_k.shape
+    L, B, T, kvd = self_k.shape     # kvd < D under MQA/GQA
+    D = cfg.d_model
     L_enc = cross_k.shape[2]
     if l_enc_actual is None:
         l_enc_actual = L_enc
@@ -753,7 +765,8 @@ def fused_decoder_layers_step_v2(stacked, cfg: ModelConfig, x_emb, self_k,
 
     in_specs = [fixed((B, D)), fixed((D, cfg.nhead)),
                 fixed((cfg.nhead, D))]
-    in_specs += weight_specs("w_qkv", (D, 3 * D)) + [per_layer((1, 3 * D))]
+    in_specs += (weight_specs("w_qkv", (D, D + 2 * kvd))
+                 + [per_layer((1, D + 2 * kvd))])
     in_specs += weight_specs("w_out", (D, D)) + [per_layer((1, D))]
     in_specs += weight_specs("w_cq", (D, D)) + [per_layer((1, D))]
     in_specs += weight_specs("w_co", (D, D)) + [per_layer((1, D))]
@@ -761,8 +774,8 @@ def fused_decoder_layers_step_v2(stacked, cfg: ModelConfig, x_emb, self_k,
     in_specs += weight_specs("w_ff2", (ff, D)) + [per_layer((1, D))]
     in_specs += [
         per_layer((6, D)),              # ln
-        per_layer((B, T, D)),           # self_k (read-only)
-        per_layer((B, T, D)),           # self_v (read-only)
+        per_layer((B, T, kvd)),         # self_k (read-only)
+        per_layer((B, T, kvd)),         # self_v (read-only)
         per_layer((B, L_enc, D)),       # cross_k
         per_layer((B, L_enc, D)),       # cross_v
     ]
@@ -773,8 +786,8 @@ def fused_decoder_layers_step_v2(stacked, cfg: ModelConfig, x_emb, self_k,
         in_specs=in_specs,
         out_specs=(
             fixed((B, D)),                  # x_out
-            per_layer((B, D)),              # k_new
-            per_layer((B, D)),              # v_new
+            per_layer((B, kvd)),            # k_new
+            per_layer((B, kvd)),            # v_new
         ),
         scratch_shapes=[pltpu.VMEM((B, D), jnp.float32)],
     )
@@ -795,14 +808,15 @@ def fused_decoder_layers_step_v2(stacked, cfg: ModelConfig, x_emb, self_k,
     operands += [stacked["ln"], self_k, self_v, cross_k, cross_v]
 
     kernel = _make_kernel_v2(cfg, B, T, L_enc, l_enc_actual,
-                             quantized=quantized, mxu_attn=mxu_attn)
+                             quantized=quantized, mxu_attn=mxu_attn,
+                             kv_dim=kvd)
     x_out, k_new, v_new = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((B, D), jnp.float32),
-            jax.ShapeDtypeStruct((L, B, D), self_k.dtype),
-            jax.ShapeDtypeStruct((L, B, D), self_v.dtype),
+            jax.ShapeDtypeStruct((L, B, kvd), self_k.dtype),
+            jax.ShapeDtypeStruct((L, B, kvd), self_v.dtype),
         ),
         interpret=interpret,
     )(*operands)

@@ -108,3 +108,39 @@ def test_train_step_learns_mqa():
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_fused_v2_matches_xla_greedy_mqa():
+    """Fused v2 kernel with a single shared K/V head == XLA greedy
+    (interpret). The kernel replicates the shared head's lanes up to D;
+    that mapping is head-order-correct only at nhead_kv=1 (GQA raises)."""
+    from handwritten_math_ocr_api_tpu.decode.fused import greedy_decode_fused
+    from handwritten_math_ocr_api_tpu.ops.fused_step import build_stacked
+
+    cfg = _cfg(1)
+    params = dec.init_decoder_params(jax.random.PRNGKey(0), cfg)
+    stacked = build_stacked(params, cfg)
+    rng = np.random.default_rng(3)
+    memory = jnp.asarray(rng.standard_normal((3, 6, 32)), jnp.float32)
+    want = greedy_decode(params, cfg, memory, cfg.max_seq_len)
+    got = greedy_decode_fused(params, stacked, cfg, memory,
+                              cfg.max_seq_len, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.tokens),
+                                  np.asarray(want.tokens))
+    np.testing.assert_allclose(np.asarray(got.logprob_sum),
+                               np.asarray(want.logprob_sum),
+                               atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize("variant,nhead_kv", [("v1", 1), ("v2", 2)])
+def test_fused_variants_reject_unsupported_kv(variant, nhead_kv):
+    from handwritten_math_ocr_api_tpu.decode.fused import greedy_decode_fused
+    from handwritten_math_ocr_api_tpu.ops.fused_step import build_stacked
+
+    cfg = _cfg(nhead_kv)
+    params = dec.init_decoder_params(jax.random.PRNGKey(0), cfg)
+    stacked = build_stacked(params, cfg)
+    memory = jnp.zeros((2, 6, 32))
+    with pytest.raises(NotImplementedError):
+        greedy_decode_fused(params, stacked, cfg, memory, 8,
+                            interpret=True, variant=variant)
