@@ -56,8 +56,21 @@ class DecodeEngine:
         self.tokenizer = tokenizer
         self.use_pallas = use_pallas
         self.mesh = mesh
+        if use_fused and 1 < cfg.kv_heads < cfg.nhead:
+            # the fused kernel supports MHA and MQA (nhead_kv=1) only; a
+            # GQA checkpoint degrades to the XLA decode path instead of
+            # raising at trace time (GQA was measured unprofitable on v5e
+            # anyway — BENCHMARKS.md)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "use_fused requested but config is GQA (nhead_kv=%d of %d "
+                "heads): falling back to the XLA decode path",
+                cfg.kv_heads, cfg.nhead)
+            use_fused = False
         self.use_fused = use_fused
         self._stacked = None
+        self._beam_params = None  # int8 decoder for the beam fallback
         if use_fused:
             # fused decoder-layer megakernel (ops/fused_step.py): greedy
             # decode only; beam falls back to the jnp path. With
@@ -69,6 +82,16 @@ class DecodeEngine:
             self._stacked = build_stacked(params["decoder"], cfg)
             if quantize:
                 self._stacked = quantize_stacked(self._stacked)
+                # beam decode falls back to the jnp path: give it int8
+                # decoder weights too, so `--use-fused --quantize
+                # --beam-size N` reports int8 numerics as promised (the
+                # fused-greedy path keeps the float params — its stacked
+                # bundle above carries the quantization)
+                from ..ops.quant import quantize_decoder_params
+
+                self._beam_params = dict(self.params)
+                self._beam_params["decoder"] = quantize_decoder_params(
+                    self.params["decoder"])
         elif quantize:
             # weight-only int8 decoder: halves the per-step HBM weight
             # traffic that bounds small-batch decode (ops/quant.py)
@@ -83,6 +106,9 @@ class DecodeEngine:
             n = mesh.shape["data"]
             self.params = jax.device_put(self.params,
                                          mesh_lib.replicated(mesh))
+            if self._beam_params is not None:
+                self._beam_params = jax.device_put(
+                    self._beam_params, mesh_lib.replicated(mesh))
             buckets = sorted({max(n, -(-b // n) * n)
                               for b in self.decode_cfg.batch_buckets})
             self.decode_cfg = DecodeConfig(
@@ -162,7 +188,9 @@ class DecodeEngine:
         BeamResult trimmed to the true batch size."""
         x, B, bucket = self._pad_batch(np.asarray(images))
         if beam_size and beam_size > 1:
-            res: BeamResult = self._beam_fn(bucket, beam_size)(self.params, x)
+            res: BeamResult = self._beam_fn(bucket, beam_size)(
+                self._beam_params if self._beam_params is not None
+                else self.params, x)
             return BeamResult(res.tokens[:B], res.scores[:B], res.lengths[:B])
         res: GreedyResult = self._greedy_fn(bucket)(
             self.params, self._stacked or {}, x)

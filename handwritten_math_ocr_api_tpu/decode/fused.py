@@ -100,7 +100,13 @@ def greedy_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
         from ..ops.whole_decode import build_resident, fused_whole_decode
 
         if "emb" not in stacked or "_params" not in stacked:
-            stacked = build_resident(decoder_params, cfg, quantize=True)
+            # auto-build follows the caller's bundle: int8 only when the
+            # passed stacked dict was quantize_stacked'ed (has `*_s`
+            # scales), so a bf16 build_stacked bundle never silently
+            # becomes int8 numerics
+            was_quantized = any(k.endswith("_s") for k in stacked)
+            stacked = build_resident(decoder_params, cfg,
+                                     quantize=was_quantized)
         res = fused_whole_decode(
             stacked, cfg, memory, max_len, sos_id=sos_id, eos_id=eos_id,
             pad_id=pad_id, interpret=interpret)

@@ -202,8 +202,10 @@ def decoder_step(params, cfg: ModelConfig, tok_ids: Array, pos: Array,
         q = layers.split_heads(qp, nh)                          # (B,H,1,Dh)
         k_new = layers.split_heads(kp, cfg.kv_heads)
         v_new = layers.split_heads(vp, cfg.kv_heads)
-        if use_pallas:
-            # fused append+attention, cache updated in place (MHA only)
+        if use_pallas and cfg.kv_heads == nh:
+            # fused append+attention, cache updated in place. MHA only:
+            # the kernel assumes H == Hkv, so MQA/GQA configs take the
+            # grouped jnp path below instead of dying in a reshape
             from ..ops.cache_attention import cache_append_attention
 
             sa, k, v = cache_append_attention(
@@ -256,10 +258,6 @@ def decoder_step_ragged(params, cfg: ModelConfig, tok_ids: Array,
     slot_ids = jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1, T), 3)
     self_mask = jnp.where(slot_ids <= pos[:, None, None, None],
                           0.0, -jnp.inf).astype(jnp.float32)
-    # grouped-query attention adds a group dim; the batch-leading mask
-    # must broadcast as (B, Hkv, G, 1, T)
-    self_mask_g = (self_mask[:, None] if cfg.kv_heads != nh else self_mask)
-
     def row_update(c, new, p):
         # c: (H, T, Dh); new: (H, 1, Dh); p: scalar
         return jax.lax.dynamic_update_slice(c, new, (0, p, 0))
@@ -275,7 +273,7 @@ def decoder_step_ragged(params, cfg: ModelConfig, tok_ids: Array,
         v = jax.vmap(row_update)(cache[f"self_v_{i}"], v_new, pos)
         new_cache[f"self_k_{i}"] = k
         new_cache[f"self_v_{i}"] = v
-        sa = layers.grouped_attention(q, k, v, self_mask_g, nh)
+        sa = layers.grouped_attention(q, k, v, self_mask, nh)
         sa = layers.merge_heads(sa)
         sa = _out_proj(sp, sa)
         x = layers.layer_norm(p["norm1"], x + sa)

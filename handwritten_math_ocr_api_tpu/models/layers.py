@@ -137,15 +137,21 @@ def grouped_attention(q: Array, k: Array, v: Array,
     (..., Hkv, H/Hkv, Lq, Dh) and k/v gain a singleton group dim — einsum
     broadcasting then reads each kv head once (A/B on v5e: the
     materializing formulation made GQA *slower* than MHA; this one is
-    cache-bandwidth-proportional). ``mask`` must broadcast against
-    (..., Hkv, G, Lq, Lk); rank-4 masks whose leading dim is batch must
-    be expanded by the caller."""
+    cache-bandwidth-proportional). A mask with q's rank is normalized
+    here — its head axis (size 1, Hkv or H) gains/absorbs the group
+    axis — so callers pass the same mask they would for MHA; a
+    pre-expanded rank-(q.ndim+1) mask passes through untouched."""
     hkv = k.shape[-3]
     if hkv == num_heads:
         return attention(q, k, v, mask, **kwargs)
     g = num_heads // hkv
     *lead, H, Lq, Dh = q.shape
     qg = q.reshape(*lead, hkv, g, Lq, Dh)
+    if mask is not None and mask.ndim == q.ndim:
+        if mask.shape[-3] == num_heads:  # per-query-head mask
+            mask = mask.reshape(*mask.shape[:-3], hkv, g, *mask.shape[-2:])
+        else:  # head axis is 1 or Hkv: insert the group axis
+            mask = mask[..., :, None, :, :]
     out = attention(qg, k[..., :, None, :, :], v[..., :, None, :, :], mask,
                     **kwargs)
     return out.reshape(*lead, H, Lq, Dh)
