@@ -176,33 +176,118 @@ def bench_beam_eval(iters: int):
     }
 
 
-def bench_continuous(iters: int):
-    """64 concurrent requests through the continuous slot engine."""
-    from handwritten_math_ocr_api_tpu.core.tokenizer import Tokenizer
-    from handwritten_math_ocr_api_tpu.decode.continuous import (
-        ContinuousDecoder,
+def _make_worstcase_artifact(path: str):
+    """Full-size flagship model, random weights, with the <eos> logit
+    forced unreachable so EVERY decode pays the worst-case 150 steps
+    (same honesty rule as configs 1-3, but through the real serving
+    stack where eos can't be overridden per-call)."""
+    import jax
+    import jax.numpy as jnp
+
+    from handwritten_math_ocr_api_tpu.core.config import EOS_ID, ModelConfig
+    from handwritten_math_ocr_api_tpu.models.model import init_model
+    from handwritten_math_ocr_api_tpu.train.checkpoint import (
+        save_params_for_serving,
     )
 
-    cfg, params, state = _model()
+    cfg = ModelConfig()
+    params, _ = init_model(jax.random.PRNGKey(0), cfg)
+    b = params["decoder"]["fc_out"]["b"]
+    params["decoder"]["fc_out"]["b"] = b.at[EOS_ID].set(
+        jnp.float32(-1e9))
     vocab = {"<pad>": 0, "<sos>": 1, "<eos>": 2, "<unk>": 3}
     for i in range(4, cfg.vocab_size):
         vocab[f"t{i}"] = i
-    cont = ContinuousDecoder(params, state, cfg, Tokenizer(vocab),
-                             num_slots=64, segment_steps=16)
-    rng = np.random.default_rng(0)
-    imgs = [np.asarray(rng.standard_normal((cfg.img_h, cfg.img_w, 1)),
-                       np.float32) for _ in range(64)]
-    cont.run_all(imgs[:8])  # compile insert/segment paths
-    t0 = time.perf_counter()
-    cont.run_all(imgs)
-    dt = time.perf_counter() - t0
-    ips = 64 / dt
+    save_params_for_serving(path, params, vocab, cfg)
+    return path
+
+
+def bench_continuous(iters: int, clients: int = 64, num_slots: int = 48,
+                     requests: int = 256, mesh_data: int = 1):
+    """BASELINE config 5: 64 concurrent HTTP clients against the live
+    serving app in continuous-batching mode — the full middleware +
+    batcher + pipelined slot-engine stack, worst-case 150-step decodes.
+
+    ``num_slots`` < ``clients`` keeps the admission queue non-empty so
+    freed slots refill immediately (occupancy target >= 0.9); with the
+    round-3 pipelined scheduler the tunnel RTT is overlapped with device
+    compute instead of serializing every 16-step segment."""
+    import asyncio
+    import tempfile
+
+    async def _run() -> dict:
+        import base64
+        import dataclasses
+        import io
+
+        from aiohttp.test_utils import TestClient, TestServer
+        from PIL import Image
+
+        from handwritten_math_ocr_api_tpu.core.config import ServeConfig
+        from handwritten_math_ocr_api_tpu.serve.app import create_app
+
+        with tempfile.TemporaryDirectory() as td:
+            _make_worstcase_artifact(td)
+            cfg = dataclasses.replace(
+                ServeConfig.from_env(), model_dir=td,
+                batching_mode="continuous", num_slots=num_slots,
+                segment_steps=16,
+                rate_limit_per_minute=10 ** 9,
+                rate_limit_per_hour=10 ** 9, rate_limit_per_day=10 ** 9,
+                max_concurrent_requests=10 ** 6,
+                mesh_data_axis=mesh_data)
+            app = create_app(cfg)
+            client = TestClient(TestServer(app))
+            await client.start_server()
+            try:
+                rng = np.random.default_rng(0)
+                img = Image.fromarray(
+                    rng.integers(0, 255, (96, 320), np.uint8), "L")
+                buf = io.BytesIO()
+                img.save(buf, "PNG")
+                payload = {
+                    "image_data": base64.b64encode(buf.getvalue()).decode()}
+
+                async def worker(n):
+                    for _ in range(n):
+                        resp = await client.post("/predict", json=payload)
+                        assert resp.status == 200, await resp.text()
+                        await resp.json()
+
+                # warm: compile encode buckets + segment program
+                await asyncio.gather(*[worker(1) for _ in range(clients)])
+                state = client.app["state"]
+                dec = state.batcher.decoder
+                # reset engine stats for the timed window
+                dec.segments_run = 0
+                dec.steps_scheduled = 0
+                dec.tokens_emitted = 0
+                dec.occupancy_sum = 0.0
+                per_client = max(requests // clients, 1)
+                t0 = time.perf_counter()
+                await asyncio.gather(
+                    *[worker(per_client) for _ in range(clients)])
+                dt = time.perf_counter() - t0
+                stats = dict(dec.stats)
+            finally:
+                await client.close()
+        total = per_client * clients
+        return {"dt": dt, "total": total, "stats": stats}
+
+    r = asyncio.run(_run())
+    ips = r["total"] / r["dt"]
     return {
         "metric": "continuous_64concurrent_throughput",
         "value": round(ips, 2),
         "unit": "images/sec",
         "vs_baseline": round(ips / CPU_BASELINE_BATCH10_IMGS, 2),
-        "avg_occupancy": round(cont.stats["avg_occupancy"], 3),
+        "avg_occupancy": round(r["stats"]["avg_occupancy"], 3),
+        "work_occupancy": round(r["stats"]["work_occupancy"], 3),
+        "transport": "http",
+        "clients": clients,
+        "num_slots": num_slots,
+        "requests": r["total"],
+        "mesh_data": mesh_data,
     }
 
 

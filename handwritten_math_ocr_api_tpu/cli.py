@@ -88,9 +88,13 @@ def cmd_train(args) -> int:
     )
     if args.synthetic_stream:
         mc = cfg.model
+        if getattr(args, "stream_renderer", "typeset") == "stroke":
+            from .data.strokes import StrokeStreamDataset as StreamDS
+        else:
+            StreamDS = SyntheticStreamDataset
         mk = lambda n, seed, freeze: DataLoader(
-            SyntheticStreamDataset(tok, n, mc.img_h, mc.img_w,
-                                   mc.max_seq_len, seed=seed, freeze=freeze),
+            StreamDS(tok, n, mc.img_h, mc.img_w,
+                     mc.max_seq_len, seed=seed, freeze=freeze),
             cfg.data.batch_size, shuffle=False,
             num_workers=cfg.data.num_workers, drop_remainder=True)
         train_loader = mk(args.synthetic_stream, 0, False)
@@ -188,12 +192,15 @@ def cmd_make_synthetic(args) -> int:
 
 
 def cmd_make_corpus(args) -> int:
-    from .data.synthetic import make_corpus
+    if getattr(args, "renderer", "typeset") == "stroke":
+        from .data.strokes import make_stroke_corpus as mk
+    else:
+        from .data.synthetic import make_corpus as mk
 
-    make_corpus(args.data_root, n_train=args.train, n_val=args.val,
-                n_test=args.test, seed=args.seed)
-    print(f"learnable corpus ({args.train}/{args.val}/{args.test}) "
-          f"-> {args.data_root}")
+    mk(args.data_root, n_train=args.train, n_val=args.val,
+       n_test=args.test, seed=args.seed)
+    print(f"learnable corpus ({args.train}/{args.val}/{args.test}, "
+          f"{getattr(args, 'renderer', 'typeset')}) -> {args.data_root}")
     return 0
 
 
@@ -243,6 +250,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="train on an infinite synthetic stream, N samples "
                          "per epoch (fresh formulas every epoch; vocab "
                          "fixed from the grammar)")
+    tr.add_argument("--stream-renderer", default="typeset",
+                    choices=["typeset", "stroke"],
+                    help="synthetic-stream pixels: 'typeset' (font-rendered "
+                         "LaTeX source) or 'stroke' (handwriting-style "
+                         "structural layout, data/strokes.py — the "
+                         "MathWriting difficulty regime)")
     tr.add_argument("--resume-from", default=None)
     tr.add_argument("--mlflow-experiment", default=None)
     tr.set_defaults(fn=cmd_train)
@@ -293,6 +306,10 @@ def build_parser() -> argparse.ArgumentParser:
     mc.add_argument("--val", type=int, default=1000)
     mc.add_argument("--test", type=int, default=1000)
     mc.add_argument("--seed", type=int, default=0)
+    mc.add_argument("--renderer", default="typeset",
+                    choices=["typeset", "stroke"],
+                    help="'stroke' = handwriting-style structural renders "
+                         "(data/strokes.py)")
     mc.set_defaults(fn=cmd_make_corpus)
 
     cv = sub.add_parser("convert-checkpoint",

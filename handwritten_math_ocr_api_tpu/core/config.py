@@ -226,6 +226,10 @@ class ServeConfig:
     max_batch_images: int = 10  # per /predict/batch request
     num_slots: int = 64         # continuous mode: KV-cache slot pool size
     segment_steps: int = 16     # continuous mode: steps between admissions
+    # Continuous mode: max decode segments in flight before the scheduler
+    # blocks on the oldest report — hides dispatch/tunnel latency
+    # (decode/continuous.py pipelined scheduler).
+    pipeline_depth: int = 4
     # Continuous mode multi-chip: shard the slot pool over a data-axis mesh
     # of this many devices (BASELINE config 5's v5e-4 target => 4). 1 = off.
     mesh_data_axis: int = 1
@@ -237,6 +241,11 @@ class ServeConfig:
     # path). Measured quality-neutral on trained weights (BENCHMARKS.md:
     # identical exact/CER/BLEU to bf16) at half the decoder weight memory.
     quantize_decode: bool = False
+    # Decode batch buckets pre-compiled at startup so the first request
+    # never pays XLA compilation (SERVING_WARMUP env: comma list of
+    # bucket sizes, "0" disables; from_env defaults to (1,)). Dataclass
+    # default is off so test servers start instantly.
+    warmup_batch_sizes: Tuple[int, ...] = ()
 
     @classmethod
     def from_env(cls) -> "ServeConfig":
@@ -278,6 +287,13 @@ class ServeConfig:
             num_slots=int(env.get("SERVING_NUM_SLOTS", defaults.num_slots)),
             segment_steps=int(
                 env.get("SERVING_SEGMENT_STEPS", defaults.segment_steps)
+            ),
+            pipeline_depth=int(
+                env.get("SERVING_PIPELINE_DEPTH", defaults.pipeline_depth)
+            ),
+            warmup_batch_sizes=tuple(
+                int(s) for s in env.get("SERVING_WARMUP", "1").split(",")
+                if s.strip() and int(s) > 0
             ),
             mesh_data_axis=int(
                 env.get("SERVING_MESH_DATA", defaults.mesh_data_axis)

@@ -1,0 +1,606 @@
+"""Stroke-based synthetic handwriting renderer for math formulas.
+
+The reference's published quality numbers (47.4% exact / 0.0615 CER,
+/root/reference/README.md:85-87) are on *real handwriting* — MathWriting
+InkML strokes rendered to PNGs (README.md:55-61). That corpus cannot be
+downloaded in this environment, and the font-rendered corpus
+(synthetic.render_corpus_image) is a categorically easier vision task:
+clean typeset glyphs, LaTeX source drawn literally (the string ``x ^ { 2 }``
+appears as those five glyphs in a row).
+
+This module is the closest available stand-in for the MathWriting regime:
+
+- **Glyphs are polyline strokes**, not font rasters: every symbol is a
+  hand-authored stroke skeleton that gets per-sample jitter — point noise,
+  per-glyph affine wobble, random slant, baseline wander, varying pen
+  thickness — through the same rasterization path as real InkML
+  (data/inkml.py: Ink + rasterize).
+- **Layout is structural, not literal**: ``x ^ { 2 }`` renders as a small
+  raised 2 after the x; ``\\frac { a } { b }`` as a over a bar over b;
+  ``\\sqrt`` draws a radical with an overline; ``\\sum``/``\\int`` are
+  large operators with under/over scripts. The model must recover the
+  LaTeX *structure* from 2D arrangement — the actual MathWriting task —
+  instead of transcribing glyphs left to right.
+
+Grammar compatibility: consumes exactly the token inventory of
+synthetic.structured_formula / grammar_vocab(), so streaming training,
+vocab building and eval all reuse the existing plumbing.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .inkml import Ink, rasterize
+
+Stroke = List[Tuple[float, float]]   # polyline in glyph-local coords
+
+# ---------------------------------------------------------------------------
+# Glyph templates
+#
+# Coordinate convention: y grows DOWN. Baseline at y = 1.0; x-height band
+# is y in [0.45, 1.0]; ascenders reach toward 0.0; descenders toward 1.45.
+# Each template lists (width, strokes); stroke points live in [0, width] x
+# [-0.1, 1.5].
+# ---------------------------------------------------------------------------
+
+
+def _arc(cx: float, cy: float, rx: float, ry: float, a0: float, a1: float,
+         n: int = 12) -> Stroke:
+    """Elliptic arc, angles in degrees, y-down screen coords (90 deg points
+    down the page)."""
+    ts = np.linspace(math.radians(a0), math.radians(a1), n)
+    return [(cx + rx * math.cos(t), cy + ry * math.sin(t)) for t in ts]
+
+
+def _line(x0, y0, x1, y1, n: int = 6) -> Stroke:
+    return [(x0 + (x1 - x0) * t, y0 + (y1 - y0) * t)
+            for t in np.linspace(0.0, 1.0, n)]
+
+
+def _dot(cx, cy, r: float = 0.03) -> Stroke:
+    return _arc(cx, cy, r, r, 0, 360, 8)
+
+
+_XH = 0.45          # top of the lowercase body
+_MID = (_XH + 1.0) / 2.0   # 0.725, vertical middle of the body
+
+
+def _bowl(cx, cy=_MID, r=0.27) -> Stroke:
+    """Closed-ish oval, the lowercase bowl."""
+    return _arc(cx, cy, r, (1.0 - _XH) / 2.0, -80, 262, 16)
+
+
+def _glyphs() -> Dict[str, Tuple[float, List[Stroke]]]:
+    g: Dict[str, Tuple[float, List[Stroke]]] = {}
+    # --- lowercase latin ---------------------------------------------------
+    g["a"] = (0.62, [_bowl(0.27), _line(0.55, _XH, 0.55, 1.0)
+                     + _arc(0.58, 0.95, 0.06, 0.06, 180, 60, 5)])
+    g["b"] = (0.62, [_line(0.10, 0.0, 0.10, 1.0),
+                     _arc(0.33, _MID, 0.25, (1.0 - _XH) / 2, 115, -115, 14)])
+    g["c"] = (0.58, [_arc(0.32, _MID, 0.26, (1.0 - _XH) / 2, 45, 315, 14)])
+    g["d"] = (0.62, [_bowl(0.27), _line(0.55, 0.0, 0.55, 1.0)])
+    g["e"] = (0.58, [_line(0.06, _MID, 0.52, _MID)
+                     + _arc(0.29, _MID, 0.24, (1.0 - _XH) / 2, 0, -255, 14)])
+    g["f"] = (0.52, [_arc(0.42, 0.16, 0.14, 0.14, -20, -175, 7)
+                     + _line(0.24, 0.16, 0.24, 1.0, 4),
+                     _line(0.06, _XH, 0.46, _XH, 3)])
+    g["g"] = (0.62, [_bowl(0.27),
+                     _line(0.55, _XH, 0.55, 1.25, 4)
+                     + _arc(0.33, 1.25, 0.22, 0.18, 0, 140, 7)])
+    g["h"] = (0.60, [_line(0.10, 0.0, 0.10, 1.0),
+                     _arc(0.31, 0.70, 0.21, 0.25, 180, 0, 9)
+                     + _line(0.52, 0.70, 0.52, 1.0, 3)])
+    g["i"] = (0.28, [_line(0.14, _XH, 0.14, 1.0), _dot(0.14, 0.26)])
+    g["j"] = (0.36, [_line(0.24, _XH, 0.24, 1.25, 4)
+                     + _arc(0.10, 1.25, 0.14, 0.16, 0, 120, 6),
+                     _dot(0.24, 0.26)])
+    g["k"] = (0.58, [_line(0.10, 0.0, 0.10, 1.0),
+                     _line(0.48, _XH, 0.10, 0.76, 4),
+                     _line(0.22, 0.66, 0.52, 1.0, 4)])
+    g["l"] = (0.28, [_line(0.14, 0.0, 0.14, 0.92, 5)
+                     + _arc(0.22, 0.92, 0.08, 0.08, 180, 90, 4)])
+    g["m"] = (0.92, [_line(0.08, _XH, 0.08, 1.0),
+                     _arc(0.26, 0.68, 0.18, 0.23, 180, 0, 8)
+                     + _line(0.44, 0.68, 0.44, 1.0, 3),
+                     _arc(0.62, 0.68, 0.18, 0.23, 180, 0, 8)
+                     + _line(0.80, 0.68, 0.80, 1.0, 3)])
+    g["n"] = (0.60, [_line(0.10, _XH, 0.10, 1.0),
+                     _arc(0.30, 0.70, 0.20, 0.25, 180, 0, 9)
+                     + _line(0.50, 0.70, 0.50, 1.0, 3)])
+    g["o"] = (0.60, [_arc(0.30, _MID, 0.25, (1.0 - _XH) / 2, -90, 270, 16)])
+    g["p"] = (0.62, [_line(0.10, _XH, 0.10, 1.45),
+                     _arc(0.33, _MID, 0.25, (1.0 - _XH) / 2, 115, -115, 14)])
+    g["q"] = (0.62, [_bowl(0.27), _line(0.55, _XH, 0.55, 1.45)])
+    g["r"] = (0.46, [_line(0.10, _XH, 0.10, 1.0),
+                     _arc(0.28, 0.66, 0.18, 0.21, 180, -30, 7)])
+    g["s"] = (0.50, [_arc(0.28, 0.58, 0.17, 0.13, 40, 240, 9)
+                     + _arc(0.24, 0.86, 0.19, 0.15, -120, 70, 9)])
+    g["t"] = (0.46, [_line(0.20, 0.12, 0.20, 0.90, 5)
+                     + _arc(0.30, 0.90, 0.10, 0.10, 180, 80, 5),
+                     _line(0.04, _XH, 0.42, _XH, 3)])
+    g["u"] = (0.60, [_line(0.10, _XH, 0.10, 0.78, 3)
+                     + _arc(0.30, 0.78, 0.20, 0.22, 180, 360, 9)
+                     + _line(0.50, 0.78, 0.50, 1.0, 3)])
+    g["v"] = (0.56, [_line(0.06, _XH, 0.28, 1.0, 5),
+                     _line(0.28, 1.0, 0.50, _XH, 5)])
+    g["w"] = (0.84, [_line(0.05, _XH, 0.22, 1.0, 4),
+                     _line(0.22, 1.0, 0.40, 0.56, 4),
+                     _line(0.40, 0.56, 0.58, 1.0, 4),
+                     _line(0.58, 1.0, 0.76, _XH, 4)])
+    g["x"] = (0.56, [_line(0.06, _XH, 0.50, 1.0, 5),
+                     _line(0.50, _XH, 0.06, 1.0, 5)])
+    g["y"] = (0.58, [_line(0.08, _XH, 0.30, 1.0, 5),
+                     _line(0.52, _XH, 0.18, 1.42, 6)])
+    g["z"] = (0.54, [_line(0.06, _XH, 0.48, _XH, 3)
+                     + _line(0.48, _XH, 0.06, 1.0, 5)
+                     + _line(0.06, 1.0, 0.50, 1.0, 3)])
+    # --- greek -------------------------------------------------------------
+    g["\\alpha"] = (0.66, [
+        _arc(0.28, _MID, 0.24, (1.0 - _XH) / 2, -40, 220, 13)
+        + _line(0.46, _XH + 0.05, 0.60, 1.0, 5)])
+    g["\\beta"] = (0.60, [
+        _line(0.12, 0.10, 0.12, 1.45, 7),
+        _arc(0.30, 0.30, 0.20, 0.20, 160, -60, 9)
+        + _arc(0.32, 0.74, 0.24, 0.25, -90, 120, 10)])
+    g["\\gamma"] = (0.58, [_line(0.06, _XH, 0.32, 1.0, 5)
+                           + _line(0.32, 1.0, 0.30, 1.40, 4),
+                           _line(0.52, _XH, 0.32, 1.0, 5)])
+    g["\\theta"] = (0.58, [_arc(0.29, 0.55, 0.23, 0.47, -90, 270, 16),
+                           _line(0.10, 0.55, 0.48, 0.55, 3)])
+    g["\\lambda"] = (0.60, [_line(0.08, 0.08, 0.52, 1.0, 6),
+                            _line(0.30, 0.54, 0.06, 1.0, 5)])
+    g["\\mu"] = (0.64, [_line(0.10, _XH, 0.10, 1.42, 6),
+                        _line(0.10, 0.80, 0.12, 0.80, 2)
+                        + _arc(0.32, 0.76, 0.20, 0.24, 180, 360, 9)
+                        + _line(0.52, 0.76, 0.56, 1.0, 3)])
+    g["\\pi"] = (0.66, [_line(0.04, _XH + 0.04, 0.62, _XH + 0.04, 4),
+                        _line(0.18, _XH + 0.04, 0.16, 1.0, 4),
+                        _line(0.48, _XH + 0.04, 0.50, 1.0, 4)])
+    g["\\sigma"] = (0.62, [
+        _arc(0.28, _MID, 0.23, (1.0 - _XH) / 2, -90, 270, 14)
+        + _line(0.28 + 0.10, _XH, 0.58, _XH - 0.02, 3)])
+    g["\\phi"] = (0.62, [_arc(0.30, _MID, 0.24, (1.0 - _XH) / 2, -90, 270, 14),
+                         _line(0.30, 0.30, 0.30, 1.42, 6)])
+    g["\\omega"] = (0.74, [_arc(0.20, 0.70, 0.14, 0.28, 180, 0, 10)
+                           + _arc(0.50, 0.70, 0.14, 0.28, 180, 0, 10)])
+    # --- digits (full height band y in [0.08, 1.0]) -------------------------
+    g["0"] = (0.58, [_arc(0.29, 0.54, 0.23, 0.46, -90, 270, 16)])
+    g["1"] = (0.40, [_line(0.08, 0.30, 0.24, 0.08, 4) + _line(0.24, 0.08, 0.24, 1.0, 6)])
+    g["2"] = (0.56, [_arc(0.28, 0.30, 0.21, 0.22, 180, 340, 9)
+                     + _line(0.47, 0.42, 0.08, 1.0, 6)
+                     + _line(0.08, 1.0, 0.52, 1.0, 3)])
+    g["3"] = (0.54, [_arc(0.26, 0.30, 0.20, 0.21, 170, 370, 9)
+                     + _arc(0.27, 0.76, 0.22, 0.25, -80, 160, 10)])
+    g["4"] = (0.58, [_line(0.36, 0.08, 0.08, 0.66, 5)
+                     + _line(0.08, 0.66, 0.54, 0.66, 3),
+                     _line(0.40, 0.08, 0.40, 1.0, 6)])
+    g["5"] = (0.56, [_line(0.46, 0.08, 0.12, 0.08, 3)
+                     + _line(0.12, 0.08, 0.10, 0.48, 3)
+                     + _arc(0.28, 0.72, 0.22, 0.26, -110, 150, 11)])
+    g["6"] = (0.56, [_arc(0.50, 0.12, 0.45, 0.50, 150, 230, 8)
+                     + _arc(0.28, 0.74, 0.20, 0.24, -180, 180, 13)])
+    g["7"] = (0.54, [_line(0.06, 0.10, 0.50, 0.10, 3)
+                     + _line(0.50, 0.10, 0.20, 1.0, 6)])
+    g["8"] = (0.56, [_arc(0.28, 0.32, 0.18, 0.22, -90, 270, 12)
+                     + _arc(0.28, 0.78, 0.21, 0.24, -90, 270, 12)])
+    g["9"] = (0.56, [_arc(0.28, 0.34, 0.20, 0.24, -90, 270, 13),
+                     _line(0.47, 0.36, 0.40, 1.0, 5)])
+    # --- operators / punctuation -------------------------------------------
+    g["+"] = (0.60, [_line(0.06, 0.62, 0.54, 0.62, 3),
+                     _line(0.30, 0.38, 0.30, 0.88, 3)])
+    g["-"] = (0.54, [_line(0.06, 0.62, 0.48, 0.62, 3)])
+    g["="] = (0.60, [_line(0.06, 0.52, 0.54, 0.52, 3),
+                     _line(0.06, 0.72, 0.54, 0.72, 3)])
+    g["\\cdot"] = (0.24, [_dot(0.12, 0.62, 0.035)])
+    g["\\times"] = (0.54, [_line(0.07, 0.40, 0.47, 0.84, 4),
+                           _line(0.47, 0.40, 0.07, 0.84, 4)])
+    g["\\pm"] = (0.60, [_line(0.06, 0.52, 0.54, 0.52, 3),
+                        _line(0.30, 0.28, 0.30, 0.76, 3),
+                        _line(0.06, 0.94, 0.54, 0.94, 3)])
+    g["\\leq"] = (0.60, [_line(0.52, 0.30, 0.08, 0.54, 4)
+                         + _line(0.08, 0.54, 0.52, 0.78, 4),
+                         _line(0.08, 0.96, 0.52, 0.96, 3)])
+    g["\\geq"] = (0.60, [_line(0.08, 0.30, 0.52, 0.54, 4)
+                         + _line(0.52, 0.54, 0.08, 0.78, 4),
+                         _line(0.08, 0.96, 0.52, 0.96, 3)])
+    g["\\neq"] = (0.60, [_line(0.06, 0.52, 0.54, 0.52, 3),
+                         _line(0.06, 0.72, 0.54, 0.72, 3),
+                         _line(0.44, 0.30, 0.16, 0.94, 4)])
+    g["\\to"] = (0.78, [_line(0.06, 0.62, 0.70, 0.62, 4),
+                        _line(0.54, 0.46, 0.70, 0.62, 3),
+                        _line(0.54, 0.78, 0.70, 0.62, 3)])
+    g["("] = (0.34, [_arc(0.52, 0.54, 0.34, 0.56, 110, 250, 10)])
+    g[")"] = (0.34, [_arc(-0.18, 0.54, 0.34, 0.56, -70, 70, 10)])
+    # --- large operators (drawn big by the layout) ---------------------------
+    g["\\sum"] = (0.70, [_line(0.62, 0.10, 0.08, 0.10, 3)
+                         + _line(0.08, 0.10, 0.40, 0.54, 4)
+                         + _line(0.40, 0.54, 0.08, 1.0, 4)
+                         + _line(0.08, 1.0, 0.64, 1.0, 3)])
+    g["\\int"] = (0.44, [_arc(0.34, 0.10, 0.10, 0.10, -90, -200, 6)
+                         + _line(0.24, 0.12, 0.20, 0.98, 7)
+                         + _arc(0.10, 1.00, 0.10, 0.10, -20, 90, 6)])
+    return g
+
+
+GLYPHS = _glyphs()
+
+# tokens rendered as letter sequences (handwritten function names)
+_WORD_TOKENS = {"\\sin": "sin", "\\cos": "cos", "\\tan": "tan",
+                "\\log": "log"}
+# glyphs whose ink spans the full height band (digits, operators drawn in
+# the template's own band) — everything else is lowercase-body metrics
+DESCENDERS = {"g", "j", "p", "q", "y", "\\beta", "\\gamma", "\\mu",
+              "\\phi"}
+
+
+# ---------------------------------------------------------------------------
+# Structural layout
+# ---------------------------------------------------------------------------
+
+
+class _Box:
+    """Laid-out ink: strokes in local coords (baseline y=0, x from 0),
+    plus metrics. y grows down, so ``asc`` <= 0 <= ``desc``."""
+
+    __slots__ = ("strokes", "w", "asc", "desc")
+
+    def __init__(self, strokes: List[np.ndarray], w: float, asc: float,
+                 desc: float):
+        self.strokes = strokes
+        self.w = w
+        self.asc = asc
+        self.desc = desc
+
+
+def _glyph_box(tok: str, size: float, rng: random.Random,
+               jitter: float) -> _Box:
+    """One glyph at ``size`` (em height), with per-glyph affine wobble."""
+    w, strokes = GLYPHS[tok]
+    out = []
+    # per-glyph wobble: rotation + anisotropic scale + point noise
+    rot = rng.gauss(0.0, jitter * 0.09)
+    sx = 1.0 + rng.gauss(0.0, jitter * 0.08)
+    sy = 1.0 + rng.gauss(0.0, jitter * 0.08)
+    cr, sr = math.cos(rot), math.sin(rot)
+    cx, cy = w / 2.0, 0.7
+    for st in strokes:
+        pts = np.asarray(st, np.float64)
+        if jitter > 0 and len(pts) > 2:
+            noise = np.cumsum(
+                np.array([[rng.gauss(0, 1), rng.gauss(0, 1)]
+                          for _ in range(len(pts))]), axis=0)
+            noise -= noise.mean(axis=0)
+            scale = jitter * 0.012
+            pts = pts + noise * scale
+        x = (pts[:, 0] - cx) * sx
+        y = (pts[:, 1] - cy) * sy
+        xr = x * cr - y * sr + cx
+        yr = x * sr + y * cr + cy
+        # template baseline (y=1.0) -> local baseline (y=0)
+        out.append(np.stack([xr * size, (yr - 1.0) * size],
+                            axis=1).astype(np.float32))
+    asc = -1.05 * size
+    desc = 0.48 * size if tok in DESCENDERS else 0.06 * size
+    return _Box(out, w * size, asc, desc)
+
+
+def _shift(box: _Box, dx: float, dy: float) -> List[np.ndarray]:
+    return [s + np.asarray([[dx, dy]], np.float32) for s in box.strokes]
+
+
+def _hcat(boxes: Sequence[_Box], gap: float) -> _Box:
+    strokes: List[np.ndarray] = []
+    x = 0.0
+    asc, desc = 0.0, 0.0
+    for b in boxes:
+        strokes += _shift(b, x, 0.0)
+        x += b.w + gap
+        asc = min(asc, b.asc)
+        desc = max(desc, b.desc)
+    return _Box(strokes, max(x - gap, 0.0), asc, desc)
+
+
+class _Parser:
+    """Tokens -> layout boxes, for the structured_formula grammar."""
+
+    def __init__(self, tokens: List[str], rng: random.Random,
+                 jitter: float):
+        self.toks = tokens
+        self.i = 0
+        self.rng = rng
+        self.jitter = jitter
+
+    def _peek(self) -> Optional[str]:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def _next(self) -> str:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def _group(self, size: float) -> _Box:
+        """Parse ``{ ... }`` (or a single token) as a sub-layout."""
+        if self._peek() == "{":
+            self._next()
+            boxes = []
+            while self._peek() not in ("}", None):
+                boxes.append(self._item(size))
+            if self._peek() == "}":
+                self._next()
+            return _hcat(boxes, 0.12 * size) if boxes else _Box([], 0, 0, 0)
+        return self._item(size)
+
+    def _scripts(self, base: _Box, size: float, over_under: bool) -> _Box:
+        """Attach any ^ / _ groups to ``base``. ``over_under``: scripts go
+        above/below (large operators) instead of up/down-right."""
+        sup = sub = None
+        while self._peek() in ("^", "_"):
+            op = self._next()
+            grp = self._group(0.62 * size)
+            if op == "^":
+                sup = grp
+            else:
+                sub = grp
+        if sup is None and sub is None:
+            return base
+        rng = self.rng
+        if over_under:
+            strokes = list(base.strokes)
+            w = base.w
+            asc, desc = base.asc, base.desc
+            if sup is not None:
+                dy = base.asc - sup.desc - 0.12 * size
+                dx = (w - sup.w) / 2 + rng.gauss(0, 0.03 * size)
+                strokes += _shift(sup, dx, dy)
+                asc = min(asc, dy + sup.asc)
+                w = max(w, sup.w)
+            if sub is not None:
+                dy = base.desc - sub.asc + 0.12 * size
+                dx = (w - sub.w) / 2 + rng.gauss(0, 0.03 * size)
+                strokes += _shift(sub, dx, dy)
+                desc = max(desc, dy + sub.desc)
+                w = max(w, sub.w)
+            return _Box(strokes, w, asc, desc)
+        strokes = list(base.strokes)
+        w, asc, desc = base.w, base.asc, base.desc
+        pad = 0.06 * size
+        if sup is not None:
+            dy = -0.52 * size + self.rng.gauss(0, 0.04 * size)
+            strokes += _shift(sup, w + pad, dy)
+            asc = min(asc, dy + sup.asc)
+            w = max(w, w + pad + sup.w)
+        if sub is not None:
+            dy = 0.34 * size + self.rng.gauss(0, 0.04 * size)
+            strokes += _shift(sub, base.w + pad, dy)
+            desc = max(desc, dy + sub.desc)
+            w = max(w, base.w + pad + sub.w)
+        return _Box(strokes, w, asc, desc)
+
+    def _item(self, size: float) -> _Box:
+        tok = self._next()
+        rng, jit = self.rng, self.jitter
+        if tok == "\\frac":
+            num = self._group(0.82 * size)
+            den = self._group(0.82 * size)
+            wbar = max(num.w, den.w) + 0.25 * size
+            gap = 0.14 * size
+            strokes = []
+            # numerator above the bar, denominator below (bar at y=-0.35,
+            # roughly math-axis height)
+            bar_y = -0.35 * size
+            strokes += _shift(num, (wbar - num.w) / 2,
+                              bar_y - gap - num.desc)
+            bar = np.asarray(_line(0.0, bar_y, wbar,
+                                   bar_y + rng.gauss(0, 0.02 * size), 5),
+                             np.float32)
+            strokes.append(bar)
+            strokes += _shift(den, (wbar - den.w) / 2,
+                              bar_y + gap - den.asc)
+            asc = bar_y - gap - num.desc + num.asc
+            desc = bar_y + gap - den.asc + den.desc
+            return self._scripts(_Box(strokes, wbar, asc, desc), size, False)
+        if tok == "\\sqrt":
+            body = self._group(0.9 * size)
+            tick_w = 0.42 * size
+            top = body.asc - 0.18 * size
+            strokes = _shift(body, tick_w + 0.08 * size, 0.0)
+            radical = (_line(0.0, -0.42 * size, 0.14 * size,
+                             -0.32 * size, 3)
+                       + _line(0.14 * size, -0.32 * size, 0.30 * size,
+                               body.desc + 0.05 * size, 4)
+                       + _line(0.30 * size, body.desc + 0.05 * size,
+                               tick_w, top, 4)
+                       + _line(tick_w, top,
+                               tick_w + body.w + 0.16 * size, top, 4))
+            strokes.append(np.asarray(radical, np.float32))
+            return self._scripts(
+                _Box(strokes, tick_w + body.w + 0.16 * size,
+                     top, body.desc + 0.05 * size), size, False)
+        if tok in ("\\sum", "\\int"):
+            big = 1.55 if tok == "\\sum" else 1.75
+            base = _glyph_box(tok, big * size, rng, jit)
+            # recenter the tall glyph on the math axis
+            shift_y = 0.28 * size
+            base = _Box(_shift(base, 0.0, shift_y), base.w,
+                        base.asc + shift_y, base.desc + shift_y)
+            return self._scripts(base, size, over_under=(tok == "\\sum"))
+        if tok in _WORD_TOKENS:
+            boxes = [_glyph_box(c, size, rng, jit)
+                     for c in _WORD_TOKENS[tok]]
+            return self._scripts(_hcat(boxes, 0.05 * size), size, False)
+        if tok in GLYPHS:
+            return self._scripts(_glyph_box(tok, size, rng, jit), size,
+                                 False)
+        # unknown token (e.g. a brace outside a group): render nothing
+        return _Box([], 0.0, 0.0, 0.0)
+
+    def parse(self, size: float) -> _Box:
+        boxes = []
+        while self._peek() is not None:
+            if self._peek() == "}":  # stray close (malformed input)
+                self._next()
+                continue
+            boxes.append(self._item(size))
+        gap = 0.16 * size
+        return _hcat(boxes, gap)
+
+
+def formula_strokes(formula: str, rng: random.Random,
+                    jitter: float = 1.0) -> List[np.ndarray]:
+    """Lay out ``formula`` (space-separated LaTeX tokens) structurally and
+    return jittered strokes in layout coordinates."""
+    box = _Parser(formula.split(), rng, jitter).parse(1.0)
+    return box.strokes
+
+
+def _handwrite(strokes: List[np.ndarray], rng: random.Random,
+               jitter: float = 1.0) -> List[np.ndarray]:
+    """Global handwriting distortions: slant, rotation, baseline wander."""
+    if not strokes:
+        return strokes
+    allpts = np.concatenate(strokes, axis=0)
+    x0, x1 = float(allpts[:, 0].min()), float(allpts[:, 0].max())
+    span = max(x1 - x0, 1e-6)
+    shear = rng.gauss(0.0, 0.16 * jitter)
+    rot = rng.gauss(0.0, 0.03 * jitter)
+    amp = abs(rng.gauss(0.0, 0.10 * jitter))
+    lam = rng.uniform(0.8, 3.0) * span
+    phase = rng.uniform(0, 2 * math.pi)
+    drift = rng.gauss(0.0, 0.06 * jitter) / span
+    cr, sr = math.cos(rot), math.sin(rot)
+    out = []
+    for st in strokes:
+        x = st[:, 0].astype(np.float64)
+        y = st[:, 1].astype(np.float64)
+        y = y + amp * np.sin(2 * math.pi * (x - x0) / lam + phase) \
+            + drift * (x - x0) ** 2 / span
+        x = x - shear * y
+        xr = x * cr - y * sr
+        yr = x * sr + y * cr
+        out.append(np.stack([xr, yr], axis=1).astype(np.float32))
+    return out
+
+
+def render_stroke_image(formula: str, rng: np.random.Generator,
+                        img_h: int = 96, img_w: int = 320,
+                        jitter: float = 1.0) -> np.ndarray:
+    """Handwriting-style render of ``formula``: structural layout, jittered
+    polyline glyphs, InkML rasterization path, paper/ink contrast noise.
+    Returns uint8 (img_h, img_w), dark ink on light paper."""
+    prng = random.Random(int(rng.integers(0, 2 ** 63)))
+    strokes = formula_strokes(formula, prng, jitter)
+    strokes = _handwrite(strokes, prng, jitter)
+    ink = Ink(strokes=strokes, label=formula)
+    thickness = int(rng.integers(1, 4))
+    margin = int(rng.integers(3, 14))
+    img = rasterize(ink, img_h=img_h, img_w=img_w, margin=margin,
+                    thickness=thickness)
+    # paper/ink contrast + sensor noise (same regime as the typeset
+    # corpus renderer, synthetic.render_corpus_image)
+    bg = int(rng.integers(228, 256))
+    ink_level = int(rng.integers(0, 50))
+    arr = np.asarray(img, np.float32) / 255.0
+    arr = ink_level + arr * (bg - ink_level)
+    arr += rng.normal(0.0, float(rng.uniform(1.0, 6.0)), arr.shape)
+    return np.clip(arr, 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Dataset plumbing (mirrors synthetic.SyntheticStreamDataset / make_corpus)
+# ---------------------------------------------------------------------------
+
+
+def stroke_vocab() -> dict:
+    """Token inventory (identical to synthetic.grammar_vocab: the stroke
+    renderer consumes the same structured_formula grammar)."""
+    from .synthetic import grammar_vocab
+
+    return grammar_vocab()
+
+
+class StrokeStreamDataset:
+    """Infinite-variety streaming corpus of handwriting-style renders.
+
+    Same interface as SyntheticStreamDataset (len/getitem/set_epoch +
+    img_h/img_w/max_seq_len attrs), same formula distribution, different
+    pixels: structural stroke layout instead of literal typeset source."""
+
+    def __init__(self, tokenizer, samples_per_epoch: int, img_h: int = 96,
+                 img_w: int = 320, max_seq_len: int = 150, seed: int = 0,
+                 max_tokens: int = 28, freeze: bool = False,
+                 jitter: float = 1.0):
+        from .synthetic import SyntheticStreamDataset
+
+        self._inner = SyntheticStreamDataset(
+            tokenizer, samples_per_epoch, img_h, img_w, max_seq_len,
+            seed=seed, max_tokens=max_tokens, freeze=freeze)
+        self.tokenizer = tokenizer
+        self.img_h, self.img_w = img_h, img_w
+        self.max_seq_len = max_seq_len
+        self.jitter = jitter
+
+    def set_epoch(self, epoch: int) -> None:
+        self._inner.set_epoch(epoch)
+
+    def __len__(self) -> int:
+        return len(self._inner)
+
+    def formula_at(self, idx: int) -> str:
+        return self._inner.formula_at(idx)
+
+    def __getitem__(self, idx: int):
+        formula = self._inner.formula_at(idx)
+        nrng = np.random.default_rng(
+            self._inner._sample_key(idx) ^ 0x33CC33CC)
+        img = render_stroke_image(formula, nrng, self.img_h, self.img_w,
+                                  jitter=self.jitter)
+        ids = self.tokenizer.encode(formula, max_len=self.max_seq_len)
+        length = min(len(self.tokenizer.encode(formula)), self.max_seq_len)
+        return img, np.asarray(ids, np.int32), length
+
+
+def make_stroke_corpus(root: str, n_train: int = 20000, n_val: int = 1000,
+                       n_test: int = 1000, img_h: int = 96,
+                       img_w: int = 320, seed: int = 0,
+                       jitter: float = 1.0) -> str:
+    """Materialized handwriting-style corpus in the reference data contract
+    ({split}_formulas/*.png + {split}_labels.csv; data/README.md)."""
+    import os
+
+    import cv2
+    import pandas as pd
+
+    from .synthetic import structured_formula
+
+    prng = random.Random(seed)
+    nrng = np.random.default_rng(seed)
+    seen = set()
+
+    def fresh_formula() -> str:
+        while True:
+            f = structured_formula(prng)
+            if len(f.split()) > 28 or f in seen:
+                continue
+            seen.add(f)
+            return f
+
+    for split, count in (("train", n_train), ("validate", n_val),
+                         ("test", n_test)):
+        img_dir = os.path.join(root, f"{split}_formulas")
+        os.makedirs(img_dir, exist_ok=True)
+        rows = []
+        for i in range(count):
+            formula = fresh_formula()
+            name = f"{split}_{i:06d}.png"
+            cv2.imwrite(os.path.join(img_dir, name),
+                        render_stroke_image(formula, nrng, img_h, img_w,
+                                            jitter=jitter))
+            rows.append({"image_filename": name, "latex_label": formula})
+        pd.DataFrame(rows).to_csv(
+            os.path.join(root, f"{split}_labels.csv"), index=False)
+    return root

@@ -36,6 +36,18 @@ def pick_bucket(n: int, buckets: Sequence[int]) -> int:
     return buckets[-1]
 
 
+def _fetch_async(res):
+    """Start device->host copies for every result leaf before the first
+    blocking ``np.asarray``: the transfers overlap instead of paying one
+    (tunnel) round-trip per field."""
+    for leaf in res:
+        try:
+            leaf.copy_to_host_async()
+        except Exception:  # pragma: no cover - non-array leaf/platform
+            pass
+    return res
+
+
 class DecodeEngine:
     """Compiled, bucketed image->LaTeX decoding."""
 
@@ -191,11 +203,13 @@ class DecodeEngine:
             res: BeamResult = self._beam_fn(bucket, beam_size)(
                 self._beam_params if self._beam_params is not None
                 else self.params, x)
-            return BeamResult(res.tokens[:B], res.scores[:B], res.lengths[:B])
+            return _fetch_async(
+                BeamResult(res.tokens[:B], res.scores[:B], res.lengths[:B]))
         res: GreedyResult = self._greedy_fn(bucket)(
             self.params, self._stacked or {}, x)
-        return GreedyResult(res.tokens[:B], res.lengths[:B],
-                            res.logprob_sum[:B], res.token_count[:B])
+        return _fetch_async(
+            GreedyResult(res.tokens[:B], res.lengths[:B],
+                         res.logprob_sum[:B], res.token_count[:B]))
 
     # -- reference-compatible surfaces ---------------------------------------
 

@@ -93,6 +93,12 @@ class ServerState:
         self.model_load_time: Optional[float] = None
         self.prediction_count = 0
         self.start_time = time.time()
+        # per-stage request latency (input read+preprocess vs decode):
+        # surfaced at /metrics as "request_stages" — the reference exposed
+        # only whole-request processing_time (app/src/main.py:452,488)
+        from ..utils.profiling import StageTimer
+
+        self.request_timer = StageTimer()
 
     # -- model lifecycle ----------------------------------------------------
 
@@ -137,7 +143,8 @@ class ServerState:
             decoder = ContinuousDecoder(
                 params, model_state, model_cfg, self.tokenizer,
                 num_slots=self.cfg.num_slots,
-                segment_steps=self.cfg.segment_steps, mesh=mesh)
+                segment_steps=self.cfg.segment_steps, mesh=mesh,
+                pipeline_depth=self.cfg.pipeline_depth)
             self.batcher = ContinuousServingEngine(decoder)
         else:
             self.batcher = BatchingEngine(
@@ -320,7 +327,8 @@ async def handle_predict(request) -> "web.Response":
             raise ApiError(400, "beam_size must be in [1, 16]")
     async with ConcurrentRequestTracker(state.limiter, client_id):
         state.ensure_model()
-        image = await _read_prediction_input(state, request)
+        with state.request_timer.stage("input"):
+            image = await _read_prediction_input(state, request)
         if beam_size > 1:
             # beam decode bypasses the greedy batcher (no confidence score
             # — beam scores are not the reference's confidence metric)
@@ -333,7 +341,8 @@ async def handle_predict(request) -> "web.Response":
             formula = clean_latex_output(formula)
             confidence = None
         else:
-            formula, confidence = await state.batcher.predict(image)
+            with state.request_timer.stage("decode"):
+                formula, confidence = await state.batcher.predict(image)
         processing_time = time.time() - start
         state.prediction_count += 1
         resp = PredictionResponse(
@@ -488,6 +497,7 @@ async def handle_metrics(request) -> "web.Response":
     }
     if state.batcher is not None:
         payload["batching"] = state.batcher.stats
+    payload["request_stages"] = state.request_timer.summary()
     return web.json_response(payload)
 
 
@@ -652,6 +662,30 @@ def create_app(cfg: Optional[ServeConfig] = None,
                 st.initialize_model()
             except Exception:
                 logger.exception("model init failed; serving degraded")
+        if st.engine is not None and st.cfg.warmup_batch_sizes:
+            # pre-compile the decode buckets so the first request never
+            # pays XLA compilation (SERVING_WARMUP, default batch-1)
+            try:
+                t0 = time.time()
+                loop = asyncio.get_running_loop()
+                await loop.run_in_executor(
+                    None, lambda: st.engine.warmup(st.cfg.warmup_batch_sizes))
+                if (st.cfg.batching_mode == "continuous"
+                        and st.batcher is not None):
+                    dec = st.batcher.decoder
+                    dummy = np.zeros(
+                        (st.model_cfg.img_h, st.model_cfg.img_w, 1),
+                        np.float32)
+                    await loop.run_in_executor(
+                        None, lambda: dec.run_all([dummy]))
+                    dec.segments_run = 0
+                    dec.steps_scheduled = 0
+                    dec.tokens_emitted = 0
+                    dec.occupancy_sum = 0.0
+                logger.info("decode warmup (buckets %s) in %.1fs",
+                            st.cfg.warmup_batch_sizes, time.time() - t0)
+            except Exception:
+                logger.exception("decode warmup failed (continuing)")
         if st.batcher is not None:
             await st.batcher.start()
 

@@ -98,6 +98,14 @@ class BatchingEngine:
     # -- internals ----------------------------------------------------------
 
     async def _collector(self) -> None:
+        """Drain-and-go (round 3): dispatch the moment the queue is empty
+        instead of lingering ``batch_timeout_ms`` hoping for company. A
+        lone warm request pays zero batching latency; concurrent load
+        still coalesces naturally because requests that arrive while a
+        decode is in flight queue up and are drained together for the
+        next batch. One zero-delay yield lets same-instant arrivals
+        (e.g. a client burst scheduled on this loop tick) join the batch.
+        """
         loop = asyncio.get_running_loop()
         while True:
             first = await self._queue.get()
@@ -106,15 +114,9 @@ class BatchingEngine:
                     return
                 continue
             batch = [first]
-            deadline = loop.time() + self.batch_timeout
-            while len(batch) < self.max_batch_size:
-                timeout = deadline - loop.time()
-                if timeout <= 0:
-                    break
-                try:
-                    item = await asyncio.wait_for(self._queue.get(), timeout)
-                except asyncio.TimeoutError:
-                    break
+            await asyncio.sleep(0)  # let already-scheduled puts land
+            while len(batch) < self.max_batch_size and not self._queue.empty():
+                item = self._queue.get_nowait()
                 if item is None:
                     break
                 batch.append(item)

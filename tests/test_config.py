@@ -43,6 +43,18 @@ def test_serve_config_from_env():
     assert cfg.num_slots == 16
     assert cfg.mesh_data_axis == 4
     assert cfg.use_fused_decode is True
+    # warmup: from_env defaults to batch-1 pre-compilation
+    assert cfg.warmup_batch_sizes == (1,)
+
+
+def test_serve_config_warmup_env():
+    with mock.patch.dict(os.environ, {"SERVING_WARMUP": "1,8"}):
+        assert ServeConfig.from_env().warmup_batch_sizes == (1, 8)
+    with mock.patch.dict(os.environ, {"SERVING_WARMUP": "0"}):
+        assert ServeConfig.from_env().warmup_batch_sizes == ()
+    # dataclass default is off (instant test servers)
+    assert ServeConfig().warmup_batch_sizes == ()
+    assert ServeConfig().pipeline_depth == 4
 
 
 def test_model_config_reference_hparams():

@@ -164,3 +164,56 @@ def test_continuous_midflight_admission(setup):
         assert abs(results[rid][1] - want[i][1]) < 1e-4
     # with 2 slots and 6 requests, slots must have been recycled
     assert cont.stats["avg_occupancy"] > 0.4
+
+
+def test_pipelined_deep_trickle_matches_batch(setup):
+    """Round-3 pipelined scheduler: deep pipeline + trickled admissions +
+    slot reuse must still deliver exactly the batch-greedy results (the
+    admission-generation guard prevents harvesting a re-admitted slot
+    from a stale pre-admission report)."""
+    params, mstate, tok = setup
+    rng = np.random.default_rng(5)
+    imgs = rng.standard_normal((10, 96, 320, 1)).astype(np.float32)
+    engine = DecodeEngine(params, mstate, CFG, tokenizer=tok)
+    want = engine.predict_with_confidence(imgs)
+
+    cont = ContinuousDecoder(params, mstate, CFG, tok, num_slots=3,
+                             segment_steps=2, encode_buckets=(1, 2),
+                             pipeline_depth=6)
+    results = {}
+    ids = [cont.submit(imgs[0])]
+    submitted = 1
+    while not cont.idle:
+        results.update(cont.step_once())
+        if submitted < 10:
+            ids.append(cont.submit(imgs[submitted]))
+            submitted += 1
+    assert len(results) == 10
+    for i, rid in enumerate(ids):
+        assert results[rid][0] == want[i][0], i
+        assert abs(results[rid][1] - want[i][1]) < 1e-4
+    st = cont.stats
+    assert st["segments_run"] > 0 and st["in_flight"] == 0
+    assert 0.0 < st["work_occupancy"] <= 1.0
+    assert st["avg_occupancy"] > 0.3
+
+
+def test_adaptive_segment_length(setup):
+    """With the pool full and nothing pending, segments lengthen to
+    max_segment_steps; with queued work they stay short."""
+    params, mstate, tok = setup
+    cont = ContinuousDecoder(params, mstate, CFG, tok, num_slots=2,
+                             segment_steps=2, max_segment_steps=8,
+                             encode_buckets=(1, 2))
+    rng = np.random.default_rng(6)
+    imgs = rng.standard_normal((3, 96, 320, 1)).astype(np.float32)
+    for img in imgs:
+        cont.submit(img)
+    cont._admit()
+    # pool full (2 slots), 1 pending -> short segments
+    assert cont._pick_segment_len() == 2
+    cont._pending.clear()
+    assert cont._pick_segment_len() == 8
+    # free slot available -> short again (an arrival could admit soon)
+    cont._free.append(99)
+    assert cont._pick_segment_len() == 2

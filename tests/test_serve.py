@@ -323,9 +323,14 @@ def test_batcher_coalesces_concurrent_requests(model_dir):
         stats = m["batching"]
         assert stats["images_decoded"] == 6
         assert stats["batches_run"] < 6  # coalesced
+        # round-3 drain-and-go: per-stage request latency is surfaced
+        assert m["request_stages"]["decode"]["count"] >= 6
+        assert m["request_stages"]["input"]["count"] >= 6
 
-    # generous window so slow CI machines still coalesce deterministically
-    _with_client(_serve_cfg(model_dir, batch_timeout_ms=500.0), fn)
+    # round 3: the collector drains-and-goes (no timed linger) — requests
+    # arriving while a decode is in flight still coalesce into the next
+    # batch, which is what this asserts
+    _with_client(_serve_cfg(model_dir), fn)
 
 
 def test_predict_with_beam(model_dir):
