@@ -1,0 +1,131 @@
+"""MQA capacity demonstration, end-to-end on trained checkpoints.
+
+The claim (BENCHMARKS.md): nhead_kv=1 shrinks the decode self-KV cache 8x,
+so a continuous-batching server can hold ~8x more slots per chip at equal
+cache HBM. This runs the *trained* MHA and MQA flagship checkpoints
+through the continuous engine on real corpus renders (real <eos>, ragged
+lengths) with slot counts chosen for EQUAL self-KV-cache bytes, and
+records throughput + occupancy + cache bytes.
+
+Usage: python benchmarks/mqa_capacity.py [--requests 512]
+       [--mha-slots 56] (mqa slots = 8x)
+Writes benchmarks/mqa_capacity_results.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_run(run_dir: str, nhead_kv):
+    import jax
+
+    from handwritten_math_ocr_api_tpu.core.config import (
+        Config, ModelConfig,
+    )
+    from handwritten_math_ocr_api_tpu.core.tokenizer import (
+        Tokenizer, load_vocab,
+    )
+    from handwritten_math_ocr_api_tpu.train.checkpoint import load_checkpoint
+    from handwritten_math_ocr_api_tpu.train.step import create_train_state
+
+    vocab, idx2char = load_vocab(os.path.join(run_dir, "vocab.json"))
+    cfg = ModelConfig(vocab_size=len(vocab), nhead_kv=nhead_kv)
+    state, _ = create_train_state(jax.random.PRNGKey(0), cfg,
+                                  Config().train)
+    state, _ = load_checkpoint(run_dir, "best_model", state,
+                               params_only=True)
+    return state.params, state.model_state, cfg, Tokenizer(vocab, idx2char)
+
+
+def _cache_bytes(cfg, slots: int):
+    """(self_kv_bytes, cross_kv_bytes) for a slot pool (bf16)."""
+    dh, T, L = cfg.head_dim, cfg.max_seq_len, cfg.num_decoder_layers
+    self_b = slots * cfg.kv_heads * T * dh * 2 * 2 * L
+    cross_b = slots * cfg.nhead * cfg.encoder_len * dh * 2 * 2 * L
+    return self_b, cross_b
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--requests", type=int, default=512)
+    ap.add_argument("--mha-slots", type=int, default=56)
+    ap.add_argument("--mha-run", default=os.path.join(
+        ROOT, "runs", "stream_swin_r2"))
+    ap.add_argument("--mqa-run", default=os.path.join(
+        ROOT, "runs", "stream_swin_mqa"))
+    args = ap.parse_args()
+
+    from handwritten_math_ocr_api_tpu.data.synthetic import (
+        SyntheticStreamDataset, grammar_vocab,
+    )
+    from handwritten_math_ocr_api_tpu.core.tokenizer import Tokenizer
+    from handwritten_math_ocr_api_tpu.decode.continuous import (
+        ContinuousDecoder,
+    )
+
+    # real corpus renders -> realistic ragged decode lengths (real eos)
+    tok_g = Tokenizer(grammar_vocab())
+    ds = SyntheticStreamDataset(tok_g, args.requests, seed=1234,
+                                freeze=True)
+    images = []
+    for i in range(args.requests):
+        img, _, _ = ds[i]
+        images.append(img.astype(np.float32)[..., None] / 127.5 - 1.0)
+
+    results = []
+    for name, run_dir, kv, slots in (
+            ("mha", args.mha_run, None, args.mha_slots),
+            ("mqa", args.mqa_run, 1, args.mha_slots * 8)):
+        params, mstate, cfg, tok = _load_run(run_dir, kv)
+        self_b, cross_b = _cache_bytes(cfg, slots)
+        cont = ContinuousDecoder(params, mstate, cfg, tok,
+                                 num_slots=slots, segment_steps=16,
+                                 pipeline_depth=8,
+                                 encode_buckets=(1, 2, 4, 8, 16, 32, 64))
+        cont.run_all(images[:min(slots, 64)])  # compile
+        cont = ContinuousDecoder(params, mstate, cfg, tok,
+                                 num_slots=slots, segment_steps=16,
+                                 pipeline_depth=8,
+                                 encode_buckets=(1, 2, 4, 8, 16, 32, 64))
+        t0 = time.perf_counter()
+        outs = cont.run_all(images)
+        dt = time.perf_counter() - t0
+        st = cont.stats
+        nonempty = sum(1 for latex, _ in outs if latex and "Unable" not in
+                       latex)
+        row = {
+            "arm": name, "slots": slots, "kv_heads": cfg.kv_heads,
+            "img_per_s": round(args.requests / dt, 2),
+            "elapsed_s": round(dt, 2),
+            "self_kv_mb": round(self_b / 2**20, 1),
+            "cross_kv_mb": round(cross_b / 2**20, 1),
+            "avg_occupancy": round(st["avg_occupancy"], 3),
+            "work_occupancy": round(st["work_occupancy"], 3),
+            "segments": st["segments_run"],
+            "nonempty_results": nonempty,
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "mqa_capacity_results.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -248,14 +248,21 @@ def bench_continuous(iters: int, clients: int = 64, num_slots: int = 48,
                 payload = {
                     "image_data": base64.b64encode(buf.getvalue()).decode()}
 
-                async def worker(n):
+                async def worker(n, wid=0):
+                    # distinct User-Agent per client: 64 *different*
+                    # clients (the reference keys rate limits on
+                    # md5(ip:user-agent); one shared identity would trip
+                    # the anonymous daily cap, not measure throughput)
+                    hdrs = {"User-Agent": f"loadtest-client-{wid}"}
                     for _ in range(n):
-                        resp = await client.post("/predict", json=payload)
+                        resp = await client.post("/predict", json=payload,
+                                                 headers=hdrs)
                         assert resp.status == 200, await resp.text()
                         await resp.json()
 
                 # warm: compile encode buckets + segment program
-                await asyncio.gather(*[worker(1) for _ in range(clients)])
+                await asyncio.gather(*[worker(1, w)
+                                       for w in range(clients)])
                 state = client.app["state"]
                 dec = state.batcher.decoder
                 # reset engine stats for the timed window
@@ -266,7 +273,7 @@ def bench_continuous(iters: int, clients: int = 64, num_slots: int = 48,
                 per_client = max(requests // clients, 1)
                 t0 = time.perf_counter()
                 await asyncio.gather(
-                    *[worker(per_client) for _ in range(clients)])
+                    *[worker(per_client, w) for w in range(clients)])
                 dt = time.perf_counter() - t0
                 stats = dict(dec.stats)
             finally:

@@ -103,7 +103,11 @@ def cmd_train(args) -> int:
         train_loader, val_loader = get_data_loaders(tok, cfg.data, cfg.model)
     train_model(cfg, train_loader, val_loader, tok,
                 resume_from=args.resume_from,
-                mlflow_experiment=args.mlflow_experiment)
+                mlflow_experiment=args.mlflow_experiment,
+                init_from=getattr(args, "init_from", None),
+                freeze_encoder_epochs=getattr(args, "freeze_encoder_epochs",
+                                              0),
+                encoder_lr_mult=getattr(args, "encoder_lr_mult", 1.0))
     return 0
 
 
@@ -219,6 +223,28 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_convert_encoder(args) -> int:
+    """Raw torchvision swin_t .pth (ImageNet weights) -> encoder-only
+    artifact for ``train --init-from`` (1-channel patch-embed surgery
+    applied; reference: src/model_swin.py:19-34)."""
+    from .compat.torch_convert import (
+        convert_torchvision_swin, load_torch_state_dict,
+    )
+    from .core.config import ModelConfig
+    from .train.checkpoint import save_params_for_serving
+
+    cfg = ModelConfig(encoder="swin_t")
+    sd = load_torch_state_dict(args.pth)
+    enc = convert_torchvision_swin(sd, cfg)
+    # encoder-only artifact: specials-only vocab placeholder (this
+    # artifact initializes training, it does not serve)
+    vocab = {"<pad>": 0, "<sos>": 1, "<eos>": 2, "<unk>": 3}
+    out = save_params_for_serving(args.out_dir, {"encoder": enc}, vocab,
+                                  cfg)
+    print(f"encoder artifact -> {out}")
+    return 0
+
+
 def cmd_serve(args) -> int:
     from .serve.app import run_server
 
@@ -258,6 +284,16 @@ def build_parser() -> argparse.ArgumentParser:
                          "MathWriting difficulty regime)")
     tr.add_argument("--resume-from", default=None)
     tr.add_argument("--mlflow-experiment", default=None)
+    tr.add_argument("--init-from", default=None, metavar="ARTIFACT_DIR",
+                    help="initialize shape-compatible param subtrees from a "
+                         "converted checkpoint artifact (convert-checkpoint "
+                         "/ convert-encoder) — the reference's pretrained-"
+                         "encoder fine-tune posture (src/model_swin.py:17)")
+    tr.add_argument("--freeze-encoder-epochs", type=int, default=0,
+                    help="hold the encoder fixed for the first N epochs")
+    tr.add_argument("--encoder-lr-mult", type=float, default=1.0,
+                    help="scale encoder updates (exact per-subtree LR "
+                         "split under Adam); 1.0 = shared LR")
     tr.set_defaults(fn=cmd_train)
 
     ev = sub.add_parser("evaluate", help="evaluate on the test split")
@@ -322,6 +358,14 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["swin_t", "resnet18", "res18trans"])
     cv.add_argument("--model-overrides", default=None)
     cv.set_defaults(fn=cmd_convert)
+
+    ce = sub.add_parser("convert-encoder",
+                        help="convert a raw torchvision swin_t .pth "
+                             "(ImageNet) to an encoder-only artifact for "
+                             "train --init-from")
+    ce.add_argument("pth")
+    ce.add_argument("out_dir")
+    ce.set_defaults(fn=cmd_convert_encoder)
 
     sv = sub.add_parser("serve", help="run the serving API")
     sv.add_argument("--model-dir", default="trained-model")

@@ -126,7 +126,7 @@ def convert_decoder(sd: Dict[str, np.ndarray], cfg: ModelConfig,
 
 def convert_swin_encoder(sd: Dict[str, np.ndarray], cfg: ModelConfig,
                          prefix: str = "encoder.swin") -> Dict:
-    f = f"{prefix}.features"
+    f = f"{prefix}.features" if prefix else "features"
     params = {
         "patch_embed": {
             "conv": {"w": sd[f"{f}.0.0.weight"].transpose(2, 3, 1, 0),
@@ -165,6 +165,21 @@ def convert_swin_encoder(sd: Dict[str, np.ndarray], cfg: ModelConfig,
                 "reduction": {"w": sd[f"{f}.{mi}.reduction.weight"].T},
             })
     return params
+
+
+def convert_torchvision_swin(sd: Dict[str, np.ndarray], cfg: ModelConfig
+                             ) -> Dict:
+    """Raw torchvision ``swin_t`` (ImageNet) state_dict -> encoder params,
+    applying the reference's 1-channel patch-embed surgery: the RGB patch
+    conv weights are averaged into one input channel
+    (/root/reference/src/model_swin.py:19-34). This is the ingest path for
+    the reference's fine-tuning posture — initialize training from an
+    ImageNet-pretrained encoder (``cli.py train --init-from``)."""
+    sd = dict(sd)
+    w = np.asarray(sd["features.0.0.weight"])
+    if w.shape[1] == 3:  # (embed, RGB, ps, ps) -> mean over channels
+        sd["features.0.0.weight"] = w.mean(axis=1, keepdims=True)
+    return convert_swin_encoder(sd, cfg, prefix="")
 
 
 # ---------------------------------------------------------------------------

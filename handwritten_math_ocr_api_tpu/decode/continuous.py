@@ -88,15 +88,21 @@ class SlotState(NamedTuple):
 
 
 def init_slot_state(params, cfg: ModelConfig, num_slots: int,
-                    scratch_slots: int = 1
+                    scratch_slots: int = 1,
+                    encoder_len: Optional[int] = None
                     ) -> Tuple[SmallState, Dict[str, jax.Array]]:
     """Slot pool + scratch slot(s) used as the scatter target for padded
     admissions — never active. More than one scratch slot only to round
-    the pool to a mesh multiple. Returns (small, cache)."""
+    the pool to a mesh multiple. Returns (small, cache).
+
+    ``encoder_len`` overrides cfg.encoder_len when serving non-default
+    image sizes (the cross-KV pool must match the encoder's token
+    count)."""
     S = num_slots + scratch_slots
     T = cfg.max_seq_len
     dtype = jnp.dtype(cfg.dtype)
-    nh, dh, L = cfg.nhead, cfg.head_dim, cfg.encoder_len
+    nh, dh = cfg.nhead, cfg.head_dim
+    L = encoder_len or cfg.encoder_len
     cache: Dict[str, jax.Array] = {}
     for i in range(cfg.num_decoder_layers):
         cache[f"cross_k_{i}"] = jnp.zeros((S, nh, L, dh), dtype)
@@ -207,7 +213,8 @@ class ContinuousDecoder:
                  segment_steps: int = 16,
                  encode_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16, 32),
                  mesh=None, pipeline_depth: int = 4,
-                 max_segment_steps: Optional[int] = None):
+                 max_segment_steps: Optional[int] = None,
+                 encoder_len: Optional[int] = None):
         """``mesh``: optional Mesh — the slot pool shards over the 'data'
         axis (params replicated), scaling continuous serving across chips
         (the v5e-4 target). The pool is padded so (num_slots + scratch)
@@ -240,7 +247,8 @@ class ContinuousDecoder:
             total = -(-(num_slots + 1) // n) * n  # round up to mesh multiple
             extra = total - num_slots
         self._small, self._cache = init_slot_state(
-            params, cfg, num_slots, scratch_slots=extra)
+            params, cfg, num_slots, scratch_slots=extra,
+            encoder_len=encoder_len)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -398,7 +406,10 @@ class ContinuousDecoder:
         scratch = self.num_slots  # pad rows scatter into the scratch slot
         slot_arr = np.full((bucket,), scratch, np.int32)
         slot_arr[:n] = slots
-        h, w = self.cfg.img_h, self.cfg.img_w
+        # admission buffer takes its spatial shape from the submitted
+        # images (preprocess guarantees uniformity; the swin trunk accepts
+        # any multiple-of-32 size, e.g. the dryrun's tiny canvases)
+        h, w = batch[0][1].shape[:2]
         images = np.zeros((bucket, h, w, 1), np.float32)
         for j, (_, img) in enumerate(batch):
             images[j] = img

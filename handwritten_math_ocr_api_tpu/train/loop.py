@@ -50,6 +50,47 @@ def _try_mlflow(experiment: Optional[str]):
         return None
 
 
+def _graft_init(state: TrainState, artifact_dir: str) -> TrainState:
+    """Graft shape-compatible param subtrees from a serving artifact
+    (converted torchvision/reference checkpoint, train.checkpoint format)
+    into a fresh TrainState; re-init optimizer state afterwards.
+
+    Subtrees whose structure or shapes mismatch (e.g. a decoder with a
+    different vocab) are skipped with a warning, so an encoder-only
+    artifact fine-tunes the encoder while the decoder trains fresh."""
+    import jax.numpy as jnp
+
+    src_params, src_ms, _, _, _ = ckpt_lib.load_params_for_serving(
+        artifact_dir)
+    params = dict(state.params)
+    grafted = []
+    for key, sub in src_params.items():
+        if key not in params:
+            log.warning("init-from: unknown subtree %r skipped", key)
+            continue
+        want = jax.tree_util.tree_map(lambda x: tuple(x.shape), params[key])
+        try:
+            got = jax.tree_util.tree_map(lambda x: tuple(x.shape), sub)
+        except Exception:
+            got = None
+        if got != want:
+            log.warning("init-from: subtree %r shape mismatch, skipped "
+                        "(training it fresh)", key)
+            continue
+        params[key] = jax.tree_util.tree_map(jnp.asarray, sub)
+        grafted.append(key)
+    if not grafted:
+        raise ValueError(f"init-from: nothing shape-compatible in "
+                         f"{artifact_dir}")
+    log.info("init-from %s: grafted %s", artifact_dir, grafted)
+    model_state = state.model_state
+    if src_ms:
+        model_state = jax.tree_util.tree_map(jnp.asarray, src_ms)
+    # opt_state is re-initialized by the caller AFTER any mesh sharding,
+    # so its placement matches the (possibly sharded) params
+    return state.replace(params=params, model_state=model_state)
+
+
 def train_model(
     cfg: Config,
     train_loader: Iterable,
@@ -60,14 +101,34 @@ def train_model(
     resume_from: Optional[str] = None,
     mlflow_experiment: Optional[str] = None,
     use_pallas: bool = False,
+    init_from: Optional[str] = None,
+    freeze_encoder_epochs: int = 0,
+    encoder_lr_mult: float = 1.0,
 ) -> TrainState:
     """Returns the final TrainState. Loaders yield dicts with
-    ``image`` (B, H, W, 1) float32 and ``caption`` (B, max_seq_len) int32."""
+    ``image`` (B, H, W, 1) float32 and ``caption`` (B, max_seq_len) int32.
+
+    ``init_from``: serving-artifact directory (e.g. a converted
+    torchvision/reference checkpoint) whose shape-compatible param
+    subtrees are grafted into the fresh model before training — the
+    reference's fine-tune-a-pretrained-encoder posture
+    (src/model_swin.py:17-34). ``freeze_encoder_epochs`` holds the
+    encoder fixed for the first N epochs; ``encoder_lr_mult`` scales its
+    updates afterwards (1.0 = shared LR, the reference behavior)."""
     tc, mc = cfg.train, cfg.model
     rng = jax.random.PRNGKey(tc.seed)
     state, optimizer = create_train_state(rng, mc, tc)
+    if init_from:
+        state = _graft_init(state, init_from)
     train_step = make_train_step(mc, tc, optimizer, use_pallas=use_pallas,
-                                 data_cfg=cfg.data)
+                                 data_cfg=cfg.data,
+                                 encoder_update_scale=encoder_lr_mult)
+    frozen_step = None
+    if freeze_encoder_epochs > 0:
+        frozen_step = make_train_step(mc, tc, optimizer,
+                                      use_pallas=use_pallas,
+                                      data_cfg=cfg.data,
+                                      encoder_update_scale=0.0)
     eval_step = make_eval_step(mc, tc, use_pallas=use_pallas)
     scheduler = PlateauScheduler(factor=tc.plateau_factor,
                                  patience=tc.plateau_patience)
@@ -79,6 +140,10 @@ def train_model(
     if mesh is not None:
         state = state.replace(
             params=mesh_lib.shard_params(state.params, mesh))
+    if init_from:
+        # fresh optimizer state over the grafted (and possibly sharded)
+        # params, so moments/placement match
+        state = state.replace(opt_state=optimizer.init(state.params))
 
     if resume_from:
         state, meta = ckpt_lib.load_checkpoint(tc.checkpoint_dir,
@@ -105,13 +170,15 @@ def train_model(
         for epoch in range(start_epoch, tc.epochs):
             t0 = time.time()
             # ---- train pass ----
+            step_fn = (frozen_step if frozen_step is not None
+                       and epoch < freeze_encoder_epochs else train_step)
             train_losses = []
             for batch in train_loader:
                 images, captions = batch["image"], batch["caption"]
                 if mesh is not None:
                     images, captions = mesh_lib.shard_batch(
                         (images, captions), mesh)
-                state, metrics = train_step(state, images, captions, data_rng)
+                state, metrics = step_fn(state, images, captions, data_rng)
                 train_losses.append(metrics["loss"])
             train_loss = float(np.mean(jax.device_get(train_losses)))
 

@@ -50,11 +50,18 @@ def create_train_state(key, model_cfg: ModelConfig,
 def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
                     optimizer: optax.GradientTransformation,
                     use_pallas: bool = False,
-                    data_cfg: DataConfig | None = None) -> Callable:
+                    data_cfg: DataConfig | None = None,
+                    encoder_update_scale: float = 1.0) -> Callable:
     """``images`` may be uint8 straight from the loader — normalization and
     the RandomAffine-equivalent augmentation (reference:
     src/data_loader.py:51) then run ON DEVICE, fused into the step. Float
-    inputs are assumed pre-normalized (tests, custom pipelines)."""
+    inputs are assumed pre-normalized (tests, custom pipelines).
+
+    ``encoder_update_scale``: multiplier on the encoder subtree's *post-
+    optimizer* updates — an exact per-subtree learning-rate split under
+    Adam (whose updates are invariant to plain gradient scaling). 0.0
+    freezes the encoder; <1.0 fine-tunes it gently (pretrained-encoder
+    flow, reference posture: src/model_swin.py:17-34)."""
     aug_cfg = data_cfg or DataConfig()
 
     def train_step(state: TrainState, images, captions, rng
@@ -77,6 +84,10 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
             loss_fn, has_aux=True)(state.params)
         updates, new_opt = optimizer.update(grads, state.opt_state,
                                             state.params)
+        if encoder_update_scale != 1.0:
+            updates = dict(updates)
+            updates["encoder"] = jax.tree_util.tree_map(
+                lambda u: u * encoder_update_scale, updates["encoder"])
         new_params = optax.apply_updates(state.params, updates)
         metrics = {
             "loss": loss,

@@ -166,3 +166,32 @@ def test_confidence_matches_reference_formula(setup):
     n_non_eos = len([t for t in toks if t != EOS_ID])
     assert abs(float(res.logprob_sum[b]) - lp) < 1e-3
     assert int(res.token_count[b]) == n_non_eos
+
+
+def test_beam_indirect_equals_reorder(setup):
+    """Ancestry-indirection beam (no per-step cache reorder) must produce
+    identical tokens/scores/lengths to the reorder implementation."""
+    from handwritten_math_ocr_api_tpu.decode.beam import beam_decode_indirect
+
+    params, memory = setup
+    for k in (2, 3, 5):
+        want = beam_decode(params, CFG, memory, beam_size=k,
+                           max_len=CFG.max_seq_len)
+        got = beam_decode_indirect(params, CFG, memory, beam_size=k,
+                                   max_len=CFG.max_seq_len)
+        np.testing.assert_array_equal(np.asarray(got.tokens),
+                                      np.asarray(want.tokens))
+        np.testing.assert_allclose(np.asarray(got.scores),
+                                   np.asarray(want.scores),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(got.lengths),
+                                      np.asarray(want.lengths))
+
+
+def test_beam_indirect_jits(setup):
+    from handwritten_math_ocr_api_tpu.decode.beam import beam_decode_indirect
+
+    params, memory = setup
+    f = jax.jit(lambda p, m: beam_decode_indirect(p, CFG, m, beam_size=3))
+    res = f(params, memory)
+    assert res.tokens.shape == (3, CFG.max_seq_len)

@@ -1,0 +1,249 @@
+"""Coverage for the third-party-gated branches that are dead code in this
+image (round-2 verdict weak #6): MLflow training hooks and the Redis
+rate-limit storage. Both are exercised against in-process fakes injected
+via sys.modules / constructor, mirroring the reference behaviors:
+- MLflow: params once per run, metrics per epoch, curve artifact, end_run
+  (/root/reference/src/train_mlflow.py:36-43,86-90,124-141)
+- Redis: INCR+EXPIRE pipeline counters, blocked:<client> setex keys,
+  fail-open on errors (/root/reference/app/src/rate_limiter.py:56-84)
+"""
+
+import asyncio
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+
+from handwritten_math_ocr_api_tpu.core.config import (
+    Config, DataConfig, ModelConfig, SwinConfig, TrainConfig,
+)
+from handwritten_math_ocr_api_tpu.core.tokenizer import Tokenizer
+from handwritten_math_ocr_api_tpu.serve.rate_limiter import (
+    RateLimitConfig, RateLimiter, RedisStorage, make_storage,
+)
+
+TINY = ModelConfig(
+    d_model=32, nhead=4, dim_feedforward=64, dropout=0.0,
+    num_decoder_layers=2, max_seq_len=10, vocab_size=20, dtype="float32",
+    swin=SwinConfig(embed_dim=8, depths=(1, 1), num_heads=(2, 2),
+                    window_size=4, stochastic_depth=0.0),
+)
+
+
+# ---------------------------------------------------------------------------
+# MLflow
+# ---------------------------------------------------------------------------
+
+
+class _FakeMlflow(types.ModuleType):
+    def __init__(self):
+        super().__init__("mlflow")
+        self.calls = []
+        self.experiments = []
+        self.metrics_steps = []
+        self.params = None
+        self.artifacts = []
+        self.run_open = False
+
+    def set_experiment(self, name):
+        self.experiments.append(name)
+
+    def start_run(self):
+        self.run_open = True
+        self.calls.append("start_run")
+
+    def log_params(self, params):
+        self.params = dict(params)
+
+    def log_metrics(self, metrics, step=None):
+        self.metrics_steps.append((step, dict(metrics)))
+
+    def log_artifact(self, path):
+        self.artifacts.append(path)
+
+    def end_run(self):
+        self.run_open = False
+        self.calls.append("end_run")
+
+
+def test_mlflow_hooks_fire_with_fake_module(tmp_path, monkeypatch):
+    fake = _FakeMlflow()
+    monkeypatch.setitem(sys.modules, "mlflow", fake)
+    from handwritten_math_ocr_api_tpu.train.loop import train_model
+
+    vocab = {"<pad>": 0, "<sos>": 1, "<eos>": 2, "<unk>": 3}
+    for i in range(4, TINY.vocab_size):
+        vocab[f"t{i}"] = i
+    tok = Tokenizer(vocab)
+    rng = np.random.default_rng(0)
+
+    def batches():
+        out = []
+        for _ in range(2):
+            caps = rng.integers(4, TINY.vocab_size,
+                                (8, TINY.max_seq_len)).astype(np.int32)
+            caps[:, 0] = 1
+            caps[:, -1] = 2
+            out.append({
+                "image": rng.standard_normal(
+                    (8, 96, 320, 1)).astype(np.float32),
+                "caption": caps,
+            })
+        return out
+
+    cfg = Config(model=TINY, data=DataConfig(batch_size=8, num_workers=0),
+                 train=TrainConfig(checkpoint_dir=str(tmp_path), epochs=2,
+                                   checkpoint_every=100))
+    train_model(cfg, batches(), batches(), tok, mlflow_experiment="exp-x")
+
+    assert fake.experiments == ["exp-x"]
+    assert fake.calls[0] == "start_run" and fake.calls[-1] == "end_run"
+    assert not fake.run_open
+    # params logged once with the reference hyperparameters
+    assert fake.params["learning_rate"] == cfg.train.learning_rate
+    assert fake.params["encoder"] == "swin_t"
+    # metrics logged per epoch at 1-based steps (train_mlflow.py:86-90)
+    assert [s for s, _ in fake.metrics_steps] == [1, 2]
+    for _, m in fake.metrics_steps:
+        assert {"train_loss", "val_loss", "cer", "bleu"} <= set(m)
+    # training-curve artifact logged (train_mlflow.py:124-141)
+    assert fake.artifacts and fake.artifacts[0].endswith(
+        "training_curves.png")
+
+
+def test_mlflow_absent_degrades_silently(tmp_path, monkeypatch):
+    """No mlflow importable -> training proceeds without logging."""
+    monkeypatch.setitem(sys.modules, "mlflow", None)
+    from handwritten_math_ocr_api_tpu.train.loop import _try_mlflow
+
+    assert _try_mlflow("exp") is None
+    assert _try_mlflow(None) is None
+
+
+# ---------------------------------------------------------------------------
+# Redis storage
+# ---------------------------------------------------------------------------
+
+
+class _FakePipe:
+    def __init__(self, store):
+        self.store = store
+        self.ops = []
+
+    def incr(self, key):
+        self.ops.append(("incr", key))
+
+    def expire(self, key, ttl):
+        self.ops.append(("expire", key, ttl))
+
+    async def execute(self):
+        out = []
+        for op in self.ops:
+            if op[0] == "incr":
+                self.store.data[op[1]] = self.store.data.get(op[1], 0) + 1
+                out.append(self.store.data[op[1]])
+            else:
+                self.store.ttls[op[1]] = op[2]
+                out.append(True)
+        return out
+
+
+class _FakeRedis:
+    def __init__(self, fail=False):
+        self.data = {}
+        self.ttls = {}
+        self.fail = fail
+
+    def pipeline(self):
+        if self.fail:
+            raise ConnectionError("redis down")
+        return _FakePipe(self)
+
+    async def get(self, key):
+        if self.fail:
+            raise ConnectionError("redis down")
+        v = self.data.get(key)
+        return str(v).encode() if v is not None else None
+
+    async def setex(self, key, duration, value):
+        if self.fail:
+            raise ConnectionError("redis down")
+        self.data[key] = value
+        self.ttls[key] = duration
+
+
+def test_redis_storage_counters_and_blocks():
+    client = _FakeRedis()
+    st = RedisStorage(client)
+
+    async def go():
+        assert await st.increment("c:60:1", 60) == 1
+        assert await st.increment("c:60:1", 60) == 2
+        assert await st.get_count("c:60:1") == 2
+        assert client.ttls["c:60:1"] == 60  # EXPIRE set with the window
+        assert not await st.is_blocked("bob")
+        await st.set_block("bob", 120)
+        assert await st.is_blocked("bob")
+        assert client.ttls["blocked:bob"] == 120
+
+    asyncio.run(go())
+
+
+def test_redis_storage_fails_open():
+    st = RedisStorage(_FakeRedis(fail=True))
+
+    async def go():
+        # reference fail-open semantics (app/src/rate_limiter.py:63-84)
+        assert await st.increment("k", 60) == 0
+        assert await st.get_count("k") == 0
+        assert not await st.is_blocked("x")
+        await st.set_block("x", 10)  # swallowed
+
+    asyncio.run(go())
+
+
+def test_make_storage_uses_injected_redis(monkeypatch):
+    created = {}
+
+    fake_asyncio = types.ModuleType("redis.asyncio")
+
+    def from_url(url):
+        created["url"] = url
+        return _FakeRedis()
+
+    fake_asyncio.from_url = from_url
+    fake_redis = types.ModuleType("redis")
+    fake_redis.asyncio = fake_asyncio
+    monkeypatch.setitem(sys.modules, "redis", fake_redis)
+    monkeypatch.setitem(sys.modules, "redis.asyncio", fake_asyncio)
+
+    st = make_storage("redis://h:6379/0")
+    assert isinstance(st, RedisStorage)
+    assert created["url"] == "redis://h:6379/0"
+
+
+def test_rate_limiter_end_to_end_on_fake_redis():
+    """Full check_rate_limit decision flow against the fake Redis client:
+    allow under the limit, 429 payload + auto-block over it."""
+    limiter = RateLimiter(RateLimitConfig(
+        requests_per_minute=2, requests_per_hour=100, requests_per_day=100,
+        burst_threshold=4, block_duration=60))
+    limiter.storage = RedisStorage(_FakeRedis())
+
+    async def go():
+        cid = "ip:abc"
+        assert await limiter.check_rate_limit(cid, False) is None
+        assert await limiter.check_rate_limit(cid, False) is None
+        denial = await limiter.check_rate_limit(cid, False)
+        assert denial is not None
+        assert denial["error"]
+        assert int(denial["limit"]) == 2
+        # abuse auto-block: subsequent checks refuse via blocked:<id>
+        for _ in range(10):
+            await limiter.check_rate_limit(cid, False)
+        assert await limiter.storage.is_blocked(cid)
+
+    asyncio.run(go())
