@@ -60,9 +60,7 @@ def main() -> None:
         slots, seg, depth = (int(x) for x in spec.strip().split(":"))
         cont = ContinuousDecoder(params, state, cfg, tok, num_slots=slots,
                                  segment_steps=seg, pipeline_depth=depth)
-        cont.run_all(images[:slots])  # compile insert buckets + segment
-        cont = ContinuousDecoder(params, state, cfg, tok, num_slots=slots,
-                                 segment_steps=seg, pipeline_depth=depth)
+        cont.warmup()  # compile insert buckets + segment + scalars
         t0 = time.perf_counter()
         cont.run_all(images)
         dt = time.perf_counter() - t0

@@ -123,14 +123,18 @@ def init_slot_state(params, cfg: ModelConfig, num_slots: int,
 
 def insert_requests(params, model_state, cfg: ModelConfig,
                     small: SmallState, cache: Dict[str, jax.Array],
-                    slots: jax.Array, images: jax.Array,
+                    slots: jax.Array, images,
                     num_slots: Optional[int] = None
                     ) -> Tuple[SmallState, Dict[str, jax.Array]]:
-    """Encode ``images`` (K, H, W, 1) and install them at ``slots`` (K,):
-    cross-K/V scatter + per-slot reset. Padding rows target a scratch slot
-    (index >= num_slots) and are masked inactive. jit-compiled per K
-    bucket. Fully resets the target rows, so a finished slot is reusable
-    without any separate release op."""
+    """Encode ``images`` ((K, H, W, 1) array, or a sequence of K (H, W, 1)
+    arrays stacked here so per-image async uploads fuse into the insert
+    dispatch) and install them at ``slots`` (K,): cross-K/V scatter +
+    per-slot reset. Padding rows target a scratch slot (index >=
+    num_slots) and are masked inactive. jit-compiled per K bucket. Fully
+    resets the target rows, so a finished slot is reusable without any
+    separate release op."""
+    if not isinstance(images, (jax.Array, np.ndarray)):
+        images = jnp.stack(list(images))
     memory, _ = model_mod.encode(params, model_state, cfg, images)
     cross = decoder_mod.project_cross_kv(params["decoder"], cfg, memory)
     S = small.prev.shape[0]
@@ -264,9 +268,11 @@ class ContinuousDecoder:
         self._free: List[int] = list(range(num_slots))
         self._slot_req: Dict[int, int] = {}
         self._admit_seg: Dict[int, int] = {}  # slot -> first segment index
-        self._pending: List[Tuple[int, np.ndarray]] = []
+        self._pending: List[Tuple[int, jax.Array]] = []
         self._next_id = 0
         self._insert_fns: Dict[int, callable] = {}
+        self._nsteps_const: Dict[int, jax.Array] = {}
+        self._pad_img: Dict[Tuple[int, int], jax.Array] = {}
         self._in_flight: deque = deque()
         self._seg_counter = 0
         # params passed as jit arguments (not closure constants) so weights
@@ -292,10 +298,19 @@ class ContinuousDecoder:
         return SlotState(*self._small, cache=self._cache)
 
     def submit(self, image: np.ndarray) -> int:
-        """Queue one normalized (H, W, 1) image; returns a request id."""
+        """Queue one normalized (H, W, 1) image; returns a request id.
+
+        The host->device upload starts here, asynchronously — by the time
+        the scheduler admits the request, its bytes are already on the
+        chip, so admission never blocks on the (tunnel) transfer."""
         rid = self._next_id
         self._next_id += 1
-        self._pending.append((rid, np.asarray(image, np.float32)))
+        img = np.ascontiguousarray(image, np.float32)
+        try:
+            dev = jax.device_put(img)  # async; overlaps with decode
+        except Exception:  # pragma: no cover - platform-specific
+            dev = jnp.asarray(img)
+        self._pending.append((rid, dev))
         return rid
 
     @property
@@ -311,8 +326,12 @@ class ContinuousDecoder:
         self._admit()
         if self._slot_req:
             n = self._pick_segment_len()
+            nc = self._nsteps_const.get(n)
+            if nc is None:  # device scalars are cached: a fresh jnp.int32
+                # costs a full tunnel RTT per segment (measured ~30 ms)
+                nc = self._nsteps_const.setdefault(n, jnp.int32(n))
             self._small, self._cache = self._segment_fn(
-                self.params, self._small, self._cache, jnp.int32(n))
+                self.params, self._small, self._cache, nc)
             self._seg_counter += 1
             self._start_report_copy()
             self._in_flight.append(
@@ -384,15 +403,43 @@ class ContinuousDecoder:
 
     def _insert_fn(self, k_bucket: int):
         if k_bucket not in self._insert_fns:
-            def fn(params, model_state, small, cache, slots, images):
+            def fn(params, model_state, small, cache, slots, *imgs):
                 return insert_requests(params, model_state, self.cfg,
-                                       small, cache, slots, images,
+                                       small, cache, slots, imgs,
                                        num_slots=self.num_slots)
 
             # donate only the cache (argnum 3): small states are shared
             # with in-flight reports
             self._insert_fns[k_bucket] = jax.jit(fn, donate_argnums=(3,))
         return self._insert_fns[k_bucket]
+
+    def _pad_image(self, h: int, w: int) -> jax.Array:
+        pad = self._pad_img.get((h, w))
+        if pad is None:
+            pad = jnp.asarray(np.zeros((h, w, 1), np.float32))
+            self._pad_img[(h, w)] = pad
+        return pad
+
+    def warmup(self, image_shape: Optional[Tuple[int, int]] = None) -> None:
+        """Pre-compile every insert bucket + the segment program and cache
+        the segment-length device scalars, so steady-state serving never
+        pays a compile or a scalar-upload RTT mid-stream (bucket compiles
+        dominated admission time before this existed). Safe on live
+        state: warm inserts target only the scratch slot."""
+        h, w = image_shape or (self.cfg.img_h, self.cfg.img_w)
+        pad = self._pad_image(h, w)
+        scratch = self.num_slots
+        for b in self.encode_buckets:
+            slot_arr = jnp.asarray(np.full((b,), scratch, np.int32))
+            self._small, self._cache = self._insert_fn(b)(
+                self.params, self.model_state, self._small, self._cache,
+                slot_arr, *([pad] * b))
+        for nsteps in (self.segment_steps, self.max_segment_steps):
+            self._nsteps_const.setdefault(nsteps, jnp.int32(nsteps))
+        self._small, self._cache = self._segment_fn(
+            self.params, self._small, self._cache,
+            self._nsteps_const[self.segment_steps])
+        jax.block_until_ready(self._small.pos)
 
     def _admit(self) -> None:
         n = min(len(self._pending), len(self._free))
@@ -406,16 +453,17 @@ class ContinuousDecoder:
         scratch = self.num_slots  # pad rows scatter into the scratch slot
         slot_arr = np.full((bucket,), scratch, np.int32)
         slot_arr[:n] = slots
-        # admission buffer takes its spatial shape from the submitted
-        # images (preprocess guarantees uniformity; the swin trunk accepts
-        # any multiple-of-32 size, e.g. the dryrun's tiny canvases)
+        # images were device_put at submit() time; padding rows reuse a
+        # cached zero image, and the K arrays are stacked INSIDE the
+        # insert jit — admission moves no bytes host->device on the
+        # critical path (preprocess guarantees uniform shapes; the swin
+        # trunk accepts any multiple-of-32 size)
         h, w = batch[0][1].shape[:2]
-        images = np.zeros((bucket, h, w, 1), np.float32)
-        for j, (_, img) in enumerate(batch):
-            images[j] = img
+        pad = self._pad_image(int(h), int(w))
+        imgs = [img for _, img in batch] + [pad] * (bucket - n)
         self._small, self._cache = self._insert_fn(bucket)(
             self.params, self.model_state, self._small, self._cache,
-            jnp.asarray(slot_arr), jnp.asarray(images))
+            jnp.asarray(slot_arr), *imgs)
         for slot, (rid, _) in zip(slots, batch):
             self._slot_req[slot] = rid
             # effective from the NEXT dispatched segment: reports from

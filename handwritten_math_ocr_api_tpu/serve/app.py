@@ -145,6 +145,10 @@ class ServerState:
                 num_slots=self.cfg.num_slots,
                 segment_steps=self.cfg.segment_steps, mesh=mesh,
                 pipeline_depth=self.cfg.pipeline_depth)
+            try:  # pre-compile insert buckets/segment so the first
+                decoder.warmup()  # requests never pay a compile
+            except Exception:
+                logger.warning("continuous warmup failed", exc_info=True)
             self.batcher = ContinuousServingEngine(decoder)
         else:
             self.batcher = BatchingEngine(
