@@ -30,6 +30,9 @@ def main() -> None:
     ap.add_argument("--grid",
                     default="48:16:4,48:16:8,48:16:16,48:32:8,64:16:8,"
                             "48:16:32")
+    ap.add_argument("--fused", action="store_true",
+                    help="whole-step ragged Pallas megakernel segments")
+    ap.add_argument("--out", default="sweep_continuous_results.json")
     args = ap.parse_args()
 
     import jax
@@ -59,7 +62,8 @@ def main() -> None:
     for spec in args.grid.split(","):
         slots, seg, depth = (int(x) for x in spec.strip().split(":"))
         cont = ContinuousDecoder(params, state, cfg, tok, num_slots=slots,
-                                 segment_steps=seg, pipeline_depth=depth)
+                                 segment_steps=seg, pipeline_depth=depth,
+                                 use_fused=args.fused)
         cont.warmup()  # compile insert buckets + segment + scalars
         t0 = time.perf_counter()
         cont.run_all(images)
@@ -67,6 +71,7 @@ def main() -> None:
         st = cont.stats
         row = {
             "slots": slots, "segment_steps": seg, "pipeline_depth": depth,
+            "fused": args.fused,
             "img_per_s": round(args.requests / dt, 2),
             "elapsed_s": round(dt, 3),
             "segments": st["segments_run"],
@@ -80,7 +85,7 @@ def main() -> None:
         print(json.dumps(row), flush=True)
 
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "sweep_continuous_results.json")
+                       args.out)
     with open(out, "w") as f:
         json.dump(results, f, indent=2)
 

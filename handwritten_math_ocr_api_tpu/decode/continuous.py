@@ -44,6 +44,8 @@ decode for the same images.
 from __future__ import annotations
 
 import logging
+import queue
+import threading
 from collections import deque
 from typing import Dict, List, NamedTuple, Optional, Tuple
 
@@ -202,6 +204,135 @@ def decode_segment(params, cfg: ModelConfig, small: SmallState,
     return out_small, out_cache
 
 
+def init_slot_state_fused(cfg: ModelConfig, pool_size: int,
+                          encoder_len: Optional[int] = None
+                          ) -> Tuple[SmallState, Dict[str, jax.Array]]:
+    """Slot pool in the fused megakernel's merged-head layout:
+    self caches (L, S, T_pad, kvd) batch-major, cross caches
+    (L, S, L_enc_pad, D). ``pool_size`` must already include scratch
+    padding to the kernel's batch-chunk multiple."""
+    from ..ops.fused_step import _round_up
+
+    S = pool_size
+    T = cfg.max_seq_len
+    Tp = _round_up(T, 16)
+    dtype = jnp.dtype(cfg.dtype)
+    L = cfg.num_decoder_layers
+    kvd = cfg.kv_heads * cfg.head_dim
+    L_enc = encoder_len or cfg.encoder_len
+    L_enc_pad = _round_up(L_enc, 16)
+    cache = {
+        "self_k": jnp.zeros((L, S, Tp, kvd), dtype),
+        "self_v": jnp.zeros((L, S, Tp, kvd), dtype),
+        "cross_k": jnp.zeros((L, S, L_enc_pad, cfg.d_model), dtype),
+        "cross_v": jnp.zeros((L, S, L_enc_pad, cfg.d_model), dtype),
+    }
+    small = SmallState(
+        prev=jnp.full((S,), SOS_ID, jnp.int32),
+        pos=jnp.zeros((S,), jnp.int32),
+        active=jnp.zeros((S,), jnp.bool_),
+        finished=jnp.zeros((S,), jnp.bool_),
+        tokens=jnp.full((S, T), PAD_ID, jnp.int32),
+        lp_sum=jnp.zeros((S,), jnp.float32),
+        count=jnp.zeros((S,), jnp.int32),
+    )
+    return small, cache
+
+
+def insert_requests_fused(params, model_state, cfg: ModelConfig,
+                          small: SmallState, cache: Dict[str, jax.Array],
+                          slots: jax.Array, images,
+                          num_slots: int) -> Tuple[SmallState,
+                                                   Dict[str, jax.Array]]:
+    """Fused-layout admission: encode + merged-head cross-K/V projection +
+    scatter at ``slots``. Self-cache rows need no clearing — a re-admitted
+    slot's mask covers only slots <= pos, all rewritten by its own decode.
+    """
+    from .fused import project_cross_kv_merged
+
+    if not isinstance(images, (jax.Array, np.ndarray)):
+        images = jnp.stack(list(images))
+    memory, _ = model_mod.encode(params, model_state, cfg, images)
+    ck, cv = project_cross_kv_merged(
+        params["decoder"], cfg, memory,
+        l_enc_pad=cache["cross_k"].shape[2])
+    valid = slots < num_slots
+    new_cache = dict(cache)
+    new_cache["cross_k"] = cache["cross_k"].at[:, slots].set(
+        ck.astype(cache["cross_k"].dtype))
+    new_cache["cross_v"] = cache["cross_v"].at[:, slots].set(
+        cv.astype(cache["cross_v"].dtype))
+    new_small = SmallState(
+        prev=small.prev.at[slots].set(SOS_ID),
+        pos=small.pos.at[slots].set(0),
+        active=small.active.at[slots].set(valid),
+        finished=small.finished.at[slots].set(False),
+        tokens=small.tokens.at[slots].set(PAD_ID),
+        lp_sum=small.lp_sum.at[slots].set(0.0),
+        count=small.count.at[slots].set(0),
+    )
+    return new_small, new_cache
+
+
+def decode_segment_fused(stacked, cfg: ModelConfig, small: SmallState,
+                         cache: Dict[str, jax.Array], n_steps: jax.Array,
+                         l_enc_actual: int
+                         ) -> Tuple[SmallState, Dict[str, jax.Array]]:
+    """decode_segment on the whole-step ragged Pallas megakernel
+    (ops/fused_step.fused_ragged_step): embedding + 8 layers + head run
+    as ONE kernel per step instead of ~120 XLA fusions; only the
+    per-slot bookkeeping and the two fresh-row cache scatters stay
+    outside. Semantics identical to decode_segment (tests assert)."""
+    from ..ops.fused_step import fused_ragged_step
+
+    max_len = cfg.max_seq_len
+
+    def live_of(s: SmallState):
+        return s.active & ~s.finished
+
+    def cond(carry):
+        i, s, _, _ = carry
+        return jnp.logical_and(i < n_steps, jnp.any(live_of(s)))
+
+    def row_append(c, r, p):        # (T_pad, kvd), (kvd,), scalar
+        return jax.lax.dynamic_update_slice(c, r[None], (p, 0))
+
+    append = jax.vmap(jax.vmap(row_append, in_axes=(0, 0, 0)),
+                      in_axes=(0, 0, None))
+
+    def body(carry):
+        i, s, sk, sv = carry
+        live = live_of(s)
+        nxt, logp, k_rows, v_rows = fused_ragged_step(
+            stacked, cfg, s.prev, s.pos, sk, sv,
+            cache["cross_k"], cache["cross_v"], l_enc_actual)
+        sk = append(sk, k_rows, s.pos)
+        sv = append(sv, v_rows, s.pos)
+        is_eos = nxt == EOS_ID
+
+        lp_sum = s.lp_sum + jnp.where(live, logp, 0.0)
+        count = s.count + jnp.where(live & ~is_eos, 1, 0)
+        written = jax.vmap(
+            lambda row, p, t: jax.lax.dynamic_update_slice(row, t[None], (p,))
+        )(s.tokens, s.pos, nxt)
+        tokens = jnp.where(live[:, None], written, s.tokens)
+        done = live & (is_eos | (s.pos + 1 >= max_len))
+        pos = jnp.where(live, s.pos + 1, s.pos)
+        prev = jnp.where(live, jnp.where(is_eos, EOS_ID, nxt), s.prev)
+        new_s = SmallState(prev=prev, pos=pos, active=s.active,
+                           finished=s.finished | done, tokens=tokens,
+                           lp_sum=lp_sum, count=count)
+        return (i + 1, new_s, sk, sv)
+
+    _, out_small, sk, sv = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), small, cache["self_k"],
+                     cache["self_v"]))
+    out_cache = dict(cache)
+    out_cache["self_k"] = sk
+    out_cache["self_v"] = sv
+    return out_small, out_cache
+
+
 class _InFlight(NamedTuple):
     seg_idx: int          # index of the segment this report reflects
     small: SmallState     # device arrays, async host copy started
@@ -218,7 +349,8 @@ class ContinuousDecoder:
                  encode_buckets: Tuple[int, ...] = (1, 2, 4, 8, 16, 32),
                  mesh=None, pipeline_depth: int = 4,
                  max_segment_steps: Optional[int] = None,
-                 encoder_len: Optional[int] = None):
+                 encoder_len: Optional[int] = None,
+                 use_fused: bool = False):
         """``mesh``: optional Mesh — the slot pool shards over the 'data'
         axis (params replicated), scaling continuous serving across chips
         (the v5e-4 target). The pool is padded so (num_slots + scratch)
@@ -245,14 +377,35 @@ class ContinuousDecoder:
         self.encode_buckets = tuple(
             b for b in encode_buckets if b <= num_slots) or (num_slots,)
         self.mesh = mesh
+        if use_fused and mesh is not None:
+            logger.warning("fused continuous decode is single-chip; "
+                           "falling back to the XLA segment path on mesh")
+            use_fused = False
+        if use_fused and cfg.kv_heads not in (cfg.nhead, 1):
+            logger.warning("fused continuous decode supports MHA and MQA "
+                           "(nhead_kv=1); GQA falls back to the XLA path")
+            use_fused = False
+        self.use_fused = use_fused
+        self._l_enc = encoder_len or cfg.encoder_len
         extra = 1
         if mesh is not None:
             n = mesh.shape["data"]
             total = -(-(num_slots + 1) // n) * n  # round up to mesh multiple
             extra = total - num_slots
-        self._small, self._cache = init_slot_state(
-            params, cfg, num_slots, scratch_slots=extra,
-            encoder_len=encoder_len)
+        if use_fused:
+            from ..ops.fused_step import build_stacked_full
+
+            # pool padded to the kernel's batch-chunk multiple
+            total = -(-(num_slots + 1) // 16) * 16
+            extra = total - num_slots
+            self._small, self._cache = init_slot_state_fused(
+                cfg, total, encoder_len=encoder_len)
+            self._seg_params = build_stacked_full(params["decoder"], cfg)
+        else:
+            self._small, self._cache = init_slot_state(
+                params, cfg, num_slots, scratch_slots=extra,
+                encoder_len=encoder_len)
+            self._seg_params = params
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -273,16 +426,27 @@ class ContinuousDecoder:
         self._insert_fns: Dict[int, callable] = {}
         self._nsteps_const: Dict[int, jax.Array] = {}
         self._pad_img: Dict[Tuple[int, int], jax.Array] = {}
-        self._in_flight: deque = deque()
+        self._in_flight: deque = deque()   # sync-path probes only
+        self._inflight = 0                 # dispatched, not yet processed
+        self._fetch_q: "queue.Queue" = queue.Queue()
+        self._ready_q: "queue.Queue" = queue.Queue()
+        self._harvester: Optional[threading.Thread] = None
         self._seg_counter = 0
         # params passed as jit arguments (not closure constants) so weights
         # are shared, not baked into every executable. Only the CACHE is
         # donated: each segment's SmallState report must stay readable
         # while later segments run (the pipeline's whole point).
-        self._segment_fn = jax.jit(
-            lambda p, small, cache, n: decode_segment(
-                p, self.cfg, small, cache, n),
-            donate_argnums=(2,))
+        if use_fused:
+            l_enc = self._l_enc
+            self._segment_fn = jax.jit(
+                lambda p, small, cache, n: decode_segment_fused(
+                    p, self.cfg, small, cache, n, l_enc),
+                donate_argnums=(2,))
+        else:
+            self._segment_fn = jax.jit(
+                lambda p, small, cache, n: decode_segment(
+                    p, self.cfg, small, cache, n),
+                donate_argnums=(2,))
         # stats
         self.segments_run = 0
         self.steps_scheduled = 0
@@ -316,13 +480,21 @@ class ContinuousDecoder:
     @property
     def idle(self) -> bool:
         return (not self._pending and not self._slot_req
-                and not self._in_flight)
+                and not self._in_flight and self._inflight == 0)
 
     def step_once(self) -> Dict[int, Tuple[str, float]]:
         """One scheduler tick: admit -> dispatch one segment (if any live
-        work) -> harvest every report that is already on the host, blocking
-        only when the pipeline is full. Returns finished
-        {request_id: (latex, confidence)}."""
+        work) -> integrate every report the harvester thread has already
+        landed, blocking only when the pipeline is full. Returns finished
+        {request_id: (latex, confidence)}.
+
+        Harvest runs on a BACKGROUND THREAD: the blocking device fetch of
+        each segment's report happens off the scheduler thread (this
+        platform's ``is_ready`` never turns true, so polling can't give
+        eager harvest), which means a finished slot is seen and refilled
+        as soon as its segment actually completes on device — the
+        pipeline depth bounds dispatch run-ahead, not harvest staleness.
+        """
         self._admit()
         if self._slot_req:
             n = self._pick_segment_len()
@@ -331,24 +503,36 @@ class ContinuousDecoder:
                 # costs a full tunnel RTT per segment (measured ~30 ms)
                 nc = self._nsteps_const.setdefault(n, jnp.int32(n))
             self._small, self._cache = self._segment_fn(
-                self.params, self._small, self._cache, nc)
+                self._seg_params, self._small, self._cache, nc)
             self._seg_counter += 1
             self._start_report_copy()
-            self._in_flight.append(
-                _InFlight(self._seg_counter, self._small, n))
+            self._ensure_harvester()
+            self._inflight += 1
+            self._fetch_q.put(_InFlight(self._seg_counter, self._small, n))
             self.segments_run += 1
             self.steps_scheduled += n
             self.occupancy_sum += n * len(self._slot_req) / self.num_slots
         results: Dict[int, Tuple[str, float]] = {}
-        # forced harvest: pipeline full, or draining with no live work
-        while self._in_flight and (
-                len(self._in_flight) > self.pipeline_depth
+        # eager integrate: reports the harvester already fetched
+        while True:
+            try:
+                seg_idx, rep, err = self._ready_q.get_nowait()
+            except queue.Empty:
+                break
+            self._inflight -= 1
+            if err is not None:
+                raise err
+            results.update(self._process_report(seg_idx, rep))
+        # forced: pipeline full, or draining with no live work
+        while self._inflight > 0 and (
+                self._inflight > self.pipeline_depth
                 or not self._slot_req):
             self.harvest_blocks += 1
-            results.update(self._harvest_one())
-        # opportunistic harvest: reports whose copies already landed
-        while self._in_flight and self._report_ready(self._in_flight[0]):
-            results.update(self._harvest_one())
+            seg_idx, rep, err = self._ready_q.get()
+            self._inflight -= 1
+            if err is not None:
+                raise err
+            results.update(self._process_report(seg_idx, rep))
         return results
 
     def run_all(self, images) -> List[Tuple[str, float]]:
@@ -371,7 +555,7 @@ class ContinuousDecoder:
                                / (self.num_slots * total_steps)
                                if self.segments_run else 0.0),
             "pipeline_depth": self.pipeline_depth,
-            "in_flight": len(self._in_flight),
+            "in_flight": self._inflight,
             "harvest_blocks": self.harvest_blocks,
             "active_slots": len(self._slot_req),
             "pending": len(self._pending),
@@ -403,10 +587,16 @@ class ContinuousDecoder:
 
     def _insert_fn(self, k_bucket: int):
         if k_bucket not in self._insert_fns:
-            def fn(params, model_state, small, cache, slots, *imgs):
-                return insert_requests(params, model_state, self.cfg,
-                                       small, cache, slots, imgs,
-                                       num_slots=self.num_slots)
+            if self.use_fused:
+                def fn(params, model_state, small, cache, slots, *imgs):
+                    return insert_requests_fused(
+                        params, model_state, self.cfg, small, cache,
+                        slots, imgs, num_slots=self.num_slots)
+            else:
+                def fn(params, model_state, small, cache, slots, *imgs):
+                    return insert_requests(params, model_state, self.cfg,
+                                           small, cache, slots, imgs,
+                                           num_slots=self.num_slots)
 
             # donate only the cache (argnum 3): small states are shared
             # with in-flight reports
@@ -437,9 +627,16 @@ class ContinuousDecoder:
         for nsteps in (self.segment_steps, self.max_segment_steps):
             self._nsteps_const.setdefault(nsteps, jnp.int32(nsteps))
         self._small, self._cache = self._segment_fn(
-            self.params, self._small, self._cache,
+            self._seg_params, self._small, self._cache,
             self._nsteps_const[self.segment_steps])
-        jax.block_until_ready(self._small.pos)
+        # Force with a real device->host fetch, NOT block_until_ready: on
+        # the tunneled TPU platform compiles+execution of everything
+        # enqueued above happen remotely and are only forced by a
+        # transfer; block_until_ready returns early, which silently moved
+        # the (minutes-long, remote-compile-service) bucket compiles into
+        # the first live request's harvest. Measured: first post-warmup
+        # fetch 115-158 s with block_until_ready vs ~130 ms with this.
+        np.asarray(self._small.pos)
 
     def _admit(self) -> None:
         n = min(len(self._pending), len(self._free))
@@ -470,7 +667,74 @@ class ContinuousDecoder:
             # earlier segments must not harvest this slot
             self._admit_seg[slot] = self._seg_counter + 1
 
+    def _ensure_harvester(self) -> None:
+        if self._harvester is None or not self._harvester.is_alive():
+            self._harvester = threading.Thread(
+                target=self._harvest_loop, daemon=True,
+                name="continuous-harvester")
+            self._harvester.start()
+
+    def _harvest_loop(self) -> None:
+        """Background fetcher: blocks on each segment report's device
+        completion and lands it as numpy, in dispatch order (the
+        admission-generation guard relies on ordered processing)."""
+        while True:
+            item = self._fetch_q.get()
+            if item is None:
+                return
+            try:
+                rep = {
+                    "finished": np.asarray(item.small.finished),
+                    "tokens": np.asarray(item.small.tokens),
+                    "lp_sum": np.asarray(item.small.lp_sum),
+                    "count": np.asarray(item.small.count),
+                }
+                self._ready_q.put((item.seg_idx, rep, None))
+            except Exception as e:  # pragma: no cover - device failure
+                self._ready_q.put((item.seg_idx, None, e))
+
+    def close(self) -> None:
+        """Stop the harvester thread (idempotent; engines are otherwise
+        shut down with the process — the thread is a daemon)."""
+        if self._harvester is not None and self._harvester.is_alive():
+            self._fetch_q.put(None)
+            self._harvester.join(timeout=5)
+        self._harvester = None
+
+    def _process_report(self, seg_idx: int, rep: Dict[str, np.ndarray]
+                        ) -> Dict[int, Tuple[str, float]]:
+        finished = rep["finished"]
+        done_slots = [
+            s for s in list(self._slot_req)
+            if finished[s] and self._admit_seg.get(s, 0) <= seg_idx
+        ]
+        if not done_slots:
+            return {}
+        tokens = rep["tokens"]
+        lp = rep["lp_sum"]
+        counts = rep["count"]
+        results: Dict[int, Tuple[str, float]] = {}
+        for s in done_slots:
+            rid = self._slot_req.pop(s)
+            self._admit_seg.pop(s, None)
+            self.tokens_emitted += int(counts[s])
+            if counts[s] == 0:
+                results[rid] = (EMPTY_RESULT_FALLBACK, 0.0)
+            else:
+                conf = float(np.exp(lp[s] / counts[s]))
+                latex = clean_latex_output(self.tokenizer.decode(tokens[s]))
+                results[rid] = (latex, conf)
+            # no device-side release needed: the slot stays (active,
+            # finished) — skipped by segments — until the next insert
+            # fully resets it
+            self._free.append(s)
+        return results
+
     def _harvest_one(self) -> Dict[int, Tuple[str, float]]:
+        """Synchronous harvest of the oldest in-flight report — kept for
+        the phase-attribution probes that A/B the pre-thread scheduler
+        (benchmarks/probe_continuous_phases.py); the production path goes
+        through _harvest_loop/_process_report."""
         item = self._in_flight.popleft()
         finished = np.asarray(item.small.finished)
         done_slots = [

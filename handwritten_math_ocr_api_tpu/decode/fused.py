@@ -23,13 +23,13 @@ from ..ops.fused_step import (
 from .greedy import GreedyResult
 
 
-def init_fused_cache(decoder_params, cfg: ModelConfig, memory,
-                     max_len: int | None = None):
-    """memory: (B, L_enc, D). Returns (self_k, self_v, cross_k, cross_v)
-    in merged-head (L, B, T, D) / (L, B, L_enc, D) layout."""
-    L = cfg.num_decoder_layers
-    B, L_enc, D = memory.shape
-    T = _round_up(max_len or cfg.max_seq_len, 16)
+def project_cross_kv_merged(decoder_params, cfg: ModelConfig, memory,
+                            l_enc_pad: int | None = None):
+    """Cross K/V for the fused kernels' merged-head layout: memory
+    (B, L_enc, D) -> (ck, cv) each (L, B, L_enc_pad, D), padding slots
+    zero (the kernel masks them)."""
+    D = cfg.d_model
+    L_enc = memory.shape[1]
     dtype = jnp.dtype(cfg.dtype)
     mem = memory.astype(dtype)
     cross_k, cross_v = [], []
@@ -42,12 +42,23 @@ def init_fused_cache(decoder_params, cfg: ModelConfig, memory,
                                preferred_element_type=dtype) + b[2 * D:])
     ck = jnp.stack(cross_k)
     cv = jnp.stack(cross_v)
-    # pad memory length to the sublane tile; the kernel masks padding rows
-    L_enc_pad = _round_up(L_enc, 16)
+    L_enc_pad = l_enc_pad or _round_up(L_enc, 16)
     if L_enc_pad > L_enc:
         pad = ((0, 0), (0, 0), (0, L_enc_pad - L_enc), (0, 0))
         ck = jnp.pad(ck, pad)
         cv = jnp.pad(cv, pad)
+    return ck, cv
+
+
+def init_fused_cache(decoder_params, cfg: ModelConfig, memory,
+                     max_len: int | None = None):
+    """memory: (B, L_enc, D). Returns (self_k, self_v, cross_k, cross_v)
+    in merged-head (L, B, T, D) / (L, B, L_enc, D) layout."""
+    L = cfg.num_decoder_layers
+    B, L_enc, D = memory.shape
+    T = _round_up(max_len or cfg.max_seq_len, 16)
+    dtype = jnp.dtype(cfg.dtype)
+    ck, cv = project_cross_kv_merged(decoder_params, cfg, memory)
     # self-cache lane width follows the self-attention weights: D for MHA,
     # kv_dim < D under MQA/GQA (the v2 kernel replicates lanes on read)
     w_self = decoder_params["layers"][0]["self_attn"]

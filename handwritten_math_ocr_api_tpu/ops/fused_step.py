@@ -899,3 +899,253 @@ def fused_decoder_layers_step(stacked, cfg: ModelConfig, x_emb, self_k,
       stacked["w_ff2"], stacked["b_ff2"], stacked["ln"],
       self_k, self_v, cross_k, cross_v)
     return x_out, k_out, v_out
+
+
+# ---------------------------------------------------------------------------
+# Ragged (per-row position) whole-step kernel for continuous batching
+# ---------------------------------------------------------------------------
+
+def _make_kernel_ragged(cfg: ModelConfig, Bc: int, T: int, L_enc: int,
+                        l_enc_actual: int, Vp: int, Tp: int, kvd: int):
+    """Whole-step kernel with PER-ROW decode positions, for the continuous
+    slot pool (decode/continuous.py): embedding gather + all decoder
+    layers + output head in one Pallas program, grid (layers, B-chunks).
+
+    Unlike v2/v4 the batch is chunked (Bc rows per grid step) so the
+    (Bc, T, D) cache blocks fit VMEM at pool sizes of 64+ slots — every
+    row in a chunk attends over the full (masked) T with its OWN ``pos``,
+    so no cross-chunk online softmax is needed; numerics are identical to
+    the v2 kernel at that row's position. Fresh K/V rows are emitted as
+    (L, B, D) outputs and scattered at per-row positions by the caller
+    (compute-only: caches are read-only inputs).
+
+    The activation scratch holds ALL pool rows ((B, D) f32): grid order is
+    (layer, chunk) with chunks innermost, so chunk b's layer-l output is
+    still resident when layer l+1 revisits chunk b."""
+    D = cfg.d_model
+    scale = 1.0 / (cfg.head_dim ** 0.5)
+    n_layers = cfg.num_decoder_layers
+
+    def kernel(pos_ref, prev_ref, g_ref, emb_ref, pos_tab_ref,
+               w_qkv, b_qkv, w_out, b_out, w_cq, b_cq, w_co, b_co,
+               w_ff1, b_ff1, w_ff2, b_ff2, ln,
+               sk_in, sv_in, ck_ref, cv_ref, w_head_ref, b_head_ref,
+               nxt_out, logp_out, k_new_out, v_new_out,
+               x_scr):
+        layer = pl.program_id(0)
+        chunk = pl.program_id(1)
+        pos = pos_ref[:, 0]                            # (Bc,) int32
+        G = g_ref[:].astype(jnp.float32)               # (D, H)
+        wdt = w_qkv.dtype
+
+        @pl.when(layer == 0)
+        def _():
+            # one-hot embedding gather on the MXU (v4's trick), per chunk
+            iota_v = jax.lax.broadcasted_iota(jnp.int32, (Vp, Bc), 0)
+            onehot_t = (iota_v == prev_ref[:, 0][None, :]).astype(
+                jnp.float32)
+            x0 = jax.lax.dot_general(
+                onehot_t, emb_ref[:],
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # (Bc, D)
+            # per-row positional rows: (Bc, Tp) one-hot @ (Tp, D)
+            iota_p = jax.lax.broadcasted_iota(jnp.int32, (Bc, Tp), 1)
+            oh_pos = (iota_p == pos[:, None]).astype(jnp.float32)
+            pos_rows = jnp.dot(oh_pos, pos_tab_ref[:],
+                               preferred_element_type=jnp.float32)
+            x0 = x0 + pos_rows
+            x_scr[pl.ds(chunk * Bc, Bc), :] = (
+                x0.astype(wdt).astype(jnp.float32))
+
+        x = x_scr[pl.ds(chunk * Bc, Bc), :]            # (Bc, D) f32
+        cdt = sk_in.dtype
+
+        def mm(x, w_ref):
+            return jnp.dot(x.astype(w_ref.dtype), w_ref[0],
+                           preferred_element_type=jnp.float32)
+
+        def rep(t):
+            # MQA: replicate the shared K/V lanes up to D so the
+            # grouped-head G-matrix formulation applies unchanged
+            if kvd == D:
+                return t
+            return jnp.concatenate([t] * (D // kvd), axis=-1)
+
+        # ---- self-attention, per-row positions ----
+        qkv = mm(x, w_qkv) + b_qkv[0]
+        q = qkv[:, :D]
+        k_new = qkv[:, D:D + kvd]
+        v_new = qkv[:, D + kvd:]
+        k_new_out[0] = k_new.astype(cdt)
+        v_new_out[0] = v_new.astype(cdt)
+
+        slot = jax.lax.broadcasted_iota(jnp.int32, (Bc, T, 1), 1)
+        p_col = pos[:, None, None]                     # (Bc, 1, 1)
+        at_pos = slot == p_col
+        k = jnp.where(at_pos, k_new[:, None, :].astype(cdt), sk_in[0])
+        v = jnp.where(at_pos, v_new[:, None, :].astype(cdt), sv_in[0])
+        kf = rep(k.astype(jnp.float32))
+        prod = (q * scale)[:, None, :] * kf            # (Bc, T, D)
+        logits = jax.lax.dot_general(
+            prod, G, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (Bc, T, H)
+        logits = jnp.where(slot <= p_col, logits, -jnp.inf)
+        m = jnp.max(logits, axis=1, keepdims=True)
+        w = jnp.exp(logits - m)
+        probs = w / jnp.sum(w, axis=1, keepdims=True)
+        probs_d = jax.lax.dot_general(
+            probs, G, dimension_numbers=(((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (Bc, T, D)
+        attn = jnp.sum(probs_d * rep(v.astype(jnp.float32)), axis=1)
+        sa = mm(attn, w_out) + b_out[0]
+        x = _ln(x + sa, ln[0, 0], ln[0, 1])
+
+        # ---- cross-attention ----
+        qc = mm(x, w_cq) + b_cq[0]
+        ckf = ck_ref[0].astype(jnp.float32)            # (Bc, L_enc, D)
+        cvf = cv_ref[0].astype(jnp.float32)
+        prod_c = (qc * scale)[:, None, :] * ckf
+        logits_c = jax.lax.dot_general(
+            prod_c, G, dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (Bc, L_enc, H)
+        if l_enc_actual < L_enc:
+            slot_c = jax.lax.broadcasted_iota(jnp.int32, (Bc, L_enc, 1), 1)
+            logits_c = jnp.where(slot_c < l_enc_actual, logits_c, -jnp.inf)
+        mc = jnp.max(logits_c, axis=1, keepdims=True)
+        wc = jnp.exp(logits_c - mc)
+        probs_c = wc / jnp.sum(wc, axis=1, keepdims=True)
+        probs_cd = jax.lax.dot_general(
+            probs_c, G, dimension_numbers=(((2,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        attn_c = jnp.sum(probs_cd * cvf, axis=1)       # (Bc, D)
+        ca = mm(attn_c, w_co) + b_co[0]
+        x = _ln(x + ca, ln[0, 2], ln[0, 3])
+
+        # ---- FFN ----
+        h = mm(x, w_ff1) + b_ff1[0]
+        h = jnp.maximum(h, 0.0)
+        ff = mm(h, w_ff2) + b_ff2[0]
+        x = _ln(x + ff, ln[0, 4], ln[0, 5])
+
+        x_scr[pl.ds(chunk * Bc, Bc), :] = x
+
+        # ---- output head (last layer only) ----
+        @pl.when(layer == n_layers - 1)
+        def _():
+            logits_v = jnp.dot(x, w_head_ref[:],
+                               preferred_element_type=jnp.float32)
+            logits_v = logits_v + b_head_ref[:]        # (Bc, Vp) f32
+            mv = jnp.max(logits_v, axis=-1, keepdims=True)
+            se = jnp.sum(jnp.exp(logits_v - mv), axis=-1, keepdims=True)
+            iota = jax.lax.broadcasted_iota(jnp.int32, logits_v.shape, 1)
+            idx = jnp.min(jnp.where(logits_v >= mv, iota, Vp), axis=-1,
+                          keepdims=True)               # first max, as argmax
+            p_max = jnp.exp(mv - (mv + jnp.log(se)))
+            nxt_out[:] = idx.astype(jnp.int32)
+            logp_out[:] = jnp.log(p_max + 1e-10)       # reference numerics
+
+    return kernel
+
+
+def fused_ragged_step(stacked, cfg: ModelConfig, prev, pos,
+                      self_k, self_v, cross_k, cross_v,
+                      l_enc_actual: int | None = None, *,
+                      block_b: int = 16, interpret: bool | None = None):
+    """One whole ragged decode step for the continuous slot pool.
+
+    prev, pos: (B,) int32 — B must be a multiple of ``block_b`` (the pool
+    construction pads with scratch slots). self_k/v: (L, B, T, kvd)
+    batch-major read-only caches; cross_k/v: (L, B, L_enc_pad, D).
+    ``stacked`` from :func:`build_stacked_full`.
+
+    Returns (nxt (B,) i32, logp (B,) f32, k_new (L, B, kvd),
+    v_new (L, B, kvd)); the caller scatters the fresh rows at per-row
+    ``pos`` (two vmapped dynamic_update_slice calls)."""
+    from . import default_interpret
+
+    if interpret is None:
+        interpret = default_interpret()
+    L, B, T, kvd = self_k.shape
+    if B % block_b:
+        raise ValueError(f"pool size {B} not a multiple of {block_b}")
+    nB = B // block_b
+    L_enc = cross_k.shape[2]
+    if l_enc_actual is None:
+        l_enc_actual = L_enc
+    D = cfg.d_model
+    ff = cfg.dim_feedforward
+    Vp = stacked["emb"].shape[0]
+    Tp = stacked["pos_emb"].shape[0]
+    G = jnp.asarray(_group_matrix(D, cfg.nhead, np.float32))
+    Bc = block_b
+
+    def fixed(shape):
+        return pl.BlockSpec(shape, lambda l, b: (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def per_layer(shape):
+        return pl.BlockSpec((1,) + shape,
+                            lambda l, b: (l,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def per_chunk_col(width):                       # (B, 1) int32 columns
+        return pl.BlockSpec((Bc, 1), lambda l, b: (b, 0),
+                            memory_space=pltpu.VMEM)
+
+    def per_layer_chunk(shape):                     # (L, B, ...) blocks
+        return pl.BlockSpec((1, Bc) + shape,
+                            lambda l, b: (l, b) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    out_specs = (
+        pl.BlockSpec((Bc, 1), lambda l, b: (b, 0),
+                     memory_space=pltpu.VMEM),      # next token ids
+        pl.BlockSpec((Bc, 1), lambda l, b: (b, 0),
+                     memory_space=pltpu.VMEM),      # chosen log-prob
+        per_layer_chunk((kvd,)),                    # k_new
+        per_layer_chunk((kvd,)),                    # v_new
+    )
+
+    kernel = _make_kernel_ragged(cfg, Bc, T, L_enc, l_enc_actual, Vp, Tp,
+                                 kvd)
+    nxt, logp, k_out, v_out = pl.pallas_call(
+        kernel,
+        grid=(L, nB),
+        in_specs=[
+            per_chunk_col(Bc),              # pos
+            per_chunk_col(Bc),              # prev
+            fixed((D, cfg.nhead)),          # G
+            fixed((Vp, D)),                 # embedding table (f32)
+            fixed((Tp, D)),                 # positional table (f32)
+            per_layer((D, 2 * kvd + D)), per_layer((1, 2 * kvd + D)),
+            per_layer((D, D)), per_layer((1, D)),          # w_out, b_out
+            per_layer((D, D)), per_layer((1, D)),          # w_cq, b_cq
+            per_layer((D, D)), per_layer((1, D)),          # w_co, b_co
+            per_layer((D, ff)), per_layer((1, ff)),        # w_ff1, b_ff1
+            per_layer((ff, D)), per_layer((1, D)),         # w_ff2, b_ff2
+            per_layer((6, D)),              # ln
+            per_layer_chunk((T, kvd)),      # self_k
+            per_layer_chunk((T, kvd)),      # self_v
+            per_layer_chunk((L_enc, D)),    # cross_k
+            per_layer_chunk((L_enc, D)),    # cross_v
+            fixed((D, Vp)),                 # w_head (f32)
+            fixed((1, Vp)),                 # b_head (f32, pads -1e9)
+        ],
+        out_specs=out_specs,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((L, B, kvd), self_k.dtype),
+            jax.ShapeDtypeStruct((L, B, kvd), self_v.dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((B, D), jnp.float32)],
+        interpret=interpret,
+    )(jnp.asarray(pos, jnp.int32)[:, None],
+      jnp.asarray(prev, jnp.int32)[:, None], G,
+      stacked["emb"], stacked["pos_emb"],
+      stacked["w_qkv"], stacked["b_qkv"], stacked["w_out"], stacked["b_out"],
+      stacked["w_cq"], stacked["b_cq"], stacked["w_co"], stacked["b_co"],
+      stacked["w_ff1"], stacked["b_ff1"], stacked["w_ff2"], stacked["b_ff2"],
+      stacked["ln"], self_k, self_v, cross_k, cross_v,
+      stacked["w_head"], stacked["b_head"])
+    return nxt[:, 0], logp[:, 0], k_out, v_out

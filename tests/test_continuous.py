@@ -198,6 +198,36 @@ def test_pipelined_deep_trickle_matches_batch(setup):
     assert st["avg_occupancy"] > 0.3
 
 
+def test_fused_continuous_matches_jnp(setup):
+    """use_fused=True runs the whole-step ragged Pallas megakernel
+    (interpret mode off-TPU); results must equal the XLA segment path,
+    including under trickled mid-flight admission and slot reuse."""
+    params, mstate, tok = setup
+    rng = np.random.default_rng(3)
+    imgs = rng.standard_normal((6, 96, 320, 1)).astype(np.float32)
+    engine = DecodeEngine(params, mstate, CFG, tokenizer=tok)
+    want = engine.predict_with_confidence(imgs)
+
+    cont = ContinuousDecoder(params, mstate, CFG, tok, num_slots=2,
+                             segment_steps=3, encode_buckets=(1, 2),
+                             pipeline_depth=4, use_fused=True)
+    assert cont.use_fused
+    # pool padded to the kernel's 16-row batch chunk
+    assert cont._small.prev.shape[0] % 16 == 0
+    results = {}
+    ids = [cont.submit(imgs[0]), cont.submit(imgs[1])]
+    submitted = 2
+    while not cont.idle:
+        results.update(cont.step_once())
+        if submitted < 6:
+            ids.append(cont.submit(imgs[submitted]))
+            submitted += 1
+    assert len(results) == 6
+    for i, rid in enumerate(ids):
+        assert results[rid][0] == want[i][0], i
+        assert abs(results[rid][1] - want[i][1]) < 1e-4
+
+
 def test_adaptive_segment_length(setup):
     """With the pool full and nothing pending, segments lengthen to
     max_segment_steps; with queued work they stay short."""
