@@ -26,6 +26,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+
 import numpy as np  # noqa: E402
 
 
@@ -72,11 +74,20 @@ async def run(args) -> dict:
     from handwritten_math_ocr_api_tpu.core.config import ServeConfig
     from handwritten_math_ocr_api_tpu.serve.app import create_app
 
-    cfg = dataclasses.replace(
-        ServeConfig.from_env(), model_dir=args.model_dir,
-        batching_mode=args.mode, rate_limit_per_minute=10 ** 9,
-        rate_limit_per_hour=10 ** 9, rate_limit_per_day=10 ** 9,
+    overrides = dict(
+        model_dir=args.model_dir, batching_mode=args.mode,
+        rate_limit_per_minute=10 ** 9, rate_limit_per_hour=10 ** 9,
+        rate_limit_per_day=10 ** 9, rate_limit_anonymous_daily=10 ** 9,
         max_concurrent_requests=10 ** 6)
+    if args.use_fused:
+        overrides["use_fused_decode"] = True
+    if args.slots:
+        overrides["num_slots"] = args.slots
+    if args.pipeline_depth:
+        overrides["pipeline_depth"] = args.pipeline_depth
+    if args.cpu_mesh:
+        overrides["mesh_data_axis"] = args.cpu_mesh
+    cfg = dataclasses.replace(ServeConfig.from_env(), **overrides)
     app = create_app(cfg)
     client = TestClient(TestServer(app))
     await client.start_server()
@@ -84,6 +95,13 @@ async def run(args) -> dict:
         payload = {"image_data": _png_b64()}
         r = await client.post("/predict", json=payload)  # warm + compile
         assert r.status == 200, await r.text()
+        # steady-state stats only: zero counters/timers after the warm
+        # request so /metrics attribution excludes startup admits
+        st = app["state"]
+        if st.batcher is not None and hasattr(st.batcher, "decoder"):
+            st.batcher.decoder.reset_stats()
+            st.batcher.t_step = st.batcher.t_other = 0.0
+            st.batcher.worker_iters = 0
 
         latencies = []
         t0 = time.perf_counter()
@@ -101,7 +119,7 @@ async def run(args) -> dict:
                                for _ in range(args.clients)])
         wall = time.perf_counter() - t0
         lat = np.asarray(sorted(latencies))
-        return {
+        out = {
             "metric": f"http_loadtest_{args.mode}",
             "clients": args.clients,
             "requests": len(latencies),
@@ -109,7 +127,16 @@ async def run(args) -> dict:
             "p50_ms": round(float(lat[len(lat) // 2]) * 1e3, 2),
             "p95_ms": round(float(lat[int(len(lat) * 0.95)]) * 1e3, 2),
             "unit": "requests/sec",
+            "use_fused": cfg.use_fused_decode,
+            "num_slots": cfg.num_slots,
+            "pipeline_depth": cfg.pipeline_depth,
         }
+        m = await (await client.get("/metrics")).json()
+        bat = m.get("batching") or {}
+        for k, v in bat.items():
+            if isinstance(v, (int, float, str)) or v is None:
+                out[f"batching_{k}"] = v
+        return out
     finally:
         await client.close()
 
@@ -124,7 +151,26 @@ def main() -> None:
     ap.add_argument("--requests", type=int, default=64)
     ap.add_argument("--mode", default="dynamic",
                     choices=["dynamic", "continuous"])
+    ap.add_argument("--use-fused", action="store_true",
+                    help="whole-step ragged Pallas megakernel segments")
+    ap.add_argument("--slots", type=int, default=0,
+                    help="continuous-mode slot pool size (0 = config)")
+    ap.add_argument("--pipeline-depth", type=int, default=0,
+                    help="continuous-mode in-flight segments (0 = config)")
+    ap.add_argument("--cpu-mesh", type=int, default=0, metavar="N",
+                    help="run on an N-device virtual CPU mesh "
+                         "(SERVING_MESH_DATA=N): validates the multi-chip "
+                         "continuous serving path over HTTP without N real "
+                         "chips; throughput is CPU-bound, not indicative")
     args = ap.parse_args()
+    if args.cpu_mesh:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + f" --xla_force_host_platform_device_count={args.cpu_mesh}"
+        ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if args.tiny:
         import tempfile
 

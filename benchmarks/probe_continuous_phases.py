@@ -65,11 +65,11 @@ def main() -> None:
     small, cache = cont._small, cont._cache
     fn = cont._segment_fn
     # warm/compile
-    small, cache = fn(cont.params, small, cache, jnp.int32(16))
+    small, cache, rep = fn(cont.params, small, cache, jnp.int32(16))
     np.asarray(small.pos)
     t0 = time.perf_counter()
     for _ in range(args.segments):
-        small, cache = fn(cont.params, small, cache, jnp.int32(16))
+        small, cache, rep = fn(cont.params, small, cache, jnp.int32(16))
     np.asarray(small.pos)  # one terminal fetch
     dt = time.perf_counter() - t0
     res["chained_segment_ms"] = round(1e3 * dt / args.segments, 2)
@@ -77,8 +77,8 @@ def main() -> None:
     # per-segment with a report fetch each time (still no copy_to_host)
     t0 = time.perf_counter()
     for _ in range(args.segments):
-        small, cache = fn(cont.params, small, cache, jnp.int32(16))
-        np.asarray(small.finished)
+        small, cache, rep = fn(cont.params, small, cache, jnp.int32(16))
+        np.asarray(rep)
     dt = time.perf_counter() - t0
     res["segment_plus_sync_fetch_ms"] = round(1e3 * dt / args.segments, 2)
 
@@ -87,18 +87,13 @@ def main() -> None:
     pend = deque()
     t0 = time.perf_counter()
     for _ in range(args.segments):
-        small, cache = fn(cont.params, small, cache, jnp.int32(16))
-        for leaf in small:
-            leaf.copy_to_host_async()
-        pend.append(small)
+        small, cache, rep = fn(cont.params, small, cache, jnp.int32(16))
+        rep.copy_to_host_async()
+        pend.append(rep)
         if len(pend) > 4:
-            old = pend.popleft()
-            np.asarray(old.finished)
-            np.asarray(old.tokens)
+            np.asarray(pend.popleft())
     while pend:
-        old = pend.popleft()
-        np.asarray(old.finished)
-        np.asarray(old.tokens)
+        np.asarray(pend.popleft())
     dt = time.perf_counter() - t0
     res["segment_pipelined_fetch_ms"] = round(1e3 * dt / args.segments, 2)
 
@@ -128,16 +123,16 @@ def main() -> None:
             phase_t["admit"] += t1 - t0
             if self._slot_req:
                 n = self._pick_segment_len()
-                self._small, self._cache = self._segment_fn(
+                self._small, self._cache, rep = self._segment_fn(
                     self.params, self._small, self._cache, jnp.int32(n))
                 self._seg_counter += 1
                 t2 = time.perf_counter()
                 phase_t["dispatch"] += t2 - t1
-                self._start_report_copy()
+                self._start_report_copy(rep)
                 t3 = time.perf_counter()
                 phase_t["copy_start"] += t3 - t2
                 self._in_flight.append(
-                    cont_mod._InFlight(self._seg_counter, self._small, n))
+                    cont_mod._InFlight(self._seg_counter, rep, n))
                 self.segments_run += 1
                 self.steps_scheduled += n
                 self.occupancy_sum += (

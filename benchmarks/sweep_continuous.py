@@ -32,6 +32,8 @@ def main() -> None:
                             "48:16:32")
     ap.add_argument("--fused", action="store_true",
                     help="whole-step ragged Pallas megakernel segments")
+    ap.add_argument("--block-b", type=int, default=16,
+                    help="fused kernel batch-chunk rows (pool pads to it)")
     ap.add_argument("--out", default="sweep_continuous_results.json")
     args = ap.parse_args()
 
@@ -63,7 +65,8 @@ def main() -> None:
         slots, seg, depth = (int(x) for x in spec.strip().split(":"))
         cont = ContinuousDecoder(params, state, cfg, tok, num_slots=slots,
                                  segment_steps=seg, pipeline_depth=depth,
-                                 use_fused=args.fused)
+                                 use_fused=args.fused,
+                                 fused_block_b=args.block_b)
         cont.warmup()  # compile insert buckets + segment + scalars
         t0 = time.perf_counter()
         cont.run_all(images)
@@ -71,7 +74,7 @@ def main() -> None:
         st = cont.stats
         row = {
             "slots": slots, "segment_steps": seg, "pipeline_depth": depth,
-            "fused": args.fused,
+            "fused": args.fused, "block_b": args.block_b,
             "img_per_s": round(args.requests / dt, 2),
             "elapsed_s": round(dt, 3),
             "segments": st["segments_run"],

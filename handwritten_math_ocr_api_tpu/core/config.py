@@ -215,6 +215,7 @@ class ServeConfig:
     rate_limit_per_minute: int = 20
     rate_limit_per_hour: int = 200
     rate_limit_per_day: int = 1000
+    rate_limit_anonymous_daily: int = 100
     max_concurrent_requests: int = 10
     redis_url: str = ""
     # Batching engine. "dynamic": coalesce arrivals into one padded decode
@@ -273,6 +274,10 @@ class ServeConfig:
             ),
             rate_limit_per_day=int(
                 env.get("RATE_LIMIT_PER_DAY", defaults.rate_limit_per_day)
+            ),
+            rate_limit_anonymous_daily=int(
+                env.get("RATE_LIMIT_ANON_DAILY",
+                        defaults.rate_limit_anonymous_daily)
             ),
             max_concurrent_requests=int(
                 env.get("MAX_CONCURRENT_REQUESTS", defaults.max_concurrent_requests)

@@ -46,6 +46,7 @@ from __future__ import annotations
 import logging
 import queue
 import threading
+import time
 from collections import deque
 from typing import Dict, List, NamedTuple, Optional, Tuple
 
@@ -276,7 +277,7 @@ def insert_requests_fused(params, model_state, cfg: ModelConfig,
 
 def decode_segment_fused(stacked, cfg: ModelConfig, small: SmallState,
                          cache: Dict[str, jax.Array], n_steps: jax.Array,
-                         l_enc_actual: int
+                         l_enc_actual: int, block_b: int = 16
                          ) -> Tuple[SmallState, Dict[str, jax.Array]]:
     """decode_segment on the whole-step ragged Pallas megakernel
     (ops/fused_step.fused_ragged_step): embedding + 8 layers + head run
@@ -305,7 +306,8 @@ def decode_segment_fused(stacked, cfg: ModelConfig, small: SmallState,
         live = live_of(s)
         nxt, logp, k_rows, v_rows = fused_ragged_step(
             stacked, cfg, s.prev, s.pos, sk, sv,
-            cache["cross_k"], cache["cross_v"], l_enc_actual)
+            cache["cross_k"], cache["cross_v"], l_enc_actual,
+            block_b=block_b)
         sk = append(sk, k_rows, s.pos)
         sv = append(sv, v_rows, s.pos)
         is_eos = nxt == EOS_ID
@@ -333,9 +335,31 @@ def decode_segment_fused(stacked, cfg: ModelConfig, small: SmallState,
     return out_small, out_cache
 
 
+def pack_report(s: SmallState) -> jax.Array:
+    """Pack the per-segment harvest report into ONE (S, T+3) int32 array
+    device-side (cols: finished, count, lp_sum bitcast, tokens...) so the
+    host pays a single fetch RTT per segment instead of one per leaf."""
+    return jnp.concatenate([
+        s.finished.astype(jnp.int32)[:, None],
+        s.count[:, None],
+        jax.lax.bitcast_convert_type(s.lp_sum, jnp.int32)[:, None],
+        s.tokens,
+    ], axis=1)
+
+
+def unpack_report(rep: np.ndarray) -> Dict[str, np.ndarray]:
+    """Host-side inverse of :func:`pack_report`."""
+    return {
+        "finished": rep[:, 0].astype(bool),
+        "count": rep[:, 1],
+        "lp_sum": rep[:, 2].view(np.float32),
+        "tokens": rep[:, 3:],
+    }
+
+
 class _InFlight(NamedTuple):
     seg_idx: int          # index of the segment this report reflects
-    small: SmallState     # device arrays, async host copy started
+    report: jax.Array     # packed (S, T+3) int32, device array
     n_steps: int          # host-side planned length (stats only)
 
 
@@ -350,7 +374,7 @@ class ContinuousDecoder:
                  mesh=None, pipeline_depth: int = 4,
                  max_segment_steps: Optional[int] = None,
                  encoder_len: Optional[int] = None,
-                 use_fused: bool = False):
+                 use_fused: bool = False, fused_block_b: int = 16):
         """``mesh``: optional Mesh — the slot pool shards over the 'data'
         axis (params replicated), scaling continuous serving across chips
         (the v5e-4 target). The pool is padded so (num_slots + scratch)
@@ -396,7 +420,7 @@ class ContinuousDecoder:
             from ..ops.fused_step import build_stacked_full
 
             # pool padded to the kernel's batch-chunk multiple
-            total = -(-(num_slots + 1) // 16) * 16
+            total = -(-(num_slots + 1) // fused_block_b) * fused_block_b
             extra = total - num_slots
             self._small, self._cache = init_slot_state_fused(
                 cfg, total, encoder_len=encoder_len)
@@ -414,6 +438,14 @@ class ContinuousDecoder:
             self.params = jax.device_put(params, mesh_lib.replicated(mesh))
             self.model_state = jax.device_put(model_state,
                                               mesh_lib.replicated(mesh))
+            # segment weights (raw params or fused stacked bundle) must be
+            # replicated onto the SAME mesh as the sharded pool state — a
+            # single-device committed pytree here makes every segment
+            # dispatch raise "incompatible devices"
+            self._seg_params = (
+                self.params if self._seg_params is params
+                else jax.device_put(self._seg_params,
+                                    mesh_lib.replicated(mesh)))
             row_sharded = lambda x: jax.device_put(x, NamedSharding(  # noqa: E731
                 mesh, P(*(("data",) + (None,) * (x.ndim - 1)))))
             self._small = jax.tree_util.tree_map(row_sharded, self._small)
@@ -435,26 +467,69 @@ class ContinuousDecoder:
         # params passed as jit arguments (not closure constants) so weights
         # are shared, not baked into every executable. Only the CACHE is
         # donated: each segment's SmallState report must stay readable
-        # while later segments run (the pipeline's whole point).
+        # while later segments run (the pipeline's whole point). The
+        # report is PACKED into one int32 array device-side: the tunnel's
+        # device->host fetch costs a fixed ~31 ms RTT regardless of size
+        # (benchmarks/probe_async_fetch.py), so fetching four SmallState
+        # leaves per segment paid 4 RTTs (~130 ms) where one suffices.
         if use_fused:
             l_enc = self._l_enc
-            self._segment_fn = jax.jit(
-                lambda p, small, cache, n: decode_segment_fused(
-                    p, self.cfg, small, cache, n, l_enc),
-                donate_argnums=(2,))
+
+            def _seg(p, small, cache, n):
+                s2, c2 = decode_segment_fused(
+                    p, self.cfg, small, cache, n, l_enc,
+                    block_b=fused_block_b)
+                return s2, c2, pack_report(s2)
         else:
-            self._segment_fn = jax.jit(
-                lambda p, small, cache, n: decode_segment(
-                    p, self.cfg, small, cache, n),
-                donate_argnums=(2,))
+            def _seg(p, small, cache, n):
+                s2, c2 = decode_segment(p, self.cfg, small, cache, n)
+                return s2, c2, pack_report(s2)
+        self._segment_fn = jax.jit(_seg, donate_argnums=(2,))
         # stats
         self.segments_run = 0
         self.steps_scheduled = 0
         self.tokens_emitted = 0
         self.occupancy_sum = 0.0       # step-weighted sum of slot occupancy
         self.harvest_blocks = 0        # harvests that had to wait
+        # phase-time accumulators (seconds) — where scheduler ticks go
+        self.t_admit = 0.0
+        self.t_admit_upload = 0.0
+        self.t_admit_insert = 0.0
+        self.t_dispatch = 0.0
+        self.t_harvest_wait = 0.0
 
     # -- public API ---------------------------------------------------------
+
+    def fail_reset(self) -> None:
+        """Clear all host-side scheduling state after a failed segment so
+        the engine returns to idle instead of re-raising forever (the
+        serving worker fails the affected futures; later requests start
+        clean). Device state is reusable: the next insert fully resets
+        any slot it takes."""
+        self._pending.clear()
+        self._slot_req.clear()
+        self._admit_seg.clear()
+        self._free = list(range(self.num_slots))
+        self._in_flight.clear()
+        self._inflight = 0
+        while True:
+            try:
+                self._ready_q.get_nowait()
+            except queue.Empty:
+                break
+
+    def reset_stats(self) -> None:
+        """Zero all throughput counters and phase timers (post-warmup)."""
+        self.segments_run = 0
+        self.steps_scheduled = 0
+        self.tokens_emitted = 0
+        self.occupancy_sum = 0.0
+        self.harvest_blocks = 0
+        self.t_admit = 0.0
+        self.t_admit_upload = 0.0
+        self.t_admit_insert = 0.0
+        self.t_dispatch = 0.0
+        self.t_harvest_wait = 0.0
 
     @property
     def state(self) -> SlotState:
@@ -495,23 +570,27 @@ class ContinuousDecoder:
         as soon as its segment actually completes on device — the
         pipeline depth bounds dispatch run-ahead, not harvest staleness.
         """
+        t0 = time.perf_counter()
         self._admit()
+        t1 = time.perf_counter()
+        self.t_admit += t1 - t0
         if self._slot_req:
             n = self._pick_segment_len()
             nc = self._nsteps_const.get(n)
             if nc is None:  # device scalars are cached: a fresh jnp.int32
                 # costs a full tunnel RTT per segment (measured ~30 ms)
                 nc = self._nsteps_const.setdefault(n, jnp.int32(n))
-            self._small, self._cache = self._segment_fn(
+            self._small, self._cache, rep = self._segment_fn(
                 self._seg_params, self._small, self._cache, nc)
             self._seg_counter += 1
-            self._start_report_copy()
+            self._start_report_copy(rep)
             self._ensure_harvester()
             self._inflight += 1
-            self._fetch_q.put(_InFlight(self._seg_counter, self._small, n))
+            self._fetch_q.put(_InFlight(self._seg_counter, rep, n))
             self.segments_run += 1
             self.steps_scheduled += n
             self.occupancy_sum += n * len(self._slot_req) / self.num_slots
+            self.t_dispatch += time.perf_counter() - t1
         results: Dict[int, Tuple[str, float]] = {}
         # eager integrate: reports the harvester already fetched
         while True:
@@ -528,7 +607,9 @@ class ContinuousDecoder:
                 self._inflight > self.pipeline_depth
                 or not self._slot_req):
             self.harvest_blocks += 1
+            tw = time.perf_counter()
             seg_idx, rep, err = self._ready_q.get()
+            self.t_harvest_wait += time.perf_counter() - tw
             self._inflight -= 1
             if err is not None:
                 raise err
@@ -559,6 +640,11 @@ class ContinuousDecoder:
             "harvest_blocks": self.harvest_blocks,
             "active_slots": len(self._slot_req),
             "pending": len(self._pending),
+            "t_admit_s": round(self.t_admit, 3),
+            "t_admit_upload_s": round(self.t_admit_upload, 3),
+            "t_admit_insert_s": round(self.t_admit_insert, 3),
+            "t_dispatch_s": round(self.t_dispatch, 3),
+            "t_harvest_wait_s": round(self.t_harvest_wait, 3),
         }
 
     # -- internals ----------------------------------------------------------
@@ -571,17 +657,17 @@ class ContinuousDecoder:
             return self.segment_steps
         return self.max_segment_steps
 
-    def _start_report_copy(self) -> None:
-        for leaf in self._small:
-            try:
-                leaf.copy_to_host_async()
-            except Exception:  # pragma: no cover - platform-specific
-                break
+    @staticmethod
+    def _start_report_copy(rep: jax.Array) -> None:
+        try:
+            rep.copy_to_host_async()
+        except Exception:  # pragma: no cover - platform-specific
+            pass
 
     @staticmethod
     def _report_ready(item: _InFlight) -> bool:
         try:
-            return all(leaf.is_ready() for leaf in item.small)
+            return item.report.is_ready()
         except Exception:  # pragma: no cover - platform-specific
             return False
 
@@ -626,7 +712,7 @@ class ContinuousDecoder:
                 slot_arr, *([pad] * b))
         for nsteps in (self.segment_steps, self.max_segment_steps):
             self._nsteps_const.setdefault(nsteps, jnp.int32(nsteps))
-        self._small, self._cache = self._segment_fn(
+        self._small, self._cache, _rep = self._segment_fn(
             self._seg_params, self._small, self._cache,
             self._nsteps_const[self.segment_steps])
         # Force with a real device->host fetch, NOT block_until_ready: on
@@ -658,9 +744,15 @@ class ContinuousDecoder:
         h, w = batch[0][1].shape[:2]
         pad = self._pad_image(int(h), int(w))
         imgs = [img for _, img in batch] + [pad] * (bucket - n)
+        tu = time.perf_counter()
+        slot_dev = jax.device_put(slot_arr)  # async upload (tunnel: a
+        # synchronous jnp.asarray here cost a ~30 ms RTT per admission)
+        self.t_admit_upload += time.perf_counter() - tu
+        ti = time.perf_counter()
         self._small, self._cache = self._insert_fn(bucket)(
             self.params, self.model_state, self._small, self._cache,
-            jnp.asarray(slot_arr), *imgs)
+            slot_dev, *imgs)
+        self.t_admit_insert += time.perf_counter() - ti
         for slot, (rid, _) in zip(slots, batch):
             self._slot_req[slot] = rid
             # effective from the NEXT dispatched segment: reports from
@@ -683,12 +775,7 @@ class ContinuousDecoder:
             if item is None:
                 return
             try:
-                rep = {
-                    "finished": np.asarray(item.small.finished),
-                    "tokens": np.asarray(item.small.tokens),
-                    "lp_sum": np.asarray(item.small.lp_sum),
-                    "count": np.asarray(item.small.count),
-                }
+                rep = unpack_report(np.asarray(item.report))
                 self._ready_q.put((item.seg_idx, rep, None))
             except Exception as e:  # pragma: no cover - device failure
                 self._ready_q.put((item.seg_idx, None, e))
@@ -736,29 +823,5 @@ class ContinuousDecoder:
         (benchmarks/probe_continuous_phases.py); the production path goes
         through _harvest_loop/_process_report."""
         item = self._in_flight.popleft()
-        finished = np.asarray(item.small.finished)
-        done_slots = [
-            s for s in list(self._slot_req)
-            if finished[s] and self._admit_seg.get(s, 0) <= item.seg_idx
-        ]
-        if not done_slots:
-            return {}
-        tokens = np.asarray(item.small.tokens)
-        lp = np.asarray(item.small.lp_sum)
-        counts = np.asarray(item.small.count)
-        results: Dict[int, Tuple[str, float]] = {}
-        for s in done_slots:
-            rid = self._slot_req.pop(s)
-            self._admit_seg.pop(s, None)
-            self.tokens_emitted += int(counts[s])
-            if counts[s] == 0:
-                results[rid] = (EMPTY_RESULT_FALLBACK, 0.0)
-            else:
-                conf = float(np.exp(lp[s] / counts[s]))
-                latex = clean_latex_output(self.tokenizer.decode(tokens[s]))
-                results[rid] = (latex, conf)
-            # no device-side release needed: the slot stays (active,
-            # finished) — skipped by segments — until the next insert
-            # fully resets it
-            self._free.append(s)
-        return results
+        rep = unpack_report(np.asarray(item.report))
+        return self._process_report(item.seg_idx, rep)

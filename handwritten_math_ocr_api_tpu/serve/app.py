@@ -144,7 +144,8 @@ class ServerState:
                 params, model_state, model_cfg, self.tokenizer,
                 num_slots=self.cfg.num_slots,
                 segment_steps=self.cfg.segment_steps, mesh=mesh,
-                pipeline_depth=self.cfg.pipeline_depth)
+                pipeline_depth=self.cfg.pipeline_depth,
+                use_fused=self.cfg.use_fused_decode)
             try:  # pre-compile insert buckets/segment so the first
                 decoder.warmup()  # requests never pay a compile
             except Exception:
@@ -304,7 +305,11 @@ async def _read_prediction_input(state: ServerState, request) -> np.ndarray:
         if len(data) > state.cfg.max_file_size:
             raise ApiError(413, "File too large. Maximum size: "
                            f"{state.cfg.max_file_size} bytes")
-        return _preprocess(state, _decode_image_bytes(data))
+        # PIL decode + resize run in the executor: a few ms each, but at
+        # 64 concurrent clients inline decoding serializes on the event
+        # loop and delays every other handler
+        return await asyncio.get_running_loop().run_in_executor(
+            None, lambda: _preprocess(state, _decode_image_bytes(data)))
     # JSON base64 path
     try:
         body = await request.json()
@@ -313,7 +318,8 @@ async def _read_prediction_input(state: ServerState, request) -> np.ndarray:
     b64 = (body or {}).get("image_data")
     if not b64:
         raise ApiError(400, "Missing image data")
-    return _preprocess(state, _decode_base64_image(b64))
+    return await asyncio.get_running_loop().run_in_executor(
+        None, lambda: _preprocess(state, _decode_base64_image(b64)))
 
 
 async def handle_predict(request) -> "web.Response":
@@ -657,6 +663,7 @@ def create_app(cfg: Optional[ServeConfig] = None,
                     requests_per_minute=st.cfg.rate_limit_per_minute,
                     requests_per_hour=st.cfg.rate_limit_per_hour,
                     requests_per_day=st.cfg.rate_limit_per_day,
+                    anonymous_daily_limit=st.cfg.rate_limit_anonymous_daily,
                     concurrent_requests=st.cfg.max_concurrent_requests))
             logger.info("rate limiter initialized")
         except Exception:
@@ -682,10 +689,7 @@ def create_app(cfg: Optional[ServeConfig] = None,
                         np.float32)
                     await loop.run_in_executor(
                         None, lambda: dec.run_all([dummy]))
-                    dec.segments_run = 0
-                    dec.steps_scheduled = 0
-                    dec.tokens_emitted = 0
-                    dec.occupancy_sum = 0.0
+                    dec.reset_stats()
                 logger.info("decode warmup (buckets %s) in %.1fs",
                             st.cfg.warmup_batch_sizes, time.time() - t0)
             except Exception:

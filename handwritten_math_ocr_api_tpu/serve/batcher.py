@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import asyncio
 import logging
+import queue as tqueue
+import threading
 import time
 from typing import List, Optional, Tuple
 
@@ -162,87 +164,129 @@ class BatchingEngine:
 
 
 class ContinuousServingEngine:
-    """Async adapter over decode.continuous.ContinuousDecoder.
+    """Dedicated-thread adapter over decode.continuous.ContinuousDecoder.
 
     Same surface as BatchingEngine (predict / predict_many / start / stop /
-    stats) so serve/app.py can select either via config. The worker task
-    exclusively owns the (non-thread-safe) ContinuousDecoder: submissions
-    arrive through an asyncio queue, decode segments run in the executor,
-    and finished requests resolve their futures between segments — new
+    stats) so serve/app.py can select either via config. The scheduler
+    THREAD exclusively owns the (non-thread-safe) ContinuousDecoder:
+    submissions cross through a thread-safe queue, finished requests
+    resolve their asyncio futures via ``call_soon_threadsafe``, and new
     requests are admitted into freed KV-cache slots while others are still
-    decoding (BASELINE config 5)."""
+    decoding (BASELINE config 5).
+
+    Why a thread and not a ``run_in_executor`` task: the first version
+    hopped through the executor once per segment tick, scheduled by the
+    same event loop that parses every concurrent HTTP request. Under a
+    64-client load that loop contention stretched the 36 ms engine-level
+    segment time to ~56 ms at the HTTP level (benchmarks/loadtest.py
+    phase timers). A dedicated thread never waits for the loop."""
 
     def __init__(self, decoder, queue_limit: int = 512):
         self.decoder = decoder
         self.queue_limit = queue_limit
-        self._queue: asyncio.Queue = asyncio.Queue()
-        self._futures: dict = {}
-        self._task: Optional[asyncio.Task] = None
+        self._subq: "tqueue.Queue" = tqueue.Queue()
+        self._futures: dict = {}          # rid -> (future, owning loop)
+        self._thread: Optional[threading.Thread] = None
         self._stopping = False
-        self._wake: Optional[asyncio.Event] = None
+        self._wake = threading.Event()
+        # scheduler phase timers: time inside step_once vs everything else
+        # (drain, resolve, idle-wait)
+        self.t_step = 0.0
+        self.t_other = 0.0
+        self.worker_iters = 0
 
     async def start(self) -> None:
-        if self._task is None:
+        if self._thread is None:
             self._stopping = False
-            self._wake = asyncio.Event()
-            self._task = asyncio.get_running_loop().create_task(
-                self._worker())
+            self._thread = threading.Thread(
+                target=self._run, daemon=True, name="continuous-scheduler")
+            self._thread.start()
 
     async def stop(self) -> None:
         self._stopping = True
-        if self._wake is not None:
-            self._wake.set()
-        if self._task is not None:
-            await self._task
-            self._task = None
+        self._wake.set()
+        if self._thread is not None:
+            await asyncio.get_running_loop().run_in_executor(
+                None, self._thread.join)
+            self._thread = None
 
     async def predict(self, image: np.ndarray) -> Tuple[str, float]:
-        if self._queue.qsize() >= self.queue_limit:
+        if self._subq.qsize() >= self.queue_limit:
             raise BatcherOverloaded("prediction queue full")
-        fut = asyncio.get_running_loop().create_future()
-        await self._queue.put((image, fut))
+        loop = asyncio.get_running_loop()
+        fut = loop.create_future()
+        self._subq.put((image, fut, loop))
         self._wake.set()
         return await fut
 
     async def predict_many(self, images: List[np.ndarray]
                            ) -> List[Tuple[str, float]]:
-        if self._queue.qsize() + len(images) > self.queue_limit:
+        if self._subq.qsize() + len(images) > self.queue_limit:
             raise BatcherOverloaded("prediction queue full")
         return list(await asyncio.gather(
             *[self.predict(img) for img in images]))
 
-    async def _worker(self) -> None:
-        loop = asyncio.get_running_loop()
+    def _run(self) -> None:
+        mark = time.perf_counter()
         while True:
-            # drain submissions into the decoder's pending list
-            while not self._queue.empty():
-                image, fut = self._queue.get_nowait()
+            while True:  # drain submissions into the decoder
+                try:
+                    image, fut, loop = self._subq.get_nowait()
+                except tqueue.Empty:
+                    break
                 rid = self.decoder.submit(image)
-                self._futures[rid] = fut
+                self._futures[rid] = (fut, loop)
             if self.decoder.idle:
                 if self._stopping:
                     return
                 self._wake.clear()
-                await self._wake.wait()
+                # timeout guards the submit()-set-before-clear race
+                self._wake.wait(timeout=0.05)
+                mark = time.perf_counter()
                 continue
+            t0 = time.perf_counter()
+            self.t_other += t0 - mark
             try:
-                done = await loop.run_in_executor(
-                    None, self.decoder.step_once)
-            except Exception as e:
+                done = self.decoder.step_once()
+            except Exception as e:  # fail every waiter, keep serving
                 logger.exception("continuous decode segment failed")
-                for fut in self._futures.values():
-                    if not fut.done():
-                        fut.set_exception(e)
+                for fut, loop in self._futures.values():
+                    loop.call_soon_threadsafe(self._fail, fut, e)
                 self._futures.clear()
+                # return the decoder to idle — without this a persistent
+                # fault (e.g. a placement bug) makes this loop spin at
+                # 100% CPU re-raising on the same stuck state forever
+                try:
+                    self.decoder.fail_reset()
+                except Exception:
+                    logger.exception("decoder fail_reset failed")
+                mark = time.perf_counter()
                 continue
+            mark = time.perf_counter()
+            self.t_step += mark - t0
+            self.worker_iters += 1
             for rid, result in done.items():
-                fut = self._futures.pop(rid, None)
-                if fut is not None and not fut.done():
-                    fut.set_result(result)
+                entry = self._futures.pop(rid, None)
+                if entry is not None:
+                    fut, loop = entry
+                    loop.call_soon_threadsafe(self._resolve, fut, result)
+
+    @staticmethod
+    def _resolve(fut, result) -> None:
+        if not fut.done():
+            fut.set_result(result)
+
+    @staticmethod
+    def _fail(fut, exc) -> None:
+        if not fut.done():
+            fut.set_exception(exc)
 
     @property
     def stats(self) -> dict:
         s = dict(self.decoder.stats)
         s["mode"] = "continuous"
-        s["queue_depth"] = self._queue.qsize()
+        s["queue_depth"] = self._subq.qsize()
+        s["worker_step_s"] = round(self.t_step, 3)
+        s["worker_other_s"] = round(self.t_other, 3)
+        s["worker_iters"] = self.worker_iters
         return s
