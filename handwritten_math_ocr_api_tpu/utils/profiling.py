@@ -64,6 +64,13 @@ class StageTimer:
             self.ewma[name] = dt if prev is None else \
                 (1 - self.alpha) * prev + self.alpha * dt
 
+    def reset(self) -> None:
+        """Drop all recorded stages (e.g. post-warmup, so steady-state
+        summaries exclude compile-inflated first requests)."""
+        self.totals.clear()
+        self.counts.clear()
+        self.ewma.clear()
+
     def summary(self) -> Dict[str, Dict[str, float]]:
         return {
             name: {

@@ -247,3 +247,30 @@ def test_adaptive_segment_length(setup):
     # free slot available -> short again (an arrival could admit soon)
     cont._free.append(99)
     assert cont._pick_segment_len() == 2
+
+
+def test_pack_report_roundtrip():
+    """pack_report/unpack_report must be an exact inverse, including the
+    float32 lp_sum bitcast (negative log-probs) and bool flags — the
+    harvester reads every result through this single packed array."""
+    from handwritten_math_ocr_api_tpu.decode.continuous import (
+        SmallState, pack_report, unpack_report,
+    )
+
+    rng = np.random.default_rng(0)
+    S, T = 5, 7
+    small = SmallState(
+        prev=jnp.asarray(rng.integers(0, 20, S), jnp.int32),
+        pos=jnp.asarray(rng.integers(0, T, S), jnp.int32),
+        active=jnp.asarray([1, 0, 1, 1, 0], bool),
+        finished=jnp.asarray([0, 1, 0, 1, 0], bool),
+        tokens=jnp.asarray(rng.integers(0, 20, (S, T)), jnp.int32),
+        lp_sum=jnp.asarray([-3.25, 0.0, -17.5, -0.001, 2.5], jnp.float32),
+        count=jnp.asarray(rng.integers(0, T, S), jnp.int32),
+    )
+    rep = unpack_report(np.asarray(pack_report(small)))
+    np.testing.assert_array_equal(rep["finished"],
+                                  np.asarray(small.finished))
+    np.testing.assert_array_equal(rep["count"], np.asarray(small.count))
+    np.testing.assert_array_equal(rep["tokens"], np.asarray(small.tokens))
+    np.testing.assert_array_equal(rep["lp_sum"], np.asarray(small.lp_sum))
