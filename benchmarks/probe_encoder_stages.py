@@ -106,11 +106,17 @@ def main() -> None:
 
     t = time_fn(lambda im: swin_apply(params, im, cfg), img, args.iters)
     res["whole_trunk_ms"] = round(1e3 * t, 3)
+    t = time_fn(lambda im: swin_apply(params, im, cfg,
+                                      use_pallas_block=True),
+                img, args.iters)
+    res["whole_trunk_fused_blocks_ms"] = round(1e3 * t, 3)
     res["pieces_sum_ms"] = round(sum(res["pieces_ms"].values()), 3)
     for k, v in res["pieces_ms"].items():
         print(f"{k:18s}: {v:8.3f} ms")
     print(f"{'sum of pieces':18s}: {res['pieces_sum_ms']:8.3f} ms")
     print(f"{'whole trunk':18s}: {res['whole_trunk_ms']:8.3f} ms")
+    print(f"{'trunk fused blocks':18s}: "
+          f"{res['whole_trunk_fused_blocks_ms']:8.3f} ms")
     print(json.dumps(res))
 
 

@@ -224,8 +224,19 @@ def _stochastic_depth(key, x: Array, rate: float, deterministic: bool) -> Array:
 def swin_block(p, x: Array, ws: int, shift: int, num_heads: int,
                mlp_ratio: float, *, sd_rate: float = 0.0,
                deterministic: bool = True, rng=None,
-               use_pallas: bool = False) -> Array:
-    """Pre-norm Swin block: x + SD(attn(LN(x))); x + SD(mlp(LN(x)))."""
+               use_pallas: bool = False,
+               use_pallas_block: bool = False) -> Array:
+    """Pre-norm Swin block: x + SD(attn(LN(x))); x + SD(mlp(LN(x))).
+
+    ``use_pallas_block`` routes the whole block through the fused Pallas
+    megakernel (ops/swin_block.py) when the stage fits VMEM — inference
+    only (stochastic depth must be inactive)."""
+    if use_pallas_block and (deterministic or sd_rate == 0.0):
+        from ..ops.swin_block import fits_vmem, fused_swin_block
+
+        pad_r = (ws - x.shape[2] % ws) % ws
+        if fits_vmem(x.shape[-1], ws, x.shape[2] + pad_r, mlp_ratio):
+            return fused_swin_block(p, x, ws, shift, num_heads)
     k1 = k2 = None
     if rng is not None:
         k1, k2 = jax.random.split(rng)
@@ -273,7 +284,8 @@ def patch_embed(p, images: Array) -> Array:
 
 def swin_apply(params, images: Array, cfg: SwinConfig, *,
                deterministic: bool = True, rng=None,
-               use_pallas: bool = False) -> Array:
+               use_pallas: bool = False,
+               use_pallas_block: bool = False) -> Array:
     """Full Swin trunk: (B, H, W, 1) -> (B, H/32 * W/32, 768).
 
     No final LN — the reference taps swin.features output directly
@@ -296,6 +308,7 @@ def swin_apply(params, images: Array, cfg: SwinConfig, *,
                 stage["blocks"][d], x, ws, shift, cfg.num_heads[i],
                 cfg.mlp_ratio, sd_rate=sd_rate,
                 deterministic=deterministic, rng=brng, use_pallas=use_pallas,
+                use_pallas_block=use_pallas_block and deterministic,
             )
             block_id += 1
         if i < len(cfg.depths) - 1:
