@@ -242,6 +242,10 @@ class ServeConfig:
     # path). Measured quality-neutral on trained weights (BENCHMARKS.md:
     # identical exact/CER/BLEU to bf16) at half the decoder weight memory.
     quantize_decode: bool = False
+    # Whole-block Swin Pallas megakernel for the serving encoder
+    # (ops/swin_block.py; stages that fit VMEM fuse, stage 4 stays XLA).
+    # Opt-in pending on-chip A/B (benchmarks/probe_encoder_stages.py).
+    pallas_encoder_block: bool = False
     # Decode batch buckets pre-compiled at startup so the first request
     # never pays XLA compilation (SERVING_WARMUP env: comma list of
     # bucket sizes, "0" disables; from_env defaults to (1,)). Dataclass
@@ -310,6 +314,10 @@ class ServeConfig:
             quantize_decode=env.get(
                 "SERVING_QUANTIZE",
                 "1" if defaults.quantize_decode else "0") in
+            ("1", "true", "True"),
+            pallas_encoder_block=env.get(
+                "SERVING_PALLAS_ENCODER",
+                "1" if defaults.pallas_encoder_block else "0") in
             ("1", "true", "True"),
         )
 

@@ -55,7 +55,8 @@ class DecodeEngine:
                  decode_cfg: Optional[DecodeConfig] = None,
                  tokenizer: Optional[Tokenizer] = None,
                  use_pallas: bool = False, mesh=None,
-                 quantize: bool = False, use_fused: bool = False):
+                 quantize: bool = False, use_fused: bool = False,
+                 pallas_encoder_block: bool = False):
         """``mesh``: optional jax.sharding.Mesh — params are replicated and
         every decode batch is sharded over the 'data' axis, scaling serving
         across chips (the v5e-4 target; reference scaled with Cloud Run
@@ -67,6 +68,7 @@ class DecodeEngine:
         self.decode_cfg = decode_cfg or DecodeConfig()
         self.tokenizer = tokenizer
         self.use_pallas = use_pallas
+        self.pallas_encoder_block = pallas_encoder_block
         self.mesh = mesh
         if use_fused and 1 < cfg.kv_heads < cfg.nhead:
             # the fused kernel supports MHA and MQA (nhead_kv=1) only; a
@@ -135,6 +137,7 @@ class DecodeEngine:
     def _greedy_fn(self, batch: int):
         if batch not in self._greedy_fns:
             cfg, state, up = self.cfg, self.state, self.use_pallas
+            upb = self.pallas_encoder_block
             max_len = self.decode_cfg.max_seq_len
             fused = self.use_fused
 
@@ -145,7 +148,8 @@ class DecodeEngine:
 
                     images = device_normalize(images)
                 memory, _ = model_mod.encode(params, state, cfg, images,
-                                             use_pallas=up)
+                                             use_pallas=up,
+                                             use_pallas_block=upb)
                 if fused:
                     from .fused import greedy_decode_fused
 
@@ -161,6 +165,7 @@ class DecodeEngine:
         key = (batch, beam)
         if key not in self._beam_fns:
             cfg, state, up = self.cfg, self.state, self.use_pallas
+            upb = self.pallas_encoder_block
             max_len = self.decode_cfg.max_seq_len
 
             @jax.jit
@@ -170,7 +175,8 @@ class DecodeEngine:
 
                     images = device_normalize(images)
                 memory, _ = model_mod.encode(params, state, cfg, images,
-                                             use_pallas=up)
+                                             use_pallas=up,
+                                             use_pallas_block=upb)
                 return beam_decode(params["decoder"], cfg, memory, beam,
                                    max_len, use_pallas=up)
 

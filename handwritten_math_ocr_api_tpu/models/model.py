@@ -55,15 +55,20 @@ def init_model(key, cfg: ModelConfig) -> Tuple[Dict, State]:
 
 def encode(params, state: State, cfg: ModelConfig, images: Array, *,
            deterministic: bool = True, rng=None, training: bool = False,
-           use_pallas: bool = False) -> Tuple[Array, State]:
-    """images: (B, H, W, 1) normalized NHWC -> memory (B, L_enc, d_model)."""
+           use_pallas: bool = False,
+           use_pallas_block: bool = False) -> Tuple[Array, State]:
+    """images: (B, H, W, 1) normalized NHWC -> memory (B, L_enc, d_model).
+
+    ``use_pallas_block``: whole-block Swin Pallas megakernel
+    (ops/swin_block.py), inference only."""
     dtype = jnp.dtype(cfg.dtype)
     images = images.astype(dtype)
     new_state: State = {}
     if cfg.encoder == "swin_t":
         feats = swin.swin_apply(params["encoder"], images, cfg.swin,
                                 deterministic=deterministic, rng=rng,
-                                use_pallas=use_pallas)  # (B, 30, 768)
+                                use_pallas=use_pallas,
+                                use_pallas_block=use_pallas_block)
         memory = layers.linear(params["projection"], feats)
     else:
         feats, bn_state = resnet.resnet_apply(

@@ -117,10 +117,11 @@ class ServerState:
         self.vocab = vocab
         self.tokenizer = Tokenizer(vocab, idx2char)
         self.model_cfg = model_cfg
-        self.engine = DecodeEngine(params, model_state, model_cfg,
-                                   tokenizer=self.tokenizer,
-                                   use_fused=self.cfg.use_fused_decode,
-                                   quantize=self.cfg.quantize_decode)
+        self.engine = DecodeEngine(
+            params, model_state, model_cfg, tokenizer=self.tokenizer,
+            use_fused=self.cfg.use_fused_decode,
+            quantize=self.cfg.quantize_decode,
+            pallas_encoder_block=self.cfg.pallas_encoder_block)
         if self.cfg.batching_mode == "continuous":
             from ..decode.continuous import ContinuousDecoder
             from .batcher import ContinuousServingEngine

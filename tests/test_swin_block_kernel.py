@@ -73,3 +73,32 @@ def test_trunk_with_block_kernel_matches_jnp():
     got = swin_apply(params, x, cfg, use_pallas_block=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_decode_engine_pallas_encoder_matches():
+    """DecodeEngine(pallas_encoder_block=True) produces the same LaTeX
+    as the default engine (SERVING_PALLAS_ENCODER wiring)."""
+    from handwritten_math_ocr_api_tpu.core.config import (
+        ModelConfig, SwinConfig,
+    )
+    from handwritten_math_ocr_api_tpu.core.tokenizer import Tokenizer
+    from handwritten_math_ocr_api_tpu.decode.api import DecodeEngine
+    from handwritten_math_ocr_api_tpu.models.model import init_model
+
+    cfg = ModelConfig(
+        d_model=32, nhead=4, dim_feedforward=64, dropout=0.0,
+        num_decoder_layers=1, max_seq_len=8, vocab_size=16,
+        dtype="float32",
+        swin=SwinConfig(embed_dim=8, depths=(1, 1), num_heads=(2, 2),
+                        window_size=4, stochastic_depth=0.0))
+    params, state = init_model(jax.random.PRNGKey(3), cfg)
+    vocab = {"<pad>": 0, "<sos>": 1, "<eos>": 2, "<unk>": 3}
+    for i in range(4, cfg.vocab_size):
+        vocab[f"t{i}"] = i
+    tok = Tokenizer(vocab, {v: k for k, v in vocab.items()})
+    img = np.random.default_rng(3).standard_normal(
+        (2, 96, 320, 1)).astype(np.float32)
+    ref = DecodeEngine(params, state, cfg, tokenizer=tok).predict_batch(img)
+    got = DecodeEngine(params, state, cfg, tokenizer=tok,
+                       pallas_encoder_block=True).predict_batch(img)
+    assert [r[0] for r in ref] == [g[0] for g in got]
