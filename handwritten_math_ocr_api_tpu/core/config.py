@@ -225,7 +225,11 @@ class ServeConfig:
     max_batch_size: int = 64
     batch_timeout_ms: float = 5.0
     max_batch_images: int = 10  # per /predict/batch request
-    num_slots: int = 64         # continuous mode: KV-cache slot pool size
+    # Continuous mode: KV-cache slot pool size. With the fused ragged
+    # kernel the pool pads (num_slots + 1 scratch row) up to the kernel's
+    # block_b=16 batch-chunk multiple, so num_slots = 16k - 1 wastes zero
+    # rows; 64 would pad to 80 and burn 19% of every step on dead rows.
+    num_slots: int = 63
     segment_steps: int = 16     # continuous mode: steps between admissions
     # Continuous mode: max decode segments in flight before the scheduler
     # blocks on the oldest report — hides dispatch/tunnel latency

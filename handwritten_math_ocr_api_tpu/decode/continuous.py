@@ -43,6 +43,7 @@ decode for the same images.
 
 from __future__ import annotations
 
+import heapq
 import logging
 import queue
 import threading
@@ -277,7 +278,8 @@ def insert_requests_fused(params, model_state, cfg: ModelConfig,
 
 def decode_segment_fused(stacked, cfg: ModelConfig, small: SmallState,
                          cache: Dict[str, jax.Array], n_steps: jax.Array,
-                         l_enc_actual: int, block_b: int = 16
+                         l_enc_actual: int, block_b: int = 16,
+                         n_chunks: Optional[int] = None
                          ) -> Tuple[SmallState, Dict[str, jax.Array]]:
     """decode_segment on the whole-step ragged Pallas megakernel
     (ops/fused_step.fused_ragged_step): embedding + 8 layers + head run
@@ -307,7 +309,7 @@ def decode_segment_fused(stacked, cfg: ModelConfig, small: SmallState,
         nxt, logp, k_rows, v_rows = fused_ragged_step(
             stacked, cfg, s.prev, s.pos, sk, sv,
             cache["cross_k"], cache["cross_v"], l_enc_actual,
-            block_b=block_b)
+            block_b=block_b, n_chunks=n_chunks)
         sk = append(sk, k_rows, s.pos)
         sv = append(sv, v_rows, s.pos)
         is_eos = nxt == EOS_ID
@@ -472,25 +474,46 @@ class ContinuousDecoder:
         # device->host fetch costs a fixed ~31 ms RTT regardless of size
         # (benchmarks/probe_async_fetch.py), so fetching four SmallState
         # leaves per segment paid 4 RTTs (~130 ms) where one suffices.
+        self._seg_buckets: Optional[List[int]] = None
+        self._block_b = fused_block_b
         if use_fused:
             l_enc = self._l_enc
 
-            def _seg(p, small, cache, n):
-                s2, c2 = decode_segment_fused(
-                    p, self.cfg, small, cache, n, l_enc,
-                    block_b=fused_block_b)
-                return s2, c2, pack_report(s2)
+            def _make_seg(n_chunks):
+                def _seg(p, small, cache, n):
+                    s2, c2 = decode_segment_fused(
+                        p, self.cfg, small, cache, n, l_enc,
+                        block_b=fused_block_b, n_chunks=n_chunks)
+                    return s2, c2, pack_report(s2)
+                return jax.jit(_seg, donate_argnums=(2,))
+
+            # Bucketed ragged dispatch: compile power-of-two chunk-count
+            # variants; a segment runs only the chunks covering the
+            # highest live slot (low slots are allocated first), so a
+            # 1/4-full pool pays ~1/4 the kernel cost.
+            nb_full = (num_slots + extra) // fused_block_b
+            buckets, b = [], 1
+            while b < nb_full:
+                buckets.append(b)
+                b *= 2
+            buckets.append(nb_full)
+            self._seg_buckets = sorted(set(buckets))
+            self._segment_fns = {nc: _make_seg(nc)
+                                 for nc in self._seg_buckets}
+            self._segment_fn = self._segment_fns[nb_full]
         else:
             def _seg(p, small, cache, n):
                 s2, c2 = decode_segment(p, self.cfg, small, cache, n)
                 return s2, c2, pack_report(s2)
-        self._segment_fn = jax.jit(_seg, donate_argnums=(2,))
+            self._segment_fn = jax.jit(_seg, donate_argnums=(2,))
+            self._segment_fns = {None: self._segment_fn}
         # stats
         self.segments_run = 0
         self.steps_scheduled = 0
         self.tokens_emitted = 0
         self.occupancy_sum = 0.0       # step-weighted sum of slot occupancy
         self.harvest_blocks = 0        # harvests that had to wait
+        self.rows_scheduled = 0        # kernel rows computed (bucketed)
         # phase-time accumulators (seconds) — where scheduler ticks go
         self.t_admit = 0.0
         self.t_admit_upload = 0.0
@@ -525,6 +548,7 @@ class ContinuousDecoder:
         self.tokens_emitted = 0
         self.occupancy_sum = 0.0
         self.harvest_blocks = 0
+        self.rows_scheduled = 0
         self.t_admit = 0.0
         self.t_admit_upload = 0.0
         self.t_admit_insert = 0.0
@@ -580,7 +604,16 @@ class ContinuousDecoder:
             if nc is None:  # device scalars are cached: a fresh jnp.int32
                 # costs a full tunnel RTT per segment (measured ~30 ms)
                 nc = self._nsteps_const.setdefault(n, jnp.int32(n))
-            self._small, self._cache, rep = self._segment_fn(
+            seg_fn = self._segment_fn
+            if self._seg_buckets is not None:
+                # smallest compiled chunk-count covering the highest
+                # LIVE slot; finished-awaiting-harvest rows are already
+                # masked out and need no compute
+                need = -(-(max(self._slot_req) + 1) // self._block_b)
+                nchunks = next(b for b in self._seg_buckets if b >= need)
+                seg_fn = self._segment_fns[nchunks]
+                self.rows_scheduled += n * nchunks * self._block_b
+            self._small, self._cache, rep = seg_fn(
                 self._seg_params, self._small, self._cache, nc)
             self._seg_counter += 1
             self._start_report_copy(rep)
@@ -638,6 +671,7 @@ class ContinuousDecoder:
             "pipeline_depth": self.pipeline_depth,
             "in_flight": self._inflight,
             "harvest_blocks": self.harvest_blocks,
+            "rows_scheduled": self.rows_scheduled,
             "active_slots": len(self._slot_req),
             "pending": len(self._pending),
             "t_admit_s": round(self.t_admit, 3),
@@ -712,9 +746,18 @@ class ContinuousDecoder:
                 slot_arr, *([pad] * b))
         for nsteps in (self.segment_steps, self.max_segment_steps):
             self._nsteps_const.setdefault(nsteps, jnp.int32(nsteps))
-        self._small, self._cache, _rep = self._segment_fn(
-            self._seg_params, self._small, self._cache,
-            self._nsteps_const[self.segment_steps])
+        # compile EVERY bucketed segment variant (idle pool: the while
+        # loop exits after 0 steps, so each call is compile + a no-op).
+        # On live state only variants covering every live slot are safe
+        # to execute — smaller ones would apply uncomputed rows.
+        live_max = max(self._slot_req, default=-1)
+        need = -(-(live_max + 1) // self._block_b)
+        for nc, fn in self._segment_fns.items():
+            if nc is not None and nc < need:
+                continue
+            self._small, self._cache, _rep = fn(
+                self._seg_params, self._small, self._cache,
+                self._nsteps_const[self.segment_steps])
         # Force with a real device->host fetch, NOT block_until_ready: on
         # the tunneled TPU platform compiles+execution of everything
         # enqueued above happen remotely and are only forced by a
@@ -732,7 +775,10 @@ class ContinuousDecoder:
         n = min(n, bucket)
         batch = self._pending[:n]
         self._pending = self._pending[n:]
-        slots = [self._free.pop() for _ in range(n)]
+        # lowest slots first: the bucketed fused dispatch computes only
+        # the chunks covering the highest live slot, so packing requests
+        # low keeps partially-full pools cheap
+        slots = [heapq.heappop(self._free) for _ in range(n)]
         scratch = self.num_slots  # pad rows scatter into the scratch slot
         slot_arr = np.full((bucket,), scratch, np.int32)
         slot_arr[:n] = slots
@@ -814,7 +860,7 @@ class ContinuousDecoder:
             # no device-side release needed: the slot stays (active,
             # finished) — skipped by segments — until the next insert
             # fully resets it
-            self._free.append(s)
+            heapq.heappush(self._free, s)
         return results
 
     def _harvest_one(self) -> Dict[int, Tuple[str, float]]:

@@ -1050,7 +1050,8 @@ def _make_kernel_ragged(cfg: ModelConfig, Bc: int, T: int, L_enc: int,
 def fused_ragged_step(stacked, cfg: ModelConfig, prev, pos,
                       self_k, self_v, cross_k, cross_v,
                       l_enc_actual: int | None = None, *,
-                      block_b: int = 16, interpret: bool | None = None):
+                      block_b: int = 16, n_chunks: int | None = None,
+                      interpret: bool | None = None):
     """One whole ragged decode step for the continuous slot pool.
 
     prev, pos: (B,) int32 — B must be a multiple of ``block_b`` (the pool
@@ -1069,6 +1070,15 @@ def fused_ragged_step(stacked, cfg: ModelConfig, prev, pos,
     if B % block_b:
         raise ValueError(f"pool size {B} not a multiple of {block_b}")
     nB = B // block_b
+    if n_chunks is not None:
+        # Bucketed ragged dispatch: only the first n_chunks batch-chunks
+        # (covering every live slot — the scheduler allocates low slots
+        # first) are computed; rows beyond get uninitialized outputs,
+        # which the caller's live-masking never reads. Cuts per-step
+        # cost ~linearly with pool occupancy.
+        if not 1 <= n_chunks <= nB:
+            raise ValueError(f"n_chunks {n_chunks} not in [1, {nB}]")
+        nB = n_chunks
     L_enc = cross_k.shape[2]
     if l_enc_actual is None:
         l_enc_actual = L_enc

@@ -274,3 +274,23 @@ def test_pack_report_roundtrip():
     np.testing.assert_array_equal(rep["count"], np.asarray(small.count))
     np.testing.assert_array_equal(rep["tokens"], np.asarray(small.tokens))
     np.testing.assert_array_equal(rep["lp_sum"], np.asarray(small.lp_sum))
+
+
+def test_fused_bucketed_dispatch_matches(setup):
+    """With a 33-slot pool (pads to 48 rows = 3 chunks; buckets {1,2,3})
+    and only a few live low slots, segments run the small-bucket kernel
+    variants; results must equal the full decode engine's."""
+    params, mstate, tok = setup
+    rng = np.random.default_rng(9)
+    imgs = rng.standard_normal((5, 96, 320, 1)).astype(np.float32)
+    engine = DecodeEngine(params, mstate, CFG, tokenizer=tok)
+    want = engine.predict_with_confidence(imgs)
+
+    cont = ContinuousDecoder(params, mstate, CFG, tok, num_slots=33,
+                             segment_steps=3, encode_buckets=(1, 2, 4),
+                             pipeline_depth=2, use_fused=True)
+    assert cont._seg_buckets == [1, 2, 3]
+    got = cont.run_all(list(imgs))
+    assert [g[0] for g in got] == [w[0] for w in want]
+    # 5 live slots never needed more than 1 chunk of 16 rows
+    assert cont.rows_scheduled == cont.steps_scheduled * 16
