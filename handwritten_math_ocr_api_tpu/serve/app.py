@@ -141,6 +141,12 @@ class ServerState:
                     logger.warning(
                         "SERVING_MESH_DATA=%d but only %d device(s); "
                         "running unsharded", self.cfg.mesh_data_axis, n_dev)
+            if self.cfg.quantize_decode:
+                logger.warning(
+                    "SERVING_QUANTIZE is ignored in continuous batching "
+                    "mode: the ragged segment kernel streams bf16 "
+                    "weights (int8 in-kernel dequant ships on the "
+                    "dynamic-batching fused path only)")
             decoder = ContinuousDecoder(
                 params, model_state, model_cfg, self.tokenizer,
                 num_slots=self.cfg.num_slots,
