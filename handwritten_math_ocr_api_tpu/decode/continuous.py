@@ -376,7 +376,8 @@ class ContinuousDecoder:
                  mesh=None, pipeline_depth: int = 4,
                  max_segment_steps: Optional[int] = None,
                  encoder_len: Optional[int] = None,
-                 use_fused: bool = False, fused_block_b: int = 16):
+                 use_fused: bool = False, fused_block_b: int = 16,
+                 quantize: bool = False):
         """``mesh``: optional Mesh — the slot pool shards over the 'data'
         axis (params replicated), scaling continuous serving across chips
         (the v5e-4 target). The pool is padded so (num_slots + scratch)
@@ -411,6 +412,9 @@ class ContinuousDecoder:
             logger.warning("fused continuous decode supports MHA and MQA "
                            "(nhead_kv=1); GQA falls back to the XLA path")
             use_fused = False
+        if quantize and not use_fused:
+            logger.warning("quantize needs the fused segment kernel "
+                           "(in-kernel dequant); serving bf16 weights")
         self.use_fused = use_fused
         self._l_enc = encoder_len or cfg.encoder_len
         extra = 1
@@ -419,7 +423,7 @@ class ContinuousDecoder:
             total = -(-(num_slots + 1) // n) * n  # round up to mesh multiple
             extra = total - num_slots
         if use_fused:
-            from ..ops.fused_step import build_stacked_full
+            from ..ops.fused_step import build_stacked_full, quantize_stacked
 
             # pool padded to the kernel's batch-chunk multiple
             total = -(-(num_slots + 1) // fused_block_b) * fused_block_b
@@ -427,6 +431,8 @@ class ContinuousDecoder:
             self._small, self._cache = init_slot_state_fused(
                 cfg, total, encoder_len=encoder_len)
             self._seg_params = build_stacked_full(params["decoder"], cfg)
+            if quantize:  # int8 weights, in-kernel dequant (SERVING_QUANTIZE)
+                self._seg_params = quantize_stacked(self._seg_params)
         else:
             self._small, self._cache = init_slot_state(
                 params, cfg, num_slots, scratch_slots=extra,

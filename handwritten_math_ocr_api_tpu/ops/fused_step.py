@@ -906,7 +906,8 @@ def fused_decoder_layers_step(stacked, cfg: ModelConfig, x_emb, self_k,
 # ---------------------------------------------------------------------------
 
 def _make_kernel_ragged(cfg: ModelConfig, Bc: int, T: int, L_enc: int,
-                        l_enc_actual: int, Vp: int, Tp: int, kvd: int):
+                        l_enc_actual: int, Vp: int, Tp: int, kvd: int,
+                        quantized: bool = False):
     """Whole-step kernel with PER-ROW decode positions, for the continuous
     slot pool (decode/continuous.py): embedding gather + all decoder
     layers + output head in one Pallas program, grid (layers, B-chunks).
@@ -926,17 +927,28 @@ def _make_kernel_ragged(cfg: ModelConfig, Bc: int, T: int, L_enc: int,
     scale = 1.0 / (cfg.head_dim ** 0.5)
     n_layers = cfg.num_decoder_layers
 
-    def kernel(pos_ref, prev_ref, g_ref, emb_ref, pos_tab_ref,
-               w_qkv, b_qkv, w_out, b_out, w_cq, b_cq, w_co, b_co,
-               w_ff1, b_ff1, w_ff2, b_ff2, ln,
-               sk_in, sv_in, ck_ref, cv_ref, w_head_ref, b_head_ref,
-               nxt_out, logp_out, k_new_out, v_new_out,
-               x_scr):
+    def kernel(*refs):
+        if quantized:
+            (pos_ref, prev_ref, g_ref, emb_ref, pos_tab_ref,
+             w_qkv, s_qkv, b_qkv, w_out, s_out, b_out,
+             w_cq, s_cq, b_cq, w_co, s_co, b_co,
+             w_ff1, s_ff1, b_ff1, w_ff2, s_ff2, b_ff2, ln,
+             sk_in, sv_in, ck_ref, cv_ref, w_head_ref, b_head_ref,
+             nxt_out, logp_out, k_new_out, v_new_out, x_scr) = refs
+        else:
+            (pos_ref, prev_ref, g_ref, emb_ref, pos_tab_ref,
+             w_qkv, b_qkv, w_out, b_out, w_cq, b_cq, w_co, b_co,
+             w_ff1, b_ff1, w_ff2, b_ff2, ln,
+             sk_in, sv_in, ck_ref, cv_ref, w_head_ref, b_head_ref,
+             nxt_out, logp_out, k_new_out, v_new_out, x_scr) = refs
+            s_qkv = s_out = s_cq = s_co = s_ff1 = s_ff2 = None
         layer = pl.program_id(0)
         chunk = pl.program_id(1)
         pos = pos_ref[:, 0]                            # (Bc,) int32
         G = g_ref[:].astype(jnp.float32)               # (D, H)
-        wdt = w_qkv.dtype
+        # embedding round-trip dtype = model compute dtype (matches the
+        # XLA/v2 paths); with int8 weights w_qkv.dtype would be wrong
+        wdt = jnp.dtype(cfg.dtype) if quantized else w_qkv.dtype
 
         @pl.when(layer == 0)
         def _():
@@ -960,9 +972,18 @@ def _make_kernel_ragged(cfg: ModelConfig, Bc: int, T: int, L_enc: int,
         x = x_scr[pl.ds(chunk * Bc, Bc), :]            # (Bc, D) f32
         cdt = sk_in.dtype
 
-        def mm(x, w_ref):
-            return jnp.dot(x.astype(w_ref.dtype), w_ref[0],
-                           preferred_element_type=jnp.float32)
+        if quantized:
+            def mm(x, w_ref, s_ref):
+                # int8 -> bf16 is exact (|w_q| <= 127); f32 MXU accum,
+                # per-output-column scale on the result (v2 semantics)
+                y = jnp.dot(x.astype(jnp.bfloat16),
+                            w_ref[0].astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32)
+                return y * s_ref[0]
+        else:
+            def mm(x, w_ref, s_ref):
+                return jnp.dot(x.astype(w_ref.dtype), w_ref[0],
+                               preferred_element_type=jnp.float32)
 
         def rep(t):
             # MQA: replicate the shared K/V lanes up to D so the
@@ -972,7 +993,7 @@ def _make_kernel_ragged(cfg: ModelConfig, Bc: int, T: int, L_enc: int,
             return jnp.concatenate([t] * (D // kvd), axis=-1)
 
         # ---- self-attention, per-row positions ----
-        qkv = mm(x, w_qkv) + b_qkv[0]
+        qkv = mm(x, w_qkv, s_qkv) + b_qkv[0]
         q = qkv[:, :D]
         k_new = qkv[:, D:D + kvd]
         v_new = qkv[:, D + kvd:]
@@ -997,11 +1018,11 @@ def _make_kernel_ragged(cfg: ModelConfig, Bc: int, T: int, L_enc: int,
             probs, G, dimension_numbers=(((2,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)        # (Bc, T, D)
         attn = jnp.sum(probs_d * rep(v.astype(jnp.float32)), axis=1)
-        sa = mm(attn, w_out) + b_out[0]
+        sa = mm(attn, w_out, s_out) + b_out[0]
         x = _ln(x + sa, ln[0, 0], ln[0, 1])
 
         # ---- cross-attention ----
-        qc = mm(x, w_cq) + b_cq[0]
+        qc = mm(x, w_cq, s_cq) + b_cq[0]
         ckf = ck_ref[0].astype(jnp.float32)            # (Bc, L_enc, D)
         cvf = cv_ref[0].astype(jnp.float32)
         prod_c = (qc * scale)[:, None, :] * ckf
@@ -1018,13 +1039,13 @@ def _make_kernel_ragged(cfg: ModelConfig, Bc: int, T: int, L_enc: int,
             probs_c, G, dimension_numbers=(((2,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         attn_c = jnp.sum(probs_cd * cvf, axis=1)       # (Bc, D)
-        ca = mm(attn_c, w_co) + b_co[0]
+        ca = mm(attn_c, w_co, s_co) + b_co[0]
         x = _ln(x + ca, ln[0, 2], ln[0, 3])
 
         # ---- FFN ----
-        h = mm(x, w_ff1) + b_ff1[0]
+        h = mm(x, w_ff1, s_ff1) + b_ff1[0]
         h = jnp.maximum(h, 0.0)
-        ff = mm(h, w_ff2) + b_ff2[0]
+        ff = mm(h, w_ff2, s_ff2) + b_ff2[0]
         x = _ln(x + ff, ln[0, 4], ln[0, 5])
 
         x_scr[pl.ds(chunk * Bc, Bc), :] = x
@@ -1116,8 +1137,22 @@ def fused_ragged_step(stacked, cfg: ModelConfig, prev, pos,
         per_layer_chunk((kvd,)),                    # v_new
     )
 
+    quantized = "w_qkv_s" in stacked
     kernel = _make_kernel_ragged(cfg, Bc, T, L_enc, l_enc_actual, Vp, Tp,
-                                 kvd)
+                                 kvd, quantized=quantized)
+
+    w_dims = {"w_qkv": (D, 2 * kvd + D), "w_out": (D, D), "w_cq": (D, D),
+              "w_co": (D, D), "w_ff1": (D, ff), "w_ff2": (ff, D)}
+    weight_specs, weight_args = [], []
+    for k in WEIGHT_KEYS:
+        weight_specs.append(per_layer(w_dims[k]))
+        weight_args.append(stacked[k])
+        if quantized:                       # per-column scales (L, 1, out)
+            weight_specs.append(per_layer((1, w_dims[k][1])))
+            weight_args.append(stacked[f"{k}_s"])
+        weight_specs.append(per_layer((1, w_dims[k][1])))   # bias
+        weight_args.append(stacked["b" + k[1:]])
+
     nxt, logp, k_out, v_out = pl.pallas_call(
         kernel,
         grid=(L, nB),
@@ -1127,12 +1162,7 @@ def fused_ragged_step(stacked, cfg: ModelConfig, prev, pos,
             fixed((D, cfg.nhead)),          # G
             fixed((Vp, D)),                 # embedding table (f32)
             fixed((Tp, D)),                 # positional table (f32)
-            per_layer((D, 2 * kvd + D)), per_layer((1, 2 * kvd + D)),
-            per_layer((D, D)), per_layer((1, D)),          # w_out, b_out
-            per_layer((D, D)), per_layer((1, D)),          # w_cq, b_cq
-            per_layer((D, D)), per_layer((1, D)),          # w_co, b_co
-            per_layer((D, ff)), per_layer((1, ff)),        # w_ff1, b_ff1
-            per_layer((ff, D)), per_layer((1, D)),         # w_ff2, b_ff2
+            *weight_specs,
             per_layer((6, D)),              # ln
             per_layer_chunk((T, kvd)),      # self_k
             per_layer_chunk((T, kvd)),      # self_v
@@ -1153,9 +1183,7 @@ def fused_ragged_step(stacked, cfg: ModelConfig, prev, pos,
     )(jnp.asarray(pos, jnp.int32)[:, None],
       jnp.asarray(prev, jnp.int32)[:, None], G,
       stacked["emb"], stacked["pos_emb"],
-      stacked["w_qkv"], stacked["b_qkv"], stacked["w_out"], stacked["b_out"],
-      stacked["w_cq"], stacked["b_cq"], stacked["w_co"], stacked["b_co"],
-      stacked["w_ff1"], stacked["b_ff1"], stacked["w_ff2"], stacked["b_ff2"],
+      *weight_args,
       stacked["ln"], self_k, self_v, cross_k, cross_v,
       stacked["w_head"], stacked["b_head"])
     return nxt[:, 0], logp[:, 0], k_out, v_out

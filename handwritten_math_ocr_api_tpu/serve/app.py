@@ -141,18 +141,18 @@ class ServerState:
                     logger.warning(
                         "SERVING_MESH_DATA=%d but only %d device(s); "
                         "running unsharded", self.cfg.mesh_data_axis, n_dev)
-            if self.cfg.quantize_decode:
+            if self.cfg.quantize_decode and not self.cfg.use_fused_decode:
                 logger.warning(
-                    "SERVING_QUANTIZE is ignored in continuous batching "
-                    "mode: the ragged segment kernel streams bf16 "
-                    "weights (int8 in-kernel dequant ships on the "
-                    "dynamic-batching fused path only)")
+                    "SERVING_QUANTIZE requires SERVING_USE_FUSED in "
+                    "continuous batching mode (in-kernel dequant); "
+                    "serving bf16 weights")
             decoder = ContinuousDecoder(
                 params, model_state, model_cfg, self.tokenizer,
                 num_slots=self.cfg.num_slots,
                 segment_steps=self.cfg.segment_steps, mesh=mesh,
                 pipeline_depth=self.cfg.pipeline_depth,
-                use_fused=self.cfg.use_fused_decode)
+                use_fused=self.cfg.use_fused_decode,
+                quantize=self.cfg.quantize_decode)
             try:  # pre-compile insert buckets/segment so the first
                 decoder.warmup()  # requests never pay a compile
             except Exception:

@@ -294,3 +294,23 @@ def test_fused_bucketed_dispatch_matches(setup):
     assert [g[0] for g in got] == [w[0] for w in want]
     # 5 live slots never needed more than 1 chunk of 16 rows
     assert cont.rows_scheduled == cont.steps_scheduled * 16
+
+
+def test_fused_continuous_quantized_matches_engine(setup):
+    """quantize=True streams int8 weights into the ragged kernel with
+    in-kernel dequant; results must equal the dynamic-path fused+int8
+    engine (same quantized weights, same f32-accum matmul semantics)."""
+    params, mstate, tok = setup
+    rng = np.random.default_rng(11)
+    imgs = rng.standard_normal((3, 96, 320, 1)).astype(np.float32)
+    engine = DecodeEngine(params, mstate, CFG, tokenizer=tok,
+                          use_fused=True, quantize=True)
+    want = engine.predict_with_confidence(imgs)
+
+    cont = ContinuousDecoder(params, mstate, CFG, tok, num_slots=3,
+                             segment_steps=4, encode_buckets=(1, 2),
+                             pipeline_depth=2, use_fused=True,
+                             quantize=True)
+    assert "w_qkv_s" in cont._seg_params
+    got = cont.run_all(list(imgs))
+    assert [g[0] for g in got] == [w[0] for w in want]
