@@ -202,8 +202,9 @@ def _make_worstcase_artifact(path: str):
     return path
 
 
-def bench_continuous(iters: int, clients: int = 64, num_slots: int = 48,
-                     requests: int = 256, mesh_data: int = 1):
+def bench_continuous(iters: int, clients: int = 64, num_slots: int = 63,
+                     requests: int = 256, mesh_data: int = 1,
+                     use_fused: bool = True):
     """BASELINE config 5: 64 concurrent HTTP clients against the live
     serving app in continuous-batching mode — the full middleware +
     batcher + pipelined slot-engine stack, worst-case 150-step decodes.
@@ -231,9 +232,10 @@ def bench_continuous(iters: int, clients: int = 64, num_slots: int = 48,
             cfg = dataclasses.replace(
                 ServeConfig.from_env(), model_dir=td,
                 batching_mode="continuous", num_slots=num_slots,
-                segment_steps=16,
+                segment_steps=16, use_fused_decode=use_fused,
                 rate_limit_per_minute=10 ** 9,
                 rate_limit_per_hour=10 ** 9, rate_limit_per_day=10 ** 9,
+                rate_limit_anonymous_daily=10 ** 9,
                 max_concurrent_requests=10 ** 6,
                 mesh_data_axis=mesh_data)
             app = create_app(cfg)
@@ -265,11 +267,7 @@ def bench_continuous(iters: int, clients: int = 64, num_slots: int = 48,
                                        for w in range(clients)])
                 state = client.app["state"]
                 dec = state.batcher.decoder
-                # reset engine stats for the timed window
-                dec.segments_run = 0
-                dec.steps_scheduled = 0
-                dec.tokens_emitted = 0
-                dec.occupancy_sum = 0.0
+                dec.reset_stats()  # timed window only
                 per_client = max(requests // clients, 1)
                 t0 = time.perf_counter()
                 await asyncio.gather(
@@ -293,6 +291,7 @@ def bench_continuous(iters: int, clients: int = 64, num_slots: int = 48,
         "transport": "http",
         "clients": clients,
         "num_slots": num_slots,
+        "use_fused": use_fused,
         "requests": r["total"],
         "mesh_data": mesh_data,
     }
