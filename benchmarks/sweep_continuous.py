@@ -28,8 +28,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--requests", type=int, default=256)
     ap.add_argument("--grid",
-                    default="48:16:4,48:16:8,48:16:16,48:32:8,64:16:8,"
-                            "48:16:32")
+                    default="63:16:4,63:16:8,47:16:4,64:16:4,63:32:4")
     ap.add_argument("--fused", action="store_true",
                     help="whole-step ragged Pallas megakernel segments")
     ap.add_argument("--block-b", type=int, default=16,
