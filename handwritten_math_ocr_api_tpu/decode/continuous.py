@@ -128,7 +128,8 @@ def init_slot_state(params, cfg: ModelConfig, num_slots: int,
 def insert_requests(params, model_state, cfg: ModelConfig,
                     small: SmallState, cache: Dict[str, jax.Array],
                     slots: jax.Array, images,
-                    num_slots: Optional[int] = None
+                    num_slots: Optional[int] = None,
+                    use_pallas_block: bool = False
                     ) -> Tuple[SmallState, Dict[str, jax.Array]]:
     """Encode ``images`` ((K, H, W, 1) array, or a sequence of K (H, W, 1)
     arrays stacked here so per-image async uploads fuse into the insert
@@ -139,7 +140,8 @@ def insert_requests(params, model_state, cfg: ModelConfig,
     separate release op."""
     if not isinstance(images, (jax.Array, np.ndarray)):
         images = jnp.stack(list(images))
-    memory, _ = model_mod.encode(params, model_state, cfg, images)
+    memory, _ = model_mod.encode(params, model_state, cfg, images,
+                                 use_pallas_block=use_pallas_block)
     cross = decoder_mod.project_cross_kv(params["decoder"], cfg, memory)
     S = small.prev.shape[0]
     valid = slots < (num_slots if num_slots is not None else S - 1)
@@ -243,9 +245,9 @@ def init_slot_state_fused(cfg: ModelConfig, pool_size: int,
 
 def insert_requests_fused(params, model_state, cfg: ModelConfig,
                           small: SmallState, cache: Dict[str, jax.Array],
-                          slots: jax.Array, images,
-                          num_slots: int) -> Tuple[SmallState,
-                                                   Dict[str, jax.Array]]:
+                          slots: jax.Array, images, num_slots: int,
+                          use_pallas_block: bool = False
+                          ) -> Tuple[SmallState, Dict[str, jax.Array]]:
     """Fused-layout admission: encode + merged-head cross-K/V projection +
     scatter at ``slots``. Self-cache rows need no clearing — a re-admitted
     slot's mask covers only slots <= pos, all rewritten by its own decode.
@@ -254,7 +256,8 @@ def insert_requests_fused(params, model_state, cfg: ModelConfig,
 
     if not isinstance(images, (jax.Array, np.ndarray)):
         images = jnp.stack(list(images))
-    memory, _ = model_mod.encode(params, model_state, cfg, images)
+    memory, _ = model_mod.encode(params, model_state, cfg, images,
+                                 use_pallas_block=use_pallas_block)
     ck, cv = project_cross_kv_merged(
         params["decoder"], cfg, memory,
         l_enc_pad=cache["cross_k"].shape[2])
@@ -377,7 +380,8 @@ class ContinuousDecoder:
                  max_segment_steps: Optional[int] = None,
                  encoder_len: Optional[int] = None,
                  use_fused: bool = False, fused_block_b: int = 16,
-                 quantize: bool = False):
+                 quantize: bool = False,
+                 pallas_encoder_block: bool = False):
         """``mesh``: optional Mesh — the slot pool shards over the 'data'
         axis (params replicated), scaling continuous serving across chips
         (the v5e-4 target). The pool is padded so (num_slots + scratch)
@@ -416,6 +420,7 @@ class ContinuousDecoder:
             logger.warning("quantize needs the fused segment kernel "
                            "(in-kernel dequant); serving bf16 weights")
         self.use_fused = use_fused
+        self.pallas_encoder_block = pallas_encoder_block
         self._l_enc = encoder_len or cfg.encoder_len
         extra = 1
         if mesh is not None:
@@ -713,16 +718,19 @@ class ContinuousDecoder:
 
     def _insert_fn(self, k_bucket: int):
         if k_bucket not in self._insert_fns:
+            upb = self.pallas_encoder_block
             if self.use_fused:
                 def fn(params, model_state, small, cache, slots, *imgs):
                     return insert_requests_fused(
                         params, model_state, self.cfg, small, cache,
-                        slots, imgs, num_slots=self.num_slots)
+                        slots, imgs, num_slots=self.num_slots,
+                        use_pallas_block=upb)
             else:
                 def fn(params, model_state, small, cache, slots, *imgs):
                     return insert_requests(params, model_state, self.cfg,
                                            small, cache, slots, imgs,
-                                           num_slots=self.num_slots)
+                                           num_slots=self.num_slots,
+                                           use_pallas_block=upb)
 
             # donate only the cache (argnum 3): small states are shared
             # with in-flight reports

@@ -152,7 +152,8 @@ class ServerState:
                 segment_steps=self.cfg.segment_steps, mesh=mesh,
                 pipeline_depth=self.cfg.pipeline_depth,
                 use_fused=self.cfg.use_fused_decode,
-                quantize=self.cfg.quantize_decode)
+                quantize=self.cfg.quantize_decode,
+                pallas_encoder_block=self.cfg.pallas_encoder_block)
             try:  # pre-compile insert buckets/segment so the first
                 decoder.warmup()  # requests never pay a compile
             except Exception:
