@@ -15,6 +15,9 @@ timeout 2400 python benchmarks/loadtest.py --model-dir serving_model_r2 \
   --mode continuous --use-fused --slots 63 --pipeline-depth 4 \
   --clients 64 --requests 256 | tee $OUT/loadtest_continuous_fused_http.json
 
+log "1b/7 BASELINE config 5 (worst-case 150-step decodes, merges results.json)"
+timeout 2400 python benchmarks/run_all.py --configs 5
+
 log "2/7 warm single-request latency demo (fused+int8)"
 timeout 1800 python benchmarks/warm_latency_demo.py \
   --model-dir serving_model_r2 --use-fused --quantize --requests 20 \
