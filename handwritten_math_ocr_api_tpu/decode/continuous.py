@@ -408,10 +408,6 @@ class ContinuousDecoder:
         self.encode_buckets = tuple(
             b for b in encode_buckets if b <= num_slots) or (num_slots,)
         self.mesh = mesh
-        if use_fused and mesh is not None:
-            logger.warning("fused continuous decode is single-chip; "
-                           "falling back to the XLA segment path on mesh")
-            use_fused = False
         if use_fused and cfg.kv_heads not in (cfg.nhead, 1):
             logger.warning("fused continuous decode supports MHA and MQA "
                            "(nhead_kv=1); GQA falls back to the XLA path")
@@ -430,8 +426,11 @@ class ContinuousDecoder:
         if use_fused:
             from ..ops.fused_step import build_stacked_full, quantize_stacked
 
-            # pool padded to the kernel's batch-chunk multiple
-            total = -(-(num_slots + 1) // fused_block_b) * fused_block_b
+            # pool padded to the kernel's batch-chunk multiple; on a mesh
+            # each shard's local rows must also be a block_b multiple
+            # (the kernel runs per-shard under shard_map)
+            m = fused_block_b * (mesh.shape["data"] if mesh else 1)
+            total = -(-(num_slots + 1) // m) * m
             extra = total - num_slots
             self._small, self._cache = init_slot_state_fused(
                 cfg, total, encoder_len=encoder_len)
@@ -459,10 +458,19 @@ class ContinuousDecoder:
                 self.params if self._seg_params is params
                 else jax.device_put(self._seg_params,
                                     mesh_lib.replicated(mesh)))
-            row_sharded = lambda x: jax.device_put(x, NamedSharding(  # noqa: E731
-                mesh, P(*(("data",) + (None,) * (x.ndim - 1)))))
-            self._small = jax.tree_util.tree_map(row_sharded, self._small)
-            self._cache = jax.tree_util.tree_map(row_sharded, self._cache)
+            # slot-row axis: 0 for SmallState and the per-slot cache dicts
+            # of the XLA layout; 1 (after layers) for the fused
+            # (L, S, ...) merged-head layout
+            cache_row_axis = 1 if use_fused else 0
+
+            def _row(axis):
+                return lambda x: jax.device_put(x, NamedSharding(
+                    mesh, P(*((None,) * axis + ("data",)
+                              + (None,) * (x.ndim - axis - 1)))))
+
+            self._small = jax.tree_util.tree_map(_row(0), self._small)
+            self._cache = jax.tree_util.tree_map(_row(cache_row_axis),
+                                                 self._cache)
         self._free: List[int] = list(range(num_slots))
         self._slot_req: Dict[int, int] = {}
         self._admit_seg: Dict[int, int] = {}  # slot -> first segment index
@@ -487,7 +495,39 @@ class ContinuousDecoder:
         # leaves per segment paid 4 RTTs (~130 ms) where one suffices.
         self._seg_buckets: Optional[List[int]] = None
         self._block_b = fused_block_b
-        if use_fused:
+        if use_fused and mesh is not None:
+            # Multi-chip fused continuous: the slot pool is embarrassingly
+            # parallel over rows, so shard_map runs the ragged megakernel
+            # per shard on its LOCAL rows — zero collectives per segment.
+            # (Bucketing is off: live slots spread over all shards.)
+            from jax.sharding import PartitionSpec as P
+
+            l_enc = self._l_enc
+            row0, row1 = P("data"), P(None, "data")
+
+            def _seg_local(p, small, cache, n):
+                s2, c2 = decode_segment_fused(
+                    p, self.cfg, small, cache, n, l_enc,
+                    block_b=fused_block_b)
+                return s2, c2, pack_report(s2)
+
+            try:  # jax >= 0.8: jax.shard_map with check_vma
+                sharded = jax.shard_map(
+                    _seg_local, mesh=mesh,
+                    in_specs=(P(), row0, row1, P()),
+                    out_specs=(row0, row1, row0),
+                    check_vma=False)
+            except (AttributeError, TypeError):  # pragma: no cover
+                from jax.experimental.shard_map import shard_map
+
+                sharded = shard_map(
+                    _seg_local, mesh=mesh,
+                    in_specs=(P(), row0, row1, P()),
+                    out_specs=(row0, row1, row0),
+                    check_rep=False)
+            self._segment_fn = jax.jit(sharded, donate_argnums=(2,))
+            self._segment_fns = {None: self._segment_fn}
+        elif use_fused:
             l_enc = self._l_enc
 
             def _make_seg(n_chunks):

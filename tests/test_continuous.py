@@ -314,3 +314,30 @@ def test_fused_continuous_quantized_matches_engine(setup):
     assert "w_qkv_s" in cont._seg_params
     got = cont.run_all(list(imgs))
     assert [g[0] for g in got] == [w[0] for w in want]
+
+
+def test_fused_continuous_sharded_over_mesh(setup):
+    """Fused ragged segments on a 4-device mesh (shard_map: each shard
+    runs the megakernel on its local rows) must equal the single-device
+    fused engine and the plain decode engine."""
+    from handwritten_math_ocr_api_tpu.parallel import mesh as mesh_lib
+
+    params, mstate, tok = setup
+    rng = np.random.default_rng(13)
+    images = rng.standard_normal((6, 96, 320, 1)).astype(np.float32)
+    engine = DecodeEngine(params, mstate, CFG, tokenizer=tok)
+    want = engine.predict_with_confidence(images)
+
+    mesh = mesh_lib.make_mesh(data=4, tensor=1,
+                              devices=jax.devices()[:4])
+    cont = ContinuousDecoder(params, mstate, CFG, tok, num_slots=5,
+                             segment_steps=4, encode_buckets=(1, 2, 4),
+                             pipeline_depth=2, mesh=mesh, use_fused=True,
+                             fused_block_b=8)
+    assert cont.use_fused and cont._seg_buckets is None
+    # pool rounds to data * block_b = 32 local-row-aligned rows
+    assert cont._small.prev.shape[0] == 32
+    got = cont.run_all(list(images))
+    for (wl, wc), (gl, gc) in zip(want, got):
+        assert wl == gl
+        assert abs(wc - gc) < 1e-4
