@@ -341,3 +341,62 @@ def test_fused_continuous_sharded_over_mesh(setup):
     for (wl, wc), (gl, gc) in zip(want, got):
         assert wl == gl
         assert abs(wc - gc) < 1e-4
+
+
+def test_serving_engine_fault_recovery():
+    """A failing segment must fail the waiting futures, fail_reset the
+    decoder, and leave the engine serving later requests (no spin)."""
+    import asyncio
+
+    from handwritten_math_ocr_api_tpu.serve.batcher import (
+        ContinuousServingEngine,
+    )
+
+    class FakeDecoder:
+        def __init__(self):
+            self.mode = "boom"
+            self.queue = []
+            self.resets = 0
+            self._n = 0
+
+        def submit(self, img):
+            self._n += 1
+            self.queue.append(self._n)
+            return self._n
+
+        @property
+        def idle(self):
+            return not self.queue
+
+        def step_once(self):
+            if self.mode == "boom":
+                raise RuntimeError("segment failed")
+            done = {rid: ("ok", 0.9) for rid in self.queue}
+            self.queue.clear()
+            return done
+
+        def fail_reset(self):
+            self.resets += 1
+            self.queue.clear()
+
+        @property
+        def stats(self):
+            return {}
+
+    async def run():
+        dec = FakeDecoder()
+        eng = ContinuousServingEngine(dec)
+        await eng.start()
+        with pytest.raises(RuntimeError, match="segment failed"):
+            await eng.predict(np.zeros((8, 8, 1), np.float32))
+        for _ in range(100):  # fail_reset runs on the scheduler thread
+            if dec.resets:
+                break
+            await asyncio.sleep(0.01)
+        assert dec.resets == 1
+        dec.mode = "ok"
+        out = await eng.predict(np.zeros((8, 8, 1), np.float32))
+        assert out == ("ok", 0.9)
+        await eng.stop()
+
+    asyncio.run(run())
