@@ -64,19 +64,23 @@ def main() -> None:
         return x
 
     def time_fn(fn, x, iters):
-        """Chained timing: out feeds back in (same shape pieces only when
-        shapes match — we instead chain through a scalar perturbation so
-        any shape works)."""
-        fn_j = jax.jit(fn)
-        out = fn_j(x)
-        jax.block_until_ready(out)
+        """Device-chained timing: a single jitted lax.fori_loop runs the
+        piece `iters` times, mixing a 0-valued scalar of each output back
+        into the next input so iterations cannot be elided or reordered.
+        One dispatch + one fetch total — tunnel RTT does not contaminate
+        per-iteration time (the old eager scalar-chain paid ~1 RTT per
+        iteration, inflating every piece by 15-90 ms)."""
+
+        def body(_, carry):
+            out = fn(carry)
+            z = jnp.sum(out).astype(carry.dtype) * 0
+            return carry + z
+
+        chained = jax.jit(
+            lambda x0: jax.lax.fori_loop(0, iters, body, x0))
+        jax.block_until_ready(chained(x))   # compile + warm
         t0 = time.perf_counter()
-        for _ in range(iters):
-            # scalar-chained: mix a 0-cost function of the previous output
-            # into the input so iterations cannot be elided or reordered
-            x = x + jnp.float32(0).astype(x.dtype) * out.ravel()[0]
-            out = fn_j(x)
-        jax.block_until_ready(out)
+        jax.block_until_ready(chained(x))
         return (time.perf_counter() - t0) / iters
 
     rng = np.random.default_rng(0)
