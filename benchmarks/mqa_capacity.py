@@ -67,6 +67,10 @@ def main() -> None:
         ROOT, "runs", "stream_swin_r2"))
     ap.add_argument("--mqa-run", default=os.path.join(
         ROOT, "runs", "stream_swin_mqa"))
+    ap.add_argument("--renderer", default="typeset",
+                    choices=["typeset", "stroke"],
+                    help="render the probe images the way the checkpoints "
+                         "were trained (stroke for stream_swin_stroke runs)")
     args = ap.parse_args()
 
     from handwritten_math_ocr_api_tpu.data.synthetic import (
@@ -79,8 +83,15 @@ def main() -> None:
 
     # real corpus renders -> realistic ragged decode lengths (real eos)
     tok_g = Tokenizer(grammar_vocab())
-    ds = SyntheticStreamDataset(tok_g, args.requests, seed=1234,
-                                freeze=True)
+    if args.renderer == "stroke":
+        from handwritten_math_ocr_api_tpu.data.strokes import (
+            StrokeStreamDataset,
+        )
+        ds = StrokeStreamDataset(tok_g, args.requests, seed=1234,
+                                 freeze=True)
+    else:
+        ds = SyntheticStreamDataset(tok_g, args.requests, seed=1234,
+                                    freeze=True)
     images = []
     for i in range(args.requests):
         img, _, _ = ds[i]

@@ -271,9 +271,11 @@ def _glyph_box(tok: str, size: float, rng: random.Random,
     for st in strokes:
         pts = np.asarray(st, np.float64)
         if jitter > 0 and len(pts) > 2:
-            noise = np.cumsum(
-                np.array([[rng.gauss(0, 1), rng.gauss(0, 1)]
-                          for _ in range(len(pts))]), axis=0)
+            # vectorized random-walk wobble (the per-point Python
+            # rng.gauss loop dominated render time on the 1-CPU host:
+            # 13 ms/sample -> epochs were host-render-bound)
+            nrng = np.random.default_rng(rng.getrandbits(32))
+            noise = np.cumsum(nrng.standard_normal((len(pts), 2)), axis=0)
             noise -= noise.mean(axis=0)
             scale = jitter * 0.012
             pts = pts + noise * scale
