@@ -30,11 +30,11 @@ import numpy as np  # noqa: E402
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _load_run(run_dir: str, nhead_kv):
+def _load_run(run_dir: str, nhead_kv, overrides=None):
     import jax
 
     from handwritten_math_ocr_api_tpu.core.config import (
-        Config, ModelConfig,
+        Config, ModelConfig, SwinConfig,
     )
     from handwritten_math_ocr_api_tpu.core.tokenizer import (
         Tokenizer, load_vocab,
@@ -44,6 +44,11 @@ def _load_run(run_dir: str, nhead_kv):
 
     vocab, idx2char = load_vocab(os.path.join(run_dir, "vocab.json"))
     cfg = ModelConfig(vocab_size=len(vocab), nhead_kv=nhead_kv)
+    if overrides:
+        raw = dict(overrides)
+        if "swin" in raw:
+            cfg = cfg.replace(swin=SwinConfig(**raw.pop("swin")))
+        cfg = cfg.replace(**raw)
     state, _ = create_train_state(jax.random.PRNGKey(0), cfg,
                                   Config().train)
     state, _ = load_checkpoint(run_dir, "best_model", state,
@@ -71,7 +76,12 @@ def main() -> None:
                     choices=["typeset", "stroke"],
                     help="render the probe images the way the checkpoints "
                          "were trained (stroke for stream_swin_stroke runs)")
+    ap.add_argument("--overrides", default=None,
+                    help="JSON dict of ModelConfig overrides used at "
+                         "training time (e.g. '{\"memory_norm\": true}'); "
+                         "must match the checkpoint's param tree")
     args = ap.parse_args()
+    overrides = json.loads(args.overrides) if args.overrides else None
 
     from handwritten_math_ocr_api_tpu.data.synthetic import (
         SyntheticStreamDataset, grammar_vocab,
@@ -101,7 +111,7 @@ def main() -> None:
     for name, run_dir, kv, slots in (
             ("mha", args.mha_run, None, args.mha_slots),
             ("mqa", args.mqa_run, 1, args.mha_slots * 8)):
-        params, mstate, cfg, tok = _load_run(run_dir, kv)
+        params, mstate, cfg, tok = _load_run(run_dir, kv, overrides)
         self_b, cross_b = _cache_bytes(cfg, slots)
         cont = ContinuousDecoder(params, mstate, cfg, tok,
                                  num_slots=slots, segment_steps=16,

@@ -60,11 +60,15 @@ def load_checkpoint(directory: str, name: str, template: TrainState,
     }
     if not params_only:
         target["opt_state"] = template.opt_state
+    # Explicit restore_args from the template: without them orbax falls
+    # back to the sharding file written at save time, which breaks
+    # cross-platform restores (e.g. TPU-saved checkpoint loaded on CPU).
+    rargs = ocp.checkpoint_utils.construct_restore_args(target)
     try:
-        restored = ckptr.restore(path, item=target,
+        restored = ckptr.restore(path, item=target, restore_args=rargs,
                                  partial_restore=params_only)
     except TypeError:  # older orbax without partial_restore kwarg
-        restored = ckptr.restore(path, item=target)
+        restored = ckptr.restore(path, item=target, restore_args=rargs)
     state = template.replace(
         params=restored["params"],
         opt_state=(template.opt_state if params_only
