@@ -100,6 +100,42 @@ def save_params_for_serving(directory: str, params, vocab: Dict[str, int],
     return path
 
 
+def _restore_serving_tree(ckpt_path: str, cfg):
+    """Restore the serving params tree with restore_args derived from the
+    model config, so an artifact exported on one platform (e.g. TPU)
+    loads on another (e.g. a CPU host): without explicit shardings orbax
+    reads the save-time sharding file, whose device may not exist here.
+    Abstract shapes come from ``jax.eval_shape`` — no throwaway init."""
+    import jax
+
+    from ..models.model import init_model
+
+    ckptr = ocp.PyTreeCheckpointer()
+    try:
+        abstract, _ = jax.eval_shape(
+            lambda k: init_model(k, cfg), jax.random.PRNGKey(0))
+        sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+        params_t = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype,
+                                           sharding=sharding), abstract)
+        # model_state (BN stats) structure is config-dependent; restore it
+        # from saved metadata only if present.
+        target = {"params": params_t, "model_state": {}}
+        saved = ckptr.metadata(ckpt_path)
+        if isinstance(saved, dict) and saved.get("model_state"):
+            state_t = jax.tree.map(
+                lambda m: jax.ShapeDtypeStruct(tuple(m.shape), m.dtype,
+                                               sharding=sharding),
+                saved["model_state"])
+            target["model_state"] = state_t
+        rargs = ocp.checkpoint_utils.construct_restore_args(target)
+        return ckptr.restore(ckpt_path, item=target, restore_args=rargs)
+    except Exception:
+        # legacy artifacts (params-only tree) or metadata quirks: the
+        # plain restore is correct whenever save/load platforms match
+        return ckptr.restore(ckpt_path)
+
+
 def load_params_for_serving(directory: str):
     """Returns (params, model_state, vocab, idx2char, ModelConfig)."""
     from ..core.config import ModelConfig, ResNetConfig, SwinConfig
@@ -117,7 +153,7 @@ def load_params_for_serving(directory: str):
         "stage_channels": tuple(raw["resnet"]["stage_channels"]),
         "stage_blocks": tuple(raw["resnet"]["stage_blocks"])})
     cfg = ModelConfig(**raw)
-    tree = ocp.PyTreeCheckpointer().restore(os.path.join(path, "params"))
+    tree = _restore_serving_tree(os.path.join(path, "params"), cfg)
     if isinstance(tree, dict) and "params" in tree:  # current format
         params = tree["params"]
         model_state = tree.get("model_state") or {}
