@@ -49,6 +49,10 @@ def main() -> None:
     ap.add_argument("--trace", action="store_true",
                     help="pull device state after every tick; report the "
                          "first non-finite lp_sum at birth (slow)")
+    ap.add_argument("--serving-engine", action="store_true",
+                    help="drive through ContinuousServingEngine (dedicated "
+                         "scheduler thread, concurrent clients) without HTTP")
+    ap.add_argument("--clients", type=int, default=64)
     ap.add_argument("--trained-dir", default=None,
                     help="serving artifact dir; default = random weights "
                          "with unreachable <eos> (worst-case 150 steps)")
@@ -111,7 +115,37 @@ def main() -> None:
     images = [rng.standard_normal((96, 320, 1)).astype(np.float32)
               for _ in range(args.requests)]
 
-    if args.trace:
+    if args.serving_engine:
+        # serving-faithful drive: ContinuousServingEngine's dedicated
+        # scheduler thread + N concurrent sequential clients (staggered
+        # arrivals -> bucket-1 refills + adaptive long segments), minus
+        # the HTTP layer — bisects engine threading/timing from aiohttp
+        import asyncio
+
+        from handwritten_math_ocr_api_tpu.serve.batcher import (
+            ContinuousServingEngine,
+        )
+
+        eng = ContinuousServingEngine(cont)
+
+        async def _run():
+            await eng.start()
+            cont.warmup(image_shape=(96, 320))
+            clients = args.clients
+            per = max(args.requests // clients, 1)
+            out = [None] * (per * clients)
+
+            async def worker(wid):
+                for j in range(per):
+                    out[wid * per + j] = await eng.predict(
+                        images[(wid * per + j) % len(images)])
+
+            await asyncio.gather(*[worker(w) for w in range(clients)])
+            await eng.stop()
+            return out
+
+        got = asyncio.run(_run())
+    elif args.trace:
         # step-wise: drive the engine manually, after each tick pull the
         # full small-state and report the first non-finite lp_sum among
         # LIVE-or-finished real slots (catches NaN at birth)

@@ -118,3 +118,24 @@ def shard_params(params, mesh: Mesh):
 def shard_batch(batch, mesh: Mesh):
     sh = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def commit_to_mesh(tree, mesh: Mesh):
+    """Replicate onto ``mesh`` every leaf not already committed to it.
+
+    A pytree mixing mesh-committed arrays (sharded params) with
+    device-0-committed ones (fresh optimizer scalars like Adam's
+    ``count``, the ``step`` counter, BN stats) cannot be fed to one
+    jitted computation, and — used as the template for a checkpoint
+    restore — bakes the inconsistency into the restore_args shardings.
+    Leaves already on ``mesh`` (e.g. TP-sharded weights) are kept as-is.
+    """
+    rep = replicated(mesh)
+
+    def _place(x):
+        sh = getattr(x, "sharding", None)
+        if isinstance(sh, NamedSharding) and sh.mesh == mesh:
+            return x
+        return jax.device_put(x, rep)
+
+    return jax.tree_util.tree_map(_place, tree)

@@ -140,10 +140,15 @@ def train_model(
     if mesh is not None:
         state = state.replace(
             params=mesh_lib.shard_params(state.params, mesh))
-    if init_from:
-        # fresh optimizer state over the grafted (and possibly sharded)
-        # params, so moments/placement match
+    if init_from or mesh is not None:
+        # fresh optimizer state over the grafted and/or sharded params,
+        # so moments/placement match (zeros_like inherits shardings)
         state = state.replace(opt_state=optimizer.init(state.params))
+    if mesh is not None:
+        # commit the scalar leaves (Adam count, step, BN stats) to the
+        # mesh too: a mixed-placement TrainState is rejected by jit and,
+        # as the resume template, poisons the restore_args shardings
+        state = mesh_lib.commit_to_mesh(state, mesh)
 
     if resume_from:
         state, meta = ckpt_lib.load_checkpoint(tc.checkpoint_dir,
