@@ -313,8 +313,15 @@ def decode_segment_fused(stacked, cfg: ModelConfig, small: SmallState,
             stacked, cfg, s.prev, s.pos, sk, sv,
             cache["cross_k"], cache["cross_v"], l_enc_actual,
             block_b=block_b, n_chunks=n_chunks)
-        sk = append(sk, k_rows, s.pos)
-        sv = append(sv, v_rows, s.pos)
+        # never scatter non-live rows: with bucketed dispatch (n_chunks)
+        # the kernel leaves rows of uncovered chunks UNINITIALIZED, and
+        # appending that garbage (possibly NaN bit patterns) into a
+        # finished slot's cache poisons the slot when it is recycled
+        # (insert deliberately does not clear self caches). The in-kernel
+        # `slot <= pos` V-mask is the belt; this is the suspenders.
+        live3 = live[None, :, None]
+        sk = append(sk, jnp.where(live3, k_rows, 0), s.pos)
+        sv = append(sv, jnp.where(live3, v_rows, 0), s.pos)
         is_eos = nxt == EOS_ID
 
         lp_sum = s.lp_sum + jnp.where(live, logp, 0.0)

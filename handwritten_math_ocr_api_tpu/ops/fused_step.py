@@ -1005,6 +1005,13 @@ def _make_kernel_ragged(cfg: ModelConfig, Bc: int, T: int, L_enc: int,
         at_pos = slot == p_col
         k = jnp.where(at_pos, k_new[:, None, :].astype(cdt), sk_in[0])
         v = jnp.where(at_pos, v_new[:, None, :].astype(cdt), sv_in[0])
+        # Zero V beyond the causal horizon: attn sums probs*v over ALL T
+        # rows and masked probs are exactly 0, but 0*NaN = NaN — a
+        # recycled slot's stale cache rows (incl. uninitialized garbage
+        # scattered there by bucketed dispatch while the slot sat
+        # finished) must never poison the sum. K needs no mask: its NaNs
+        # die in the post-dot `slot <= pos` -inf where below.
+        v = jnp.where(slot <= p_col, v, jnp.zeros_like(v))
         kf = rep(k.astype(jnp.float32))
         prod = (q * scale)[:, None, :] * kf            # (Bc, T, D)
         logits = jax.lax.dot_general(

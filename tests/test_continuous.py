@@ -316,6 +316,38 @@ def test_fused_continuous_quantized_matches_engine(setup):
     assert [g[0] for g in got] == [w[0] for w in want]
 
 
+def test_fused_recycled_slot_survives_nan_cache_garbage(setup):
+    """A recycled slot's stale self-cache rows may hold ANYTHING —
+    including NaN bit patterns from the bucketed dispatch's uninitialized
+    kernel outputs (observed on hardware: ~25% of config-5 HTTP requests
+    returned confidence=NaN). The kernel masks attention PROBS to 0
+    beyond pos, but 0*NaN = NaN, so V itself must be masked. Poison every
+    cache row at-or-beyond each slot's pos with NaN and assert decode is
+    bit-identical to the clean engine."""
+    params, mstate, tok = setup
+    rng = np.random.default_rng(17)
+    imgs = rng.standard_normal((4, 96, 320, 1)).astype(np.float32)
+    engine = DecodeEngine(params, mstate, CFG, tokenizer=tok)
+    want = engine.predict_with_confidence(imgs)
+
+    cont = ContinuousDecoder(params, mstate, CFG, tok, num_slots=2,
+                             segment_steps=3, encode_buckets=(1, 2),
+                             pipeline_depth=1, use_fused=True)
+    # generation 1: fills both slots, runs them to harvest
+    got1 = cont.run_all(list(imgs[:2]))
+    # poison ALL stale self-cache rows (every slot is finished, so every
+    # row index >= 0 is "stale" for the next tenant) with NaN
+    nan_k = jnp.full_like(cont._cache["self_k"], jnp.nan)
+    nan_v = jnp.full_like(cont._cache["self_v"], jnp.nan)
+    cont._cache["self_k"] = nan_k
+    cont._cache["self_v"] = nan_v
+    # generation 2 recycles the same slots over the poisoned pool
+    got2 = cont.run_all(list(imgs[2:]))
+    for (gl, gc), (wl, wc) in zip(got1 + got2, want):
+        assert gl == wl
+        assert np.isfinite(gc) and abs(gc - wc) < 1e-4
+
+
 def test_fused_continuous_sharded_over_mesh(setup):
     """Fused ragged segments on a 4-device mesh (shard_map: each shard
     runs the megakernel on its local rows) must equal the single-device
