@@ -35,6 +35,7 @@ def main() -> None:
     ap.add_argument("--requests", type=int, default=256)
     ap.add_argument("--clients", type=int, default=64)
     ap.add_argument("--slots", type=int, default=63)
+    ap.add_argument("--segment", type=int, default=16)
     ap.add_argument("--xla", action="store_true")
     args = ap.parse_args()
 
@@ -55,7 +56,7 @@ def main() -> None:
             cfg = dataclasses.replace(
                 ServeConfig.from_env(), model_dir=td,
                 batching_mode="continuous", num_slots=args.slots,
-                segment_steps=16, use_fused_decode=not args.xla,
+                segment_steps=args.segment, use_fused_decode=not args.xla,
                 rate_limit_per_minute=10 ** 9,
                 rate_limit_per_hour=10 ** 9, rate_limit_per_day=10 ** 9,
                 rate_limit_anonymous_daily=10 ** 9,
