@@ -84,28 +84,19 @@ class DecodeEngine:
             use_fused = False
         self.use_fused = use_fused
         self._stacked = None
-        self._beam_params = None  # int8 decoder for the beam fallback
         if use_fused:
             # fused decoder-layer megakernel (ops/fused_step.py): greedy
-            # decode only; beam falls back to the jnp path. With
-            # quantize=True the kernel streams int8 weights and dequants
-            # on the matmul output ("v2q" — measured at bf16 parity speed,
-            # halves decoder weight memory)
-            from ..ops.fused_step import build_stacked, quantize_stacked
+            # (v2 compute-only) AND beam (fused_ragged_step with
+            # return_logits; decode/fused.py::beam_decode_fused) ride the
+            # same full stacked bundle. With quantize=True the kernel
+            # streams int8 weights and dequants on the matmul output
+            # ("v2q" — measured at bf16 parity speed, halves decoder
+            # weight memory); beam sees the same int8 numerics in-kernel.
+            from ..ops.fused_step import build_stacked_full, quantize_stacked
 
-            self._stacked = build_stacked(params["decoder"], cfg)
+            self._stacked = build_stacked_full(params["decoder"], cfg)
             if quantize:
                 self._stacked = quantize_stacked(self._stacked)
-                # beam decode falls back to the jnp path: give it int8
-                # decoder weights too, so `--use-fused --quantize
-                # --beam-size N` reports int8 numerics as promised (the
-                # fused-greedy path keeps the float params — its stacked
-                # bundle above carries the quantization)
-                from ..ops.quant import quantize_decoder_params
-
-                self._beam_params = dict(self.params)
-                self._beam_params["decoder"] = quantize_decoder_params(
-                    self.params["decoder"])
         elif quantize:
             # weight-only int8 decoder: halves the per-step HBM weight
             # traffic that bounds small-batch decode (ops/quant.py)
@@ -120,9 +111,9 @@ class DecodeEngine:
             n = mesh.shape["data"]
             self.params = jax.device_put(self.params,
                                          mesh_lib.replicated(mesh))
-            if self._beam_params is not None:
-                self._beam_params = jax.device_put(
-                    self._beam_params, mesh_lib.replicated(mesh))
+            if self._stacked is not None:
+                self._stacked = jax.device_put(
+                    self._stacked, mesh_lib.replicated(mesh))
             buckets = sorted({max(n, -(-b // n) * n)
                               for b in self.decode_cfg.batch_buckets})
             self.decode_cfg = DecodeConfig(
@@ -167,9 +158,10 @@ class DecodeEngine:
             cfg, state, up = self.cfg, self.state, self.use_pallas
             upb = self.pallas_encoder_block
             max_len = self.decode_cfg.max_seq_len
+            fused = self.use_fused
 
             @jax.jit
-            def fn(params, images):
+            def fn(params, stacked, images):
                 if images.dtype == jnp.uint8:
                     from ..data.preprocess import device_normalize
 
@@ -177,6 +169,11 @@ class DecodeEngine:
                 memory, _ = model_mod.encode(params, state, cfg, images,
                                              use_pallas=up,
                                              use_pallas_block=upb)
+                if fused:
+                    from .fused import beam_decode_fused
+
+                    return beam_decode_fused(params["decoder"], stacked,
+                                             cfg, memory, beam, max_len)
                 return beam_decode(params["decoder"], cfg, memory, beam,
                                    max_len, use_pallas=up)
 
@@ -207,8 +204,7 @@ class DecodeEngine:
         x, B, bucket = self._pad_batch(np.asarray(images))
         if beam_size and beam_size > 1:
             res: BeamResult = self._beam_fn(bucket, beam_size)(
-                self._beam_params if self._beam_params is not None
-                else self.params, x)
+                self.params, self._stacked or {}, x)
             return _fetch_async(
                 BeamResult(res.tokens[:B], res.scores[:B], res.lengths[:B]))
         res: GreedyResult = self._greedy_fn(bucket)(

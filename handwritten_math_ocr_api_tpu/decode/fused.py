@@ -217,3 +217,162 @@ def greedy_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
         cond, body, state0)
     lengths = jnp.sum(tokens != pad_id, axis=-1)
     return GreedyResult(tokens, lengths, lp_sum, count)
+
+
+def beam_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
+                      beam_size: int = 5, max_len: int | None = None, *,
+                      sos_id: int = SOS_ID, eos_id: int = EOS_ID,
+                      pad_id: int = PAD_ID, alpha: float = 0.0,
+                      interpret: bool | None = None):
+    """Beam search over the fused ragged megakernel (the production decode
+    fast path), semantically identical to decode.beam.beam_decode.
+
+    The round-2/3 beam close-out (BENCHMARKS.md "Beam cost anatomy") left
+    ~8 ms/step of the 13.4 ms XLA while-body unattributed after refuting
+    three gather hypotheses — and the fused greedy kernel demonstrates the
+    same per-row work in ~7 us/row/step. This routes the B*K beam rows
+    through ops.fused_step.fused_ragged_step (chunked grid: (B*K, T, D)
+    cache blocks do not fit the ~16 MB VMEM in one block) with
+    ``return_logits=True``; candidate ranking, the beam bookkeeping, and
+    the per-step physical cache reorder (the measured-best variant; the
+    ancestry-indirection A/B stands) stay in XLA. Supports MHA and MQA
+    (nhead_kv=1), int8 bundles from quantize_stacked in-kernel; GQA
+    raises (DecodeEngine degrades GQA to the XLA path at init).
+
+    The reference configured beam_size=5 but never implemented beam
+    search (src/config.py:50, src/inference.py:5); this is the fused
+    variant of the capability the XLA beam_decode supplies.
+    """
+    from ..ops.fused_step import build_stacked_full, fused_ragged_step
+    from .beam import NEG_INF, BeamResult
+
+    if cfg.kv_heads not in (cfg.nhead, 1):
+        raise NotImplementedError(
+            "fused beam decode supports MHA and MQA (nhead_kv=1); GQA "
+            "decodes on the XLA beam path")
+    if "emb" not in stacked:  # need the head/embedding tables in-kernel
+        from ..ops.fused_step import quantize_stacked
+
+        was_quantized = any(k.endswith("_s") for k in stacked)
+        stacked = build_stacked_full(decoder_params, cfg)
+        if was_quantized:
+            stacked = quantize_stacked(stacked)
+
+    B = memory.shape[0]
+    K = beam_size
+    BK = B * K
+    T = max_len or cfg.max_seq_len
+    V = cfg.vocab_size
+    L = cfg.num_decoder_layers
+    l_enc_actual = memory.shape[1]
+
+    # row blocking: the ragged kernel chunks rows so cache blocks fit
+    # VMEM; rows are padded to the block multiple with dead rows (their
+    # fresh K/V land in dead cache rows; the beam state never reads them)
+    if BK % 16 == 0:
+        bb, R = 16, BK
+    elif BK <= 32:
+        bb, R = BK, BK
+    else:
+        R = -(-BK // 8) * 8
+        bb = 8
+
+    mem_exp = jnp.repeat(memory, K, axis=0)            # (B*K, L_enc, D)
+    if R > BK:
+        mem_exp = jnp.pad(mem_exp, ((0, R - BK), (0, 0), (0, 0)))
+    self_k, self_v, cross_k, cross_v = init_fused_cache(
+        decoder_params, cfg, mem_exp, max_len=T)
+
+    scores0 = jnp.tile(
+        jnp.concatenate([jnp.zeros((1,)),
+                         jnp.full((K - 1,), NEG_INF)])[None],
+        (B, 1),
+    ).astype(jnp.float32)
+
+    state0 = (
+        jnp.int32(0),
+        jnp.full((R,), sos_id, jnp.int32),             # prev per row
+        scores0,                                        # (B, K)
+        jnp.zeros((B, K), jnp.bool_),                   # finished
+        jnp.full((B, K, T), pad_id, jnp.int32),         # tokens
+        self_k, self_v,
+    )
+
+    def reorder(x, beam_idx):
+        """x: (L, R, ...) — gather the first B*K rows by beam_idx (B, K);
+        padded dead rows stay in place."""
+        trail = x.shape[2:]
+        real = x[:, :BK].reshape(L, B, K, *trail)
+        idx = beam_idx.reshape(1, B, K, *([1] * len(trail)))
+        real = jnp.take_along_axis(real, idx, axis=2).reshape(
+            L, BK, *trail)
+        if R > BK:
+            real = jnp.concatenate([real, x[:, BK:]], axis=1)
+        return real
+
+    def cond(state):
+        step, _, _, finished, *_ = state
+        return jnp.logical_and(step < T, ~jnp.all(finished))
+
+    def body(state):
+        step, prev, scores, finished, tokens, sk, sv = state
+        pos_vec = jnp.full((R,), step, jnp.int32)
+        logits_full, k_new, v_new = fused_ragged_step(
+            stacked, cfg, prev, pos_vec, sk, sv, cross_k, cross_v,
+            l_enc_actual=l_enc_actual, block_b=bb, return_logits=True,
+            interpret=interpret)
+        # append fresh rows (uniform position), then reorder by parent
+        sk = jax.lax.dynamic_update_slice(
+            sk, k_new[:, :, None, :], (0, 0, step, 0))
+        sv = jax.lax.dynamic_update_slice(
+            sv, v_new[:, :, None, :], (0, 0, step, 0))
+
+        logits = logits_full[:BK, :V]
+        logp = jax.nn.log_softmax(logits, axis=-1).reshape(B, K, V)
+
+        # identical candidate/bookkeeping semantics to beam_decode
+        pad_only = jnp.full((V,), NEG_INF).at[pad_id].set(0.0)
+        cand = jnp.where(finished[:, :, None], pad_only[None, None], logp)
+        cand = scores[:, :, None] + cand               # (B, K, V)
+
+        flat = cand.reshape(B, K * V)
+        top_scores, top_idx = jax.lax.top_k(flat, K)   # (B, K)
+        beam_idx = top_idx // V
+        token = (top_idx % V).astype(jnp.int32)
+
+        tokens = jnp.take_along_axis(tokens, beam_idx[:, :, None], axis=1)
+        was_finished = jnp.take_along_axis(finished, beam_idx, axis=1)
+        emit = jnp.where(was_finished, pad_id, token)
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, emit[:, :, None], (0, 0, step))
+        finished = was_finished | (token == eos_id)
+        scores = top_scores
+
+        sk = reorder(sk, beam_idx)
+        sv = reorder(sv, beam_idx)
+
+        prev_real = jnp.where(
+            finished, eos_id,
+            jnp.where(was_finished, pad_id, token)).reshape(BK)
+        prev = (jnp.concatenate(
+            [prev_real, jnp.full((R - BK,), pad_id, jnp.int32)])
+            if R > BK else prev_real)
+        return (step + 1, prev, scores, finished, tokens, sk, sv)
+
+    _, _, scores, finished, tokens, _, _ = jax.lax.while_loop(
+        cond, body, state0)
+
+    lengths = jnp.sum(tokens != pad_id, axis=-1)       # (B, K)
+    if alpha > 0.0:
+        norm = jnp.power(jnp.maximum(lengths, 1).astype(jnp.float32),
+                         alpha)
+        final = scores / norm
+    else:
+        final = scores
+    best = jnp.argmax(final, axis=-1)                  # (B,)
+    best_tokens = jnp.take_along_axis(
+        tokens, best[:, None, None], axis=1)[:, 0]
+    best_scores = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
+    best_lengths = jnp.take_along_axis(lengths, best[:, None],
+                                       axis=1)[:, 0]
+    return BeamResult(best_tokens, best_scores, best_lengths)

@@ -907,7 +907,8 @@ def fused_decoder_layers_step(stacked, cfg: ModelConfig, x_emb, self_k,
 
 def _make_kernel_ragged(cfg: ModelConfig, Bc: int, T: int, L_enc: int,
                         l_enc_actual: int, Vp: int, Tp: int, kvd: int,
-                        quantized: bool = False):
+                        quantized: bool = False,
+                        return_logits: bool = False):
     """Whole-step kernel with PER-ROW decode positions, for the continuous
     slot pool (decode/continuous.py): embedding gather + all decoder
     layers + output head in one Pallas program, grid (layers, B-chunks).
@@ -934,14 +935,19 @@ def _make_kernel_ragged(cfg: ModelConfig, Bc: int, T: int, L_enc: int,
              w_cq, s_cq, b_cq, w_co, s_co, b_co,
              w_ff1, s_ff1, b_ff1, w_ff2, s_ff2, b_ff2, ln,
              sk_in, sv_in, ck_ref, cv_ref, w_head_ref, b_head_ref,
-             nxt_out, logp_out, k_new_out, v_new_out, x_scr) = refs
+             *out_refs) = refs
         else:
             (pos_ref, prev_ref, g_ref, emb_ref, pos_tab_ref,
              w_qkv, b_qkv, w_out, b_out, w_cq, b_cq, w_co, b_co,
              w_ff1, b_ff1, w_ff2, b_ff2, ln,
              sk_in, sv_in, ck_ref, cv_ref, w_head_ref, b_head_ref,
-             nxt_out, logp_out, k_new_out, v_new_out, x_scr) = refs
+             *out_refs) = refs
             s_qkv = s_out = s_cq = s_co = s_ff1 = s_ff2 = None
+        if return_logits:  # full distribution out (beam search consumers)
+            logits_out, k_new_out, v_new_out, x_scr = out_refs
+            nxt_out = logp_out = None
+        else:
+            nxt_out, logp_out, k_new_out, v_new_out, x_scr = out_refs
         layer = pl.program_id(0)
         chunk = pl.program_id(1)
         pos = pos_ref[:, 0]                            # (Bc,) int32
@@ -1063,6 +1069,9 @@ def _make_kernel_ragged(cfg: ModelConfig, Bc: int, T: int, L_enc: int,
             logits_v = jnp.dot(x, w_head_ref[:],
                                preferred_element_type=jnp.float32)
             logits_v = logits_v + b_head_ref[:]        # (Bc, Vp) f32
+            if return_logits:
+                logits_out[:] = logits_v
+                return
             mv = jnp.max(logits_v, axis=-1, keepdims=True)
             se = jnp.sum(jnp.exp(logits_v - mv), axis=-1, keepdims=True)
             iota = jax.lax.broadcasted_iota(jnp.int32, logits_v.shape, 1)
@@ -1079,6 +1088,7 @@ def fused_ragged_step(stacked, cfg: ModelConfig, prev, pos,
                       self_k, self_v, cross_k, cross_v,
                       l_enc_actual: int | None = None, *,
                       block_b: int = 16, n_chunks: int | None = None,
+                      return_logits: bool = False,
                       interpret: bool | None = None):
     """One whole ragged decode step for the continuous slot pool.
 
@@ -1089,7 +1099,12 @@ def fused_ragged_step(stacked, cfg: ModelConfig, prev, pos,
 
     Returns (nxt (B,) i32, logp (B,) f32, k_new (L, B, kvd),
     v_new (L, B, kvd)); the caller scatters the fresh rows at per-row
-    ``pos`` (two vmapped dynamic_update_slice calls)."""
+    ``pos`` (two vmapped dynamic_update_slice calls).
+
+    ``return_logits=True`` replaces the in-kernel argmax with the full
+    head distribution: returns (logits (B, Vp) f32, k_new, v_new). The
+    beam consumer (decode/fused.py::beam_decode_fused) needs every
+    candidate's log-prob, not the top-1, so ranking moves to XLA."""
     from . import default_interpret
 
     if interpret is None:
@@ -1135,18 +1150,38 @@ def fused_ragged_step(stacked, cfg: ModelConfig, prev, pos,
                             lambda l, b: (l, b) + (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
-    out_specs = (
-        pl.BlockSpec((Bc, 1), lambda l, b: (b, 0),
-                     memory_space=pltpu.VMEM),      # next token ids
-        pl.BlockSpec((Bc, 1), lambda l, b: (b, 0),
-                     memory_space=pltpu.VMEM),      # chosen log-prob
-        per_layer_chunk((kvd,)),                    # k_new
-        per_layer_chunk((kvd,)),                    # v_new
-    )
+    if return_logits:
+        out_specs = (
+            pl.BlockSpec((Bc, Vp), lambda l, b: (b, 0),
+                         memory_space=pltpu.VMEM),  # head logits
+            per_layer_chunk((kvd,)),                # k_new
+            per_layer_chunk((kvd,)),                # v_new
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((B, Vp), jnp.float32),
+            jax.ShapeDtypeStruct((L, B, kvd), self_k.dtype),
+            jax.ShapeDtypeStruct((L, B, kvd), self_v.dtype),
+        )
+    else:
+        out_specs = (
+            pl.BlockSpec((Bc, 1), lambda l, b: (b, 0),
+                         memory_space=pltpu.VMEM),  # next token ids
+            pl.BlockSpec((Bc, 1), lambda l, b: (b, 0),
+                         memory_space=pltpu.VMEM),  # chosen log-prob
+            per_layer_chunk((kvd,)),                # k_new
+            per_layer_chunk((kvd,)),                # v_new
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((L, B, kvd), self_k.dtype),
+            jax.ShapeDtypeStruct((L, B, kvd), self_v.dtype),
+        )
 
     quantized = "w_qkv_s" in stacked
     kernel = _make_kernel_ragged(cfg, Bc, T, L_enc, l_enc_actual, Vp, Tp,
-                                 kvd, quantized=quantized)
+                                 kvd, quantized=quantized,
+                                 return_logits=return_logits)
 
     w_dims = {"w_qkv": (D, 2 * kvd + D), "w_out": (D, D), "w_cq": (D, D),
               "w_co": (D, D), "w_ff1": (D, ff), "w_ff2": (ff, D)}
@@ -1160,7 +1195,7 @@ def fused_ragged_step(stacked, cfg: ModelConfig, prev, pos,
         weight_specs.append(per_layer((1, w_dims[k][1])))   # bias
         weight_args.append(stacked["b" + k[1:]])
 
-    nxt, logp, k_out, v_out = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(L, nB),
         in_specs=[
@@ -1179,12 +1214,7 @@ def fused_ragged_step(stacked, cfg: ModelConfig, prev, pos,
             fixed((1, Vp)),                 # b_head (f32, pads -1e9)
         ],
         out_specs=out_specs,
-        out_shape=(
-            jax.ShapeDtypeStruct((B, 1), jnp.int32),
-            jax.ShapeDtypeStruct((B, 1), jnp.float32),
-            jax.ShapeDtypeStruct((L, B, kvd), self_k.dtype),
-            jax.ShapeDtypeStruct((L, B, kvd), self_v.dtype),
-        ),
+        out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((B, D), jnp.float32)],
         interpret=interpret,
     )(jnp.asarray(pos, jnp.int32)[:, None],
@@ -1193,4 +1223,8 @@ def fused_ragged_step(stacked, cfg: ModelConfig, prev, pos,
       *weight_args,
       stacked["ln"], self_k, self_v, cross_k, cross_v,
       stacked["w_head"], stacked["b_head"])
+    if return_logits:
+        logits, k_out, v_out = outs
+        return logits, k_out, v_out
+    nxt, logp, k_out, v_out = outs
     return nxt[:, 0], logp[:, 0], k_out, v_out

@@ -49,34 +49,37 @@ def _vocab(cfg):
     return vocab
 
 
-def test_fused_quantize_beam_fallback_is_int8():
+def test_fused_quantize_beam_is_int8():
     """ADVICE #1: with use_fused+quantize, beam decode must see int8
-    decoder weights (the fused greedy path carries them in its stacked
-    bundle; the jnp beam fallback needs its own quantized params)."""
+    decoder weights. Since round 3 beam rides the fused path itself
+    (decode/fused.py::beam_decode_fused) on the engine's quantized
+    stacked bundle — no separate jnp fallback params — so the int8
+    promise holds in-kernel: the engine's beam result must equal
+    beam_decode_fused on an explicitly quantized bundle."""
     cfg = _cfg()
     params, state = init_model(jax.random.PRNGKey(0), cfg)
-    eng = DecodeEngine(params, state, cfg, DecodeConfig(batch_buckets=(2,)),
+    eng = DecodeEngine(params, state, cfg,
+                       DecodeConfig(max_seq_len=cfg.max_seq_len,
+                                    batch_buckets=(2,)),
                        Tokenizer(_vocab(cfg)), use_fused=True, quantize=True)
-    # the fused path keeps float params (its stacked bundle is int8) ...
+    # the engine keeps float params; the shared stacked bundle is int8
     assert "w_qkv" in eng.params["decoder"]["layers"][0]["self_attn"]
-    # ... while the beam fallback gets a quantized decoder subtree
-    assert eng._beam_params is not None
-    assert "w_qkv_q" in eng._beam_params["decoder"]["layers"][0]["self_attn"]
+    assert "w_qkv_s" in eng._stacked
     imgs = np.random.default_rng(0).standard_normal(
         (2, 96, 320, 1)).astype(np.float32)
     res = eng.decode_tokens(imgs, beam_size=2)
     assert res.tokens.shape[0] == 2
-    # beam result == beam on explicitly quantized params (same numerics)
-    from handwritten_math_ocr_api_tpu.ops.quant import (
-        quantize_decoder_params,
+    # beam result == fused beam on an explicitly quantized full bundle
+    from handwritten_math_ocr_api_tpu.decode.fused import beam_decode_fused
+    from handwritten_math_ocr_api_tpu.models.model import encode
+    from handwritten_math_ocr_api_tpu.ops.fused_step import (
+        build_stacked_full, quantize_stacked,
     )
 
-    qparams = dict(params)
-    qparams["decoder"] = quantize_decoder_params(params["decoder"])
-    ref_eng = DecodeEngine(qparams, state, cfg,
-                           DecodeConfig(batch_buckets=(2,)),
-                           Tokenizer(_vocab(cfg)))
-    ref = ref_eng.decode_tokens(imgs, beam_size=2)
+    memory, _ = encode(params, state, cfg, jnp.asarray(imgs))
+    qstacked = quantize_stacked(build_stacked_full(params["decoder"], cfg))
+    ref = beam_decode_fused(params["decoder"], qstacked, cfg, memory,
+                            beam_size=2, max_len=cfg.max_seq_len)
     np.testing.assert_array_equal(np.asarray(res.tokens),
                                   np.asarray(ref.tokens))
 
