@@ -39,10 +39,15 @@ def main() -> None:
     from handwritten_math_ocr_api_tpu.decode.beam import (
         beam_decode, beam_decode_indirect,
     )
+    from handwritten_math_ocr_api_tpu.decode.fused import beam_decode_fused
     from handwritten_math_ocr_api_tpu.models import decoder as dec
+    from handwritten_math_ocr_api_tpu.ops.fused_step import (
+        build_stacked_full,
+    )
 
     cfg = ModelConfig()
     params = dec.init_decoder_params(jax.random.PRNGKey(0), cfg)
+    stacked = build_stacked_full(params, cfg)
     rng = np.random.default_rng(0)
     memory = jnp.asarray(rng.standard_normal(
         (args.batch, cfg.encoder_len, cfg.d_model)), jnp.float32)
@@ -53,6 +58,8 @@ def main() -> None:
             p, cfg, m, beam_size=args.beam, eos_id=eos)),
         "indirect": jax.jit(lambda p, m: beam_decode_indirect(
             p, cfg, m, beam_size=args.beam, eos_id=eos)),
+        "fused": jax.jit(lambda p, m: beam_decode_fused(
+            p, stacked, cfg, m, beam_size=args.beam, eos_id=eos)),
     }
 
     def timed(f):
@@ -70,8 +77,8 @@ def main() -> None:
         return (time.perf_counter() - t0) / args.iters
 
     out = {}
-    # A/B/A: reorder, indirect, reorder again (tunnel QoS drift check)
-    for name in ("reorder", "indirect", "reorder2"):
+    # A/B/A: reorder, indirect, fused, reorder again (QoS drift check)
+    for name in ("reorder", "indirect", "fused", "reorder2"):
         f = fns["reorder" if name.startswith("reorder") else name]
         dt = timed(f)
         out[name] = round(dt * 1e3, 1)

@@ -66,8 +66,21 @@ def _cache_bytes(cfg, slots: int):
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--requests", type=int, default=512)
+    ap.add_argument("--requests", type=int, default=2048,
+                    help="must be >> mqa slots (8x mha) so both arms run "
+                         "saturated, not feed-limited")
     ap.add_argument("--mha-slots", type=int, default=56)
+    ap.add_argument("--mqa-slots", default="208,448",
+                    help="comma list of MQA arm slot counts. 448 = 8x "
+                         "mha-slots (equal SELF-KV cache HBM — what "
+                         "nhead_kv=1 directly buys); 208 ~= equal TOTAL "
+                         "decode-cache HBM (cross-KV keeps all 8 heads "
+                         "and scales with slots in both arms)")
+    ap.add_argument("--pipeline-depth", type=int, default=4,
+                    help="segments in flight; 4 matches the BASELINE "
+                         "config-5 harness. Depth 8 inflates harvest "
+                         "staleness ~128 steps and cratered the first "
+                         "run of this bench")
     ap.add_argument("--mha-run", default=os.path.join(
         ROOT, "runs", "stream_swin_r2"))
     ap.add_argument("--mqa-run", default=os.path.join(
@@ -107,21 +120,26 @@ def main() -> None:
         img, _, _ = ds[i]
         images.append(img.astype(np.float32)[..., None] / 127.5 - 1.0)
 
+    arms = [("mha", args.mha_run, None, args.mha_slots)]
+    arms += [("mqa", args.mqa_run, 1, int(s))
+             for s in args.mqa_slots.split(",")]
     results = []
-    for name, run_dir, kv, slots in (
-            ("mha", args.mha_run, None, args.mha_slots),
-            ("mqa", args.mqa_run, 1, args.mha_slots * 8)):
+    for name, run_dir, kv, slots in arms:
         params, mstate, cfg, tok = _load_run(run_dir, kv, overrides)
         self_b, cross_b = _cache_bytes(cfg, slots)
-        cont = ContinuousDecoder(params, mstate, cfg, tok,
-                                 num_slots=slots, segment_steps=16,
-                                 pipeline_depth=8,
-                                 encode_buckets=(1, 2, 4, 8, 16, 32, 64))
-        cont.run_all(images[:min(slots, 64)])  # compile
-        cont = ContinuousDecoder(params, mstate, cfg, tok,
-                                 num_slots=slots, segment_steps=16,
-                                 pipeline_depth=8,
-                                 encode_buckets=(1, 2, 4, 8, 16, 32, 64))
+
+        def make():
+            return ContinuousDecoder(
+                params, mstate, cfg, tok, num_slots=slots,
+                segment_steps=16, pipeline_depth=args.pipeline_depth,
+                encode_buckets=(1, 2, 4, 8, 16, 32, 64))
+
+        # Warm with the FULL workload: chunk/bucket shapes depend on
+        # occupancy, so a short warmup leaves fresh compiles inside the
+        # timed region (the first run of this bench paid ~2.6 s/segment
+        # on the MQA arm for exactly that reason).
+        make().run_all(images)
+        cont = make()
         t0 = time.perf_counter()
         outs = cont.run_all(images)
         dt = time.perf_counter() - t0
@@ -134,6 +152,7 @@ def main() -> None:
             "elapsed_s": round(dt, 2),
             "self_kv_mb": round(self_b / 2**20, 1),
             "cross_kv_mb": round(cross_b / 2**20, 1),
+            "total_cache_mb": round((self_b + cross_b) / 2**20, 1),
             "avg_occupancy": round(st["avg_occupancy"], 3),
             "work_occupancy": round(st["work_occupancy"], 3),
             "segments": st["segments_run"],

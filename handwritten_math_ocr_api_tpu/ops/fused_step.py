@@ -110,6 +110,51 @@ def _group_matrix(d_model: int, nhead: int, dtype) -> np.ndarray:
     return g.astype(dtype)
 
 
+def _mqa_attn_perhead(q_scaled, k, v, keep, D: int, kvd: int):
+    """MQA self-attention inside a Pallas kernel, per query head.
+
+    Neither obvious all-heads formulation survives hardware lowering at
+    eval batch sizes: lane-replicating K/V to D lanes (the MHA G-matrix
+    path) materializes (B, T, D) f32 temporaries that blow the ~16 MB
+    scoped-VMEM stack at B=64 (measured: 19.1 MB), and the batched-dot
+    alternative needs a (B, D)->(B, H, dh) lane-splitting reshape that
+    Mosaic cannot lower (`tpu.reshape vector<64x256xf32> ->
+    vector<64x8x32xf32>`). So: loop the H query heads that share the one
+    K/V head. Each iteration is 2-D matmuls against constant one-hot lane
+    selectors plus (B, T, dh) f32 elementwise work (~1.3 MB at B=64) —
+    all Mosaic-lowerable, and the f32 product/sum numerics match the XLA
+    grouped path.
+
+    q_scaled: (B, D) f32, already multiplied by 1/sqrt(dh).
+    k, v: (B, T, kvd) in storage dtype. v must be pre-masked by the
+    caller if stale rows can hold NaNs (masked probs are exactly 0, but
+    0 * NaN = NaN). keep: (B, T) bool causal keep-mask.
+    Returns attn (B, D) f32.
+    """
+    H = D // kvd
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    row = jax.lax.broadcasted_iota(jnp.int32, (D, kvd), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (D, kvd), 1)
+    row_t = jax.lax.broadcasted_iota(jnp.int32, (kvd, D), 0)
+    col_t = jax.lax.broadcasted_iota(jnp.int32, (kvd, D), 1)
+    attn = jnp.zeros(q_scaled.shape, jnp.float32)
+    for h in range(H):
+        sel = (row == h * kvd + col).astype(jnp.float32)     # (D, dh)
+        sel_t = (col_t == h * kvd + row_t).astype(jnp.float32)  # (dh, D)
+        qh = jnp.dot(q_scaled, sel,
+                     preferred_element_type=jnp.float32)     # (B, dh)
+        lg = jnp.sum(qh[:, None, :] * kf, axis=-1)           # (B, T)
+        lg = jnp.where(keep, lg, -jnp.inf)
+        mh = jnp.max(lg, axis=1, keepdims=True)
+        wh = jnp.exp(lg - mh)
+        ph = wh / jnp.sum(wh, axis=1, keepdims=True)         # (B, T)
+        oh = jnp.sum(ph[:, :, None] * vf, axis=1)            # (B, dh)
+        attn = attn + jnp.dot(oh, sel_t,
+                              preferred_element_type=jnp.float32)
+    return attn
+
+
 def _ln(x32, scale, bias):
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
@@ -291,14 +336,6 @@ def _make_kernel_v2(cfg: ModelConfig, B: int, T: int, L_enc: int,
         k_new_out[0] = k_new.astype(k_new_out.dtype)
         v_new_out[0] = v_new.astype(v_new_out.dtype)
 
-        def rep(t):
-            # MQA/GQA: replicate the shared K/V lanes up to D so the
-            # grouped-head G-matrix formulation applies unchanged (lane
-            # broadcast on the VPU; exact)
-            if kvd == D:
-                return t
-            return jnp.concatenate([t] * (D // kvd), axis=-1)
-
         slot = jax.lax.broadcasted_iota(jnp.int32, (B, T, 1), 1)
         if mxu_attn:
             # logits over CACHED rows only (strictly < pos); the fresh row
@@ -331,19 +368,24 @@ def _make_kernel_v2(cfg: ModelConfig, B: int, T: int, L_enc: int,
             k = jnp.where(at_pos, k_new[:, None, :].astype(cdt), sk_in[0])
             v = jnp.where(at_pos, v_new[:, None, :].astype(cdt), sv_in[0])
 
-            kf = rep(k.astype(jnp.float32))
-            prod = (q * scale)[:, None, :] * kf        # (B, T, D)
-            logits = jax.lax.dot_general(
-                prod, G, dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)    # (B, T, H)
-            logits = jnp.where(slot <= pos, logits, -jnp.inf)
-            m = jnp.max(logits, axis=1, keepdims=True)
-            w = jnp.exp(logits - m)
-            probs = w / jnp.sum(w, axis=1, keepdims=True)  # (B, T, H)
-            probs_d = jax.lax.dot_general(
-                probs, G, dimension_numbers=(((2,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)    # (B, T, D)
-            attn = jnp.sum(probs_d * rep(v.astype(jnp.float32)), axis=1)
+            if kvd == D:
+                kf = k.astype(jnp.float32)
+                prod = (q * scale)[:, None, :] * kf    # (B, T, D)
+                logits = jax.lax.dot_general(
+                    prod, G, dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (B, T, H)
+                logits = jnp.where(slot <= pos, logits, -jnp.inf)
+                m = jnp.max(logits, axis=1, keepdims=True)
+                w = jnp.exp(logits - m)
+                probs = w / jnp.sum(w, axis=1, keepdims=True)  # (B, T, H)
+                probs_d = jax.lax.dot_general(
+                    probs, G, dimension_numbers=(((2,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (B, T, D)
+                attn = jnp.sum(probs_d * v.astype(jnp.float32), axis=1)
+            else:
+                keep = jax.lax.broadcasted_iota(
+                    jnp.int32, (B, T), 1) <= pos
+                attn = _mqa_attn_perhead(q * scale, k, v, keep, D, kvd)
         sa = mm(attn, w_out, s_out) + b_out[0]
         x = _ln(x + sa, ln[0, 0], ln[0, 1])
 
@@ -819,6 +861,12 @@ def fused_decoder_layers_step_v2(stacked, cfg: ModelConfig, x_emb, self_k,
             jax.ShapeDtypeStruct((L, B, kvd), self_v.dtype),
         ),
         interpret=interpret,
+        # The default 16 MB scoped-VMEM stack is ~5% short of the MQA
+        # per-head path's peak at eval batch sizes (16.87 MB at B=64,
+        # T=160) — v5e has 128 MB of VMEM, so raise the stack budget
+        # rather than contort the math into worse-lowering shapes.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(*operands)
     return x_out, k_new, v_new
 
@@ -991,13 +1039,6 @@ def _make_kernel_ragged(cfg: ModelConfig, Bc: int, T: int, L_enc: int,
                 return jnp.dot(x.astype(w_ref.dtype), w_ref[0],
                                preferred_element_type=jnp.float32)
 
-        def rep(t):
-            # MQA: replicate the shared K/V lanes up to D so the
-            # grouped-head G-matrix formulation applies unchanged
-            if kvd == D:
-                return t
-            return jnp.concatenate([t] * (D // kvd), axis=-1)
-
         # ---- self-attention, per-row positions ----
         qkv = mm(x, w_qkv, s_qkv) + b_qkv[0]
         q = qkv[:, :D]
@@ -1018,19 +1059,25 @@ def _make_kernel_ragged(cfg: ModelConfig, Bc: int, T: int, L_enc: int,
         # finished) must never poison the sum. K needs no mask: its NaNs
         # die in the post-dot `slot <= pos` -inf where below.
         v = jnp.where(slot <= p_col, v, jnp.zeros_like(v))
-        kf = rep(k.astype(jnp.float32))
-        prod = (q * scale)[:, None, :] * kf            # (Bc, T, D)
-        logits = jax.lax.dot_general(
-            prod, G, dimension_numbers=(((2,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (Bc, T, H)
-        logits = jnp.where(slot <= p_col, logits, -jnp.inf)
-        m = jnp.max(logits, axis=1, keepdims=True)
-        w = jnp.exp(logits - m)
-        probs = w / jnp.sum(w, axis=1, keepdims=True)
-        probs_d = jax.lax.dot_general(
-            probs, G, dimension_numbers=(((2,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)        # (Bc, T, D)
-        attn = jnp.sum(probs_d * rep(v.astype(jnp.float32)), axis=1)
+        if kvd == D:
+            kf = k.astype(jnp.float32)
+            prod = (q * scale)[:, None, :] * kf        # (Bc, T, D)
+            logits = jax.lax.dot_general(
+                prod, G, dimension_numbers=(((2,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # (Bc, T, H)
+            logits = jnp.where(slot <= p_col, logits, -jnp.inf)
+            m = jnp.max(logits, axis=1, keepdims=True)
+            w = jnp.exp(logits - m)
+            probs = w / jnp.sum(w, axis=1, keepdims=True)
+            probs_d = jax.lax.dot_general(
+                probs, G, dimension_numbers=(((2,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)    # (Bc, T, D)
+            attn = jnp.sum(probs_d * v.astype(jnp.float32), axis=1)
+        else:
+            # MQA: per-head loop (v is pre-masked above, so NaN-safe)
+            keep = (jax.lax.broadcasted_iota(jnp.int32, (Bc, T), 1)
+                    <= pos[:, None])
+            attn = _mqa_attn_perhead(q * scale, k, v, keep, D, kvd)
         sa = mm(attn, w_out, s_out) + b_out[0]
         x = _ln(x + sa, ln[0, 0], ln[0, 1])
 
@@ -1217,6 +1264,11 @@ def fused_ragged_step(stacked, cfg: ModelConfig, prev, pos,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((B, D), jnp.float32)],
         interpret=interpret,
+        # Headroom for the MQA per-head path at large chunk sizes (the
+        # default 16 MB scoped stack is ~5% short at Bc=64; v5e has
+        # 128 MB VMEM) — see fused_decoder_layers_step_v2.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
     )(jnp.asarray(pos, jnp.int32)[:, None],
       jnp.asarray(prev, jnp.int32)[:, None], G,
       stacked["emb"], stacked["pos_emb"],
