@@ -156,8 +156,10 @@ def bench_beam_eval(iters: int):
     vocab = {"<pad>": 0, "<sos>": 1, "<eos>": 2, "<unk>": 3}
     for i in range(4, cfg.vocab_size):
         vocab[f"t{i}"] = i
+    # use_fused: beam rides the ragged megakernel (decode/fused.py::
+    # beam_decode_fused) — the production fast path since round 3
     eng = DecodeEngine(params, state, cfg, DecodeConfig(batch_buckets=(64,)),
-                       Tokenizer(vocab))
+                       Tokenizer(vocab), use_fused=True)
     rng = np.random.default_rng(0)
     imgs = np.asarray(rng.standard_normal((64, cfg.img_h, cfg.img_w, 1)),
                       np.float32)
@@ -173,6 +175,7 @@ def bench_beam_eval(iters: int):
         "value": round(ips, 2),
         "unit": "images/sec",
         "vs_baseline": round(ips / CPU_BASELINE_BATCH10_IMGS, 2),
+        "use_fused": True,
     }
 
 
