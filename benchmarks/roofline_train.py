@@ -90,8 +90,15 @@ def main() -> None:
         caps = jnp.asarray(rng.integers(4, args.vocab,
                                         (b, cfg.max_seq_len), np.int32))
         st = jax.tree_util.tree_map(jnp.copy, state)
-        st, m = step(st, imgs, caps, key)  # compile
-        float(m["loss"])
+        try:
+            st, m = step(st, imgs, caps, key)  # compile
+            float(m["loss"])
+        except Exception as e:  # HBM OOM etc. — record and keep sweeping
+            msg = str(e)
+            rows.append({"batch": b, "error": msg[:200]
+                         + ("..." if len(msg) > 200 else "")})
+            print(json.dumps(rows[-1]), flush=True)
+            continue
         for _ in range(3):  # pre-roll
             st, m = step(st, imgs, caps, key)
         float(m["loss"])
