@@ -33,6 +33,8 @@ def main() -> None:
                     help="whole-step ragged Pallas megakernel segments")
     ap.add_argument("--block-b", type=int, default=16,
                     help="fused kernel batch-chunk rows (pool pads to it)")
+    ap.add_argument("--no-ring", action="store_true",
+                    help="disable the segment ring buffer (A/B arm)")
     ap.add_argument("--out", default="sweep_continuous_results.json")
     args = ap.parse_args()
 
@@ -65,7 +67,8 @@ def main() -> None:
         cont = ContinuousDecoder(params, state, cfg, tok, num_slots=slots,
                                  segment_steps=seg, pipeline_depth=depth,
                                  use_fused=args.fused,
-                                 fused_block_b=args.block_b)
+                                 fused_block_b=args.block_b,
+                                 segment_ring=not args.no_ring)
         cont.warmup()  # compile insert buckets + segment + scalars
         t0 = time.perf_counter()
         cont.run_all(images)
@@ -74,6 +77,7 @@ def main() -> None:
         row = {
             "slots": slots, "segment_steps": seg, "pipeline_depth": depth,
             "fused": args.fused, "block_b": args.block_b,
+            "segment_ring": cont.segment_ring,
             "img_per_s": round(args.requests / dt, 2),
             "elapsed_s": round(dt, 3),
             "segments": st["segments_run"],

@@ -235,6 +235,11 @@ class ServeConfig:
     # blocks on the oldest report — hides dispatch/tunnel latency
     # (decode/continuous.py pipelined scheduler).
     pipeline_depth: int = 4
+    # Continuous+fused mode: segment ring buffer — fresh K/V rows ride a
+    # small in-loop carry and the big cache takes one write-back per
+    # segment instead of a full-cache scatter per step (~45% of segment
+    # time; benchmarks/probe_ragged_split.py).
+    segment_ring: bool = True
     # Continuous mode multi-chip: shard the slot pool over a data-axis mesh
     # of this many devices (BASELINE config 5's v5e-4 target => 4). 1 = off.
     mesh_data_axis: int = 1
@@ -304,6 +309,10 @@ class ServeConfig:
             pipeline_depth=int(
                 env.get("SERVING_PIPELINE_DEPTH", defaults.pipeline_depth)
             ),
+            segment_ring=env.get(
+                "SERVING_SEGMENT_RING",
+                "1" if defaults.segment_ring else "0") in
+            ("1", "true", "True"),
             warmup_batch_sizes=tuple(
                 int(s) for s in env.get("SERVING_WARMUP", "1").split(",")
                 if s.strip() and int(s) > 0

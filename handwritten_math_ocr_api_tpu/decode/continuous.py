@@ -282,19 +282,97 @@ def insert_requests_fused(params, model_state, cfg: ModelConfig,
 def decode_segment_fused(stacked, cfg: ModelConfig, small: SmallState,
                          cache: Dict[str, jax.Array], n_steps: jax.Array,
                          l_enc_actual: int, block_b: int = 16,
-                         n_chunks: Optional[int] = None
+                         n_chunks: Optional[int] = None,
+                         ring_s: int = 0
                          ) -> Tuple[SmallState, Dict[str, jax.Array]]:
     """decode_segment on the whole-step ragged Pallas megakernel
     (ops/fused_step.fused_ragged_step): embedding + 8 layers + head run
     as ONE kernel per step instead of ~120 XLA fusions; only the
-    per-slot bookkeeping and the two fresh-row cache scatters stay
-    outside. Semantics identical to decode_segment (tests assert)."""
+    per-slot bookkeeping and the fresh-row cache appends stay outside.
+    Semantics identical to decode_segment (tests assert).
+
+    ``ring_s > 0`` enables the segment ring buffer: fresh K/V rows
+    accumulate in a small (L, B, ring_s, kvd) carry written at the
+    SCALAR step index (an in-place update), the kernel reads them as a
+    second attention extent, and the big cache takes ONE masked
+    write-back per segment. The per-step per-row scatter this replaces
+    rewrites the full cache every step and was measured at ~45% of
+    segment time (benchmarks/probe_ragged_split.py). ``ring_s`` must be
+    >= every ``n_steps`` this compiled program will be called with (the
+    engine passes its ``max_segment_steps``); ``n_steps`` is clamped to
+    it defensively."""
     from ..ops.fused_step import fused_ragged_step
 
     max_len = cfg.max_seq_len
 
     def live_of(s: SmallState):
         return s.active & ~s.finished
+
+    def write_tokens(s, nxt, logp, live):
+        is_eos = nxt == EOS_ID
+        lp_sum = s.lp_sum + jnp.where(live, logp, 0.0)
+        count = s.count + jnp.where(live & ~is_eos, 1, 0)
+        written = jax.vmap(
+            lambda row, p, t: jax.lax.dynamic_update_slice(row, t[None],
+                                                           (p,))
+        )(s.tokens, s.pos, nxt)
+        tokens = jnp.where(live[:, None], written, s.tokens)
+        done = live & (is_eos | (s.pos + 1 >= max_len))
+        pos = jnp.where(live, s.pos + 1, s.pos)
+        prev = jnp.where(live, jnp.where(is_eos, EOS_ID, nxt), s.prev)
+        return SmallState(prev=prev, pos=pos, active=s.active,
+                          finished=s.finished | done, tokens=tokens,
+                          lp_sum=lp_sum, count=count)
+
+    if ring_s:
+        seg0 = small.pos                       # (B,) segment-start snapshot
+        sk0, sv0 = cache["self_k"], cache["self_v"]
+        L, B, T, kvd_ = sk0.shape
+        n_clamped = jnp.minimum(jnp.asarray(n_steps, jnp.int32),
+                                jnp.int32(ring_s))
+
+        def cond_r(carry):
+            i, s, _, _ = carry
+            return jnp.logical_and(i < n_clamped, jnp.any(live_of(s)))
+
+        def body_r(carry):
+            i, s, rk, rv = carry
+            live = live_of(s)
+            nxt, logp, k_rows, v_rows = fused_ragged_step(
+                stacked, cfg, s.prev, s.pos, sk0, sv0,
+                cache["cross_k"], cache["cross_v"], l_enc_actual,
+                block_b=block_b, n_chunks=n_chunks,
+                seg_start=seg0, ring_k=rk, ring_v=rv)
+            # zero non-live rows (uncovered-chunk outputs are
+            # uninitialized; NaN garbage must never enter the ring)
+            live3 = live[None, :, None]
+            rk = jax.lax.dynamic_update_slice(
+                rk, jnp.where(live3, k_rows, 0)[:, :, None, :],
+                (0, 0, i, 0))
+            rv = jax.lax.dynamic_update_slice(
+                rv, jnp.where(live3, v_rows, 0)[:, :, None, :],
+                (0, 0, i, 0))
+            return (i + 1, write_tokens(s, nxt, logp, live), rk, rv)
+
+        rk0 = jnp.zeros((L, B, ring_s, kvd_), sk0.dtype)
+        _, out_small, rk, rv = jax.lax.while_loop(
+            cond_r, body_r,
+            (jnp.int32(0), small, rk0, jnp.zeros_like(rk0)))
+        # ONE masked write-back: cache rows [seg0_b, pos_end_b) take the
+        # ring rows (live rows advanced exactly one position per step,
+        # so ring row j maps to cache position seg0_b + j)
+        slot_t = jnp.arange(T)[None, :]                      # (1, T)
+        jpos = jnp.clip(slot_t - seg0[:, None], 0, ring_s - 1)
+        in_seg = ((slot_t >= seg0[:, None])
+                  & (slot_t < out_small.pos[:, None]))       # (B, T)
+        idx4 = jpos[None, :, :, None]
+        m4 = in_seg[None, :, :, None]
+        sk = jnp.where(m4, jnp.take_along_axis(rk, idx4, axis=2), sk0)
+        sv = jnp.where(m4, jnp.take_along_axis(rv, idx4, axis=2), sv0)
+        out_cache = dict(cache)
+        out_cache["self_k"] = sk
+        out_cache["self_v"] = sv
+        return out_small, out_cache
 
     def cond(carry):
         i, s, _, _ = carry
@@ -322,21 +400,7 @@ def decode_segment_fused(stacked, cfg: ModelConfig, small: SmallState,
         live3 = live[None, :, None]
         sk = append(sk, jnp.where(live3, k_rows, 0), s.pos)
         sv = append(sv, jnp.where(live3, v_rows, 0), s.pos)
-        is_eos = nxt == EOS_ID
-
-        lp_sum = s.lp_sum + jnp.where(live, logp, 0.0)
-        count = s.count + jnp.where(live & ~is_eos, 1, 0)
-        written = jax.vmap(
-            lambda row, p, t: jax.lax.dynamic_update_slice(row, t[None], (p,))
-        )(s.tokens, s.pos, nxt)
-        tokens = jnp.where(live[:, None], written, s.tokens)
-        done = live & (is_eos | (s.pos + 1 >= max_len))
-        pos = jnp.where(live, s.pos + 1, s.pos)
-        prev = jnp.where(live, jnp.where(is_eos, EOS_ID, nxt), s.prev)
-        new_s = SmallState(prev=prev, pos=pos, active=s.active,
-                           finished=s.finished | done, tokens=tokens,
-                           lp_sum=lp_sum, count=count)
-        return (i + 1, new_s, sk, sv)
+        return (i + 1, write_tokens(s, nxt, logp, live), sk, sv)
 
     _, out_small, sk, sv = jax.lax.while_loop(
         cond, body, (jnp.int32(0), small, cache["self_k"],
@@ -388,7 +452,8 @@ class ContinuousDecoder:
                  encoder_len: Optional[int] = None,
                  use_fused: bool = False, fused_block_b: int = 16,
                  quantize: bool = False,
-                 pallas_encoder_block: bool = False):
+                 pallas_encoder_block: bool = False,
+                 segment_ring: bool = True):
         """``mesh``: optional Mesh — the slot pool shards over the 'data'
         axis (params replicated), scaling continuous serving across chips
         (the v5e-4 target). The pool is padded so (num_slots + scratch)
@@ -402,7 +467,12 @@ class ContinuousDecoder:
 
         ``max_segment_steps``: adaptive upper segment length used when the
         pool is full and nothing is waiting for admission (defaults to
-        4x ``segment_steps``, capped at max_seq_len)."""
+        4x ``segment_steps``, capped at max_seq_len).
+
+        ``segment_ring``: fused path only — fresh K/V rows ride a small
+        in-loop ring buffer and the big cache is written back once per
+        segment instead of once per step (the per-step scatter was ~45%
+        of segment time; see decode_segment_fused)."""
         self.params = params
         self.model_state = model_state
         self.cfg = cfg
@@ -423,6 +493,7 @@ class ContinuousDecoder:
             logger.warning("quantize needs the fused segment kernel "
                            "(in-kernel dequant); serving bf16 weights")
         self.use_fused = use_fused
+        self.segment_ring = bool(segment_ring) and use_fused
         self.pallas_encoder_block = pallas_encoder_block
         self._l_enc = encoder_len or cfg.encoder_len
         extra = 1
@@ -512,10 +583,12 @@ class ContinuousDecoder:
             l_enc = self._l_enc
             row0, row1 = P("data"), P(None, "data")
 
+            ring_s = self.max_segment_steps if self.segment_ring else 0
+
             def _seg_local(p, small, cache, n):
                 s2, c2 = decode_segment_fused(
                     p, self.cfg, small, cache, n, l_enc,
-                    block_b=fused_block_b)
+                    block_b=fused_block_b, ring_s=ring_s)
                 return s2, c2, pack_report(s2)
 
             try:  # jax >= 0.8: jax.shard_map with check_vma
@@ -537,11 +610,14 @@ class ContinuousDecoder:
         elif use_fused:
             l_enc = self._l_enc
 
+            ring_s = self.max_segment_steps if self.segment_ring else 0
+
             def _make_seg(n_chunks):
                 def _seg(p, small, cache, n):
                     s2, c2 = decode_segment_fused(
                         p, self.cfg, small, cache, n, l_enc,
-                        block_b=fused_block_b, n_chunks=n_chunks)
+                        block_b=fused_block_b, n_chunks=n_chunks,
+                        ring_s=ring_s)
                     return s2, c2, pack_report(s2)
                 return jax.jit(_seg, donate_argnums=(2,))
 

@@ -129,11 +129,16 @@ def _mqa_attn_perhead(q_scaled, k, v, keep, D: int, kvd: int):
     k, v: (B, T, kvd) in storage dtype. v must be pre-masked by the
     caller if stale rows can hold NaNs (masked probs are exactly 0, but
     0 * NaN = NaN). keep: (B, T) bool causal keep-mask.
+    k/v/keep may also be equal-length lists of extents (e.g. the HBM
+    cache plus the segment ring buffer) — one softmax runs across all
+    extents via a shared online max.
     Returns attn (B, D) f32.
     """
     H = D // kvd
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
+    parts = [(k, v, keep)] if not isinstance(k, (list, tuple)) else \
+        list(zip(k, v, keep))
+    parts = [(kk.astype(jnp.float32), vv.astype(jnp.float32), mm_)
+             for kk, vv, mm_ in parts]
     row = jax.lax.broadcasted_iota(jnp.int32, (D, kvd), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (D, kvd), 1)
     row_t = jax.lax.broadcasted_iota(jnp.int32, (kvd, D), 0)
@@ -144,12 +149,18 @@ def _mqa_attn_perhead(q_scaled, k, v, keep, D: int, kvd: int):
         sel_t = (col_t == h * kvd + row_t).astype(jnp.float32)  # (dh, D)
         qh = jnp.dot(q_scaled, sel,
                      preferred_element_type=jnp.float32)     # (B, dh)
-        lg = jnp.sum(qh[:, None, :] * kf, axis=-1)           # (B, T)
-        lg = jnp.where(keep, lg, -jnp.inf)
-        mh = jnp.max(lg, axis=1, keepdims=True)
-        wh = jnp.exp(lg - mh)
-        ph = wh / jnp.sum(wh, axis=1, keepdims=True)         # (B, T)
-        oh = jnp.sum(ph[:, :, None] * vf, axis=1)            # (B, dh)
+        lgs = []
+        for kf, vf, kp in parts:
+            lg = jnp.sum(qh[:, None, :] * kf, axis=-1)       # (B, Tp_)
+            lgs.append(jnp.where(kp, lg, -jnp.inf))
+        mh = lgs[0].max(axis=1, keepdims=True)
+        for lg in lgs[1:]:                                   # shared max
+            mh = jnp.maximum(mh, lg.max(axis=1, keepdims=True))
+        whs = [jnp.exp(lg - mh) for lg in lgs]
+        den = sum(w.sum(axis=1, keepdims=True) for w in whs)  # (B, 1)
+        oh = jnp.zeros((q_scaled.shape[0], kvd), jnp.float32)
+        for w, (_, vf, _) in zip(whs, parts):
+            oh = oh + jnp.sum((w / den)[:, :, None] * vf, axis=1)
         attn = attn + jnp.dot(oh, sel_t,
                               preferred_element_type=jnp.float32)
     return attn
@@ -956,7 +967,8 @@ def fused_decoder_layers_step(stacked, cfg: ModelConfig, x_emb, self_k,
 def _make_kernel_ragged(cfg: ModelConfig, Bc: int, T: int, L_enc: int,
                         l_enc_actual: int, Vp: int, Tp: int, kvd: int,
                         quantized: bool = False,
-                        return_logits: bool = False):
+                        return_logits: bool = False,
+                        ring_s: int = 0):
     """Whole-step kernel with PER-ROW decode positions, for the continuous
     slot pool (decode/continuous.py): embedding gather + all decoder
     layers + output head in one Pallas program, grid (layers, B-chunks).
@@ -982,15 +994,19 @@ def _make_kernel_ragged(cfg: ModelConfig, Bc: int, T: int, L_enc: int,
              w_qkv, s_qkv, b_qkv, w_out, s_out, b_out,
              w_cq, s_cq, b_cq, w_co, s_co, b_co,
              w_ff1, s_ff1, b_ff1, w_ff2, s_ff2, b_ff2, ln,
-             sk_in, sv_in, ck_ref, cv_ref, w_head_ref, b_head_ref,
-             *out_refs) = refs
+             sk_in, sv_in, ck_ref, cv_ref, *rest) = refs
         else:
             (pos_ref, prev_ref, g_ref, emb_ref, pos_tab_ref,
              w_qkv, b_qkv, w_out, b_out, w_cq, b_cq, w_co, b_co,
              w_ff1, b_ff1, w_ff2, b_ff2, ln,
-             sk_in, sv_in, ck_ref, cv_ref, w_head_ref, b_head_ref,
-             *out_refs) = refs
+             sk_in, sv_in, ck_ref, cv_ref, *rest) = refs
             s_qkv = s_out = s_cq = s_co = s_ff1 = s_ff2 = None
+        if ring_s:
+            seg_ref, rk_in, rv_in = rest[:3]
+            rest = rest[3:]
+        else:
+            seg_ref = rk_in = rv_in = None
+        w_head_ref, b_head_ref, *out_refs = rest
         if return_logits:  # full distribution out (beam search consumers)
             logits_out, k_new_out, v_new_out, x_scr = out_refs
             nxt_out = logp_out = None
@@ -1049,35 +1065,94 @@ def _make_kernel_ragged(cfg: ModelConfig, Bc: int, T: int, L_enc: int,
 
         slot = jax.lax.broadcasted_iota(jnp.int32, (Bc, T, 1), 1)
         p_col = pos[:, None, None]                     # (Bc, 1, 1)
-        at_pos = slot == p_col
-        k = jnp.where(at_pos, k_new[:, None, :].astype(cdt), sk_in[0])
-        v = jnp.where(at_pos, v_new[:, None, :].astype(cdt), sv_in[0])
-        # Zero V beyond the causal horizon: attn sums probs*v over ALL T
-        # rows and masked probs are exactly 0, but 0*NaN = NaN — a
-        # recycled slot's stale cache rows (incl. uninitialized garbage
-        # scattered there by bucketed dispatch while the slot sat
-        # finished) must never poison the sum. K needs no mask: its NaNs
-        # die in the post-dot `slot <= pos` -inf where below.
-        v = jnp.where(slot <= p_col, v, jnp.zeros_like(v))
-        if kvd == D:
-            kf = k.astype(jnp.float32)
-            prod = (q * scale)[:, None, :] * kf        # (Bc, T, D)
-            logits = jax.lax.dot_general(
-                prod, G, dimension_numbers=(((2,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)    # (Bc, T, H)
-            logits = jnp.where(slot <= p_col, logits, -jnp.inf)
-            m = jnp.max(logits, axis=1, keepdims=True)
-            w = jnp.exp(logits - m)
-            probs = w / jnp.sum(w, axis=1, keepdims=True)
-            probs_d = jax.lax.dot_general(
-                probs, G, dimension_numbers=(((2,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)    # (Bc, T, D)
-            attn = jnp.sum(probs_d * v.astype(jnp.float32), axis=1)
+        if ring_s:
+            # Segment-ring mode: rows [seg_start, pos] live in the small
+            # (S, kvd) ring (previous steps of THIS segment, written by
+            # scalar-index updates in the caller's loop — cheap), plus
+            # the fresh row merged here at j = pos - seg_start. The HBM
+            # cache supplies rows < seg_start only; it is written back
+            # ONCE per segment instead of per step (the per-step
+            # full-cache scatter was 45% of segment time — see
+            # benchmarks/probe_ragged_split.py). One softmax spans both
+            # extents via a shared online max.
+            seg0 = seg_ref[:, 0]                       # (Bc,)
+            s0_col = seg0[:, None, None]
+            jslot = jax.lax.broadcasted_iota(jnp.int32, (Bc, ring_s, 1), 1)
+            jc_col = (pos - seg0)[:, None, None]       # (Bc, 1, 1)
+            rk = jnp.where(jslot == jc_col,
+                           k_new[:, None, :].astype(cdt), rk_in[0])
+            rv = jnp.where(jslot == jc_col,
+                           v_new[:, None, :].astype(cdt), rv_in[0])
+            # 0*NaN belts: V of both extents zeroed beyond their masks
+            rv = jnp.where(jslot <= jc_col, rv, jnp.zeros_like(rv))
+            v_c = jnp.where(slot < s0_col, sv_in[0],
+                            jnp.zeros_like(sv_in[0]))
+            if kvd == D:
+                q_s = (q * scale)[:, None, :]
+                prod = q_s * sk_in[0].astype(jnp.float32)
+                lc = jax.lax.dot_general(
+                    prod, G, dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (Bc, T, H)
+                lc = jnp.where(slot < s0_col, lc, -jnp.inf)
+                prod_r = q_s * rk.astype(jnp.float32)
+                lr = jax.lax.dot_general(
+                    prod_r, G, dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (Bc, S, H)
+                lr = jnp.where(jslot <= jc_col, lr, -jnp.inf)
+                m = jnp.maximum(jnp.max(lc, axis=1, keepdims=True),
+                                jnp.max(lr, axis=1, keepdims=True))
+                wc_ = jnp.exp(lc - m)
+                wr_ = jnp.exp(lr - m)
+                den = (jnp.sum(wc_, axis=1, keepdims=True)
+                       + jnp.sum(wr_, axis=1, keepdims=True))
+                pc_d = jax.lax.dot_general(
+                    wc_ / den, G,
+                    dimension_numbers=(((2,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (Bc, T, D)
+                pr_d = jax.lax.dot_general(
+                    wr_ / den, G,
+                    dimension_numbers=(((2,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (Bc, S, D)
+                attn = (jnp.sum(pc_d * v_c.astype(jnp.float32), axis=1)
+                        + jnp.sum(pr_d * rv.astype(jnp.float32), axis=1))
+            else:
+                keep_c = (jax.lax.broadcasted_iota(
+                    jnp.int32, (Bc, T), 1) < seg0[:, None])
+                keep_r = (jax.lax.broadcasted_iota(
+                    jnp.int32, (Bc, ring_s), 1) <= (pos - seg0)[:, None])
+                attn = _mqa_attn_perhead(
+                    q * scale, [sk_in[0], rk], [v_c, rv],
+                    [keep_c, keep_r], D, kvd)
         else:
-            # MQA: per-head loop (v is pre-masked above, so NaN-safe)
-            keep = (jax.lax.broadcasted_iota(jnp.int32, (Bc, T), 1)
-                    <= pos[:, None])
-            attn = _mqa_attn_perhead(q * scale, k, v, keep, D, kvd)
+            at_pos = slot == p_col
+            k = jnp.where(at_pos, k_new[:, None, :].astype(cdt), sk_in[0])
+            v = jnp.where(at_pos, v_new[:, None, :].astype(cdt), sv_in[0])
+            # Zero V beyond the causal horizon: attn sums probs*v over ALL
+            # T rows and masked probs are exactly 0, but 0*NaN = NaN — a
+            # recycled slot's stale cache rows (incl. uninitialized garbage
+            # scattered there by bucketed dispatch while the slot sat
+            # finished) must never poison the sum. K needs no mask: its
+            # NaNs die in the post-dot `slot <= pos` -inf where below.
+            v = jnp.where(slot <= p_col, v, jnp.zeros_like(v))
+            if kvd == D:
+                kf = k.astype(jnp.float32)
+                prod = (q * scale)[:, None, :] * kf    # (Bc, T, D)
+                logits = jax.lax.dot_general(
+                    prod, G, dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (Bc, T, H)
+                logits = jnp.where(slot <= p_col, logits, -jnp.inf)
+                m = jnp.max(logits, axis=1, keepdims=True)
+                w = jnp.exp(logits - m)
+                probs = w / jnp.sum(w, axis=1, keepdims=True)
+                probs_d = jax.lax.dot_general(
+                    probs, G, dimension_numbers=(((2,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # (Bc, T, D)
+                attn = jnp.sum(probs_d * v.astype(jnp.float32), axis=1)
+            else:
+                # MQA: per-head loop (v pre-masked above, so NaN-safe)
+                keep = (jax.lax.broadcasted_iota(jnp.int32, (Bc, T), 1)
+                        <= pos[:, None])
+                attn = _mqa_attn_perhead(q * scale, k, v, keep, D, kvd)
         sa = mm(attn, w_out, s_out) + b_out[0]
         x = _ln(x + sa, ln[0, 0], ln[0, 1])
 
@@ -1136,6 +1211,7 @@ def fused_ragged_step(stacked, cfg: ModelConfig, prev, pos,
                       l_enc_actual: int | None = None, *,
                       block_b: int = 16, n_chunks: int | None = None,
                       return_logits: bool = False,
+                      seg_start=None, ring_k=None, ring_v=None,
                       interpret: bool | None = None):
     """One whole ragged decode step for the continuous slot pool.
 
@@ -1151,7 +1227,14 @@ def fused_ragged_step(stacked, cfg: ModelConfig, prev, pos,
     ``return_logits=True`` replaces the in-kernel argmax with the full
     head distribution: returns (logits (B, Vp) f32, k_new, v_new). The
     beam consumer (decode/fused.py::beam_decode_fused) needs every
-    candidate's log-prob, not the top-1, so ranking moves to XLA."""
+    candidate's log-prob, not the top-1, so ranking moves to XLA.
+
+    Segment-ring mode (``seg_start`` (B,) + ``ring_k``/``ring_v``
+    (L, B, S, kvd)): rows [seg_start_b, pos_b] are read from the ring
+    (this segment's fresh rows) instead of the cache; the cache only
+    supplies rows < seg_start_b, so the caller can defer the expensive
+    per-row cache scatter to once per segment (decode/continuous.py::
+    decode_segment_fused(ring=True))."""
     from . import default_interpret
 
     if interpret is None:
@@ -1226,9 +1309,15 @@ def fused_ragged_step(stacked, cfg: ModelConfig, prev, pos,
         )
 
     quantized = "w_qkv_s" in stacked
+    ring_s = 0
+    if ring_k is not None:
+        if seg_start is None or ring_v is None:
+            raise ValueError("ring mode needs seg_start, ring_k AND ring_v")
+        ring_s = ring_k.shape[2]
     kernel = _make_kernel_ragged(cfg, Bc, T, L_enc, l_enc_actual, Vp, Tp,
                                  kvd, quantized=quantized,
-                                 return_logits=return_logits)
+                                 return_logits=return_logits,
+                                 ring_s=ring_s)
 
     w_dims = {"w_qkv": (D, 2 * kvd + D), "w_out": (D, D), "w_cq": (D, D),
               "w_co": (D, D), "w_ff1": (D, ff), "w_ff2": (ff, D)}
@@ -1241,6 +1330,16 @@ def fused_ragged_step(stacked, cfg: ModelConfig, prev, pos,
             weight_args.append(stacked[f"{k}_s"])
         weight_specs.append(per_layer((1, w_dims[k][1])))   # bias
         weight_args.append(stacked["b" + k[1:]])
+
+    ring_specs, ring_args = [], []
+    if ring_s:
+        ring_specs = [
+            per_chunk_col(Bc),              # seg_start
+            per_layer_chunk((ring_s, kvd)),  # ring_k
+            per_layer_chunk((ring_s, kvd)),  # ring_v
+        ]
+        ring_args = [jnp.asarray(seg_start, jnp.int32)[:, None],
+                     ring_k, ring_v]
 
     outs = pl.pallas_call(
         kernel,
@@ -1257,6 +1356,7 @@ def fused_ragged_step(stacked, cfg: ModelConfig, prev, pos,
             per_layer_chunk((T, kvd)),      # self_v
             per_layer_chunk((L_enc, D)),    # cross_k
             per_layer_chunk((L_enc, D)),    # cross_v
+            *ring_specs,
             fixed((D, Vp)),                 # w_head (f32)
             fixed((1, Vp)),                 # b_head (f32, pads -1e9)
         ],
@@ -1274,6 +1374,7 @@ def fused_ragged_step(stacked, cfg: ModelConfig, prev, pos,
       stacked["emb"], stacked["pos_emb"],
       *weight_args,
       stacked["ln"], self_k, self_v, cross_k, cross_v,
+      *ring_args,
       stacked["w_head"], stacked["b_head"])
     if return_logits:
         logits, k_out, v_out = outs

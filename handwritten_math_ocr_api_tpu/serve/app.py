@@ -153,7 +153,8 @@ class ServerState:
                 pipeline_depth=self.cfg.pipeline_depth,
                 use_fused=self.cfg.use_fused_decode,
                 quantize=self.cfg.quantize_decode,
-                pallas_encoder_block=self.cfg.pallas_encoder_block)
+                pallas_encoder_block=self.cfg.pallas_encoder_block,
+                segment_ring=self.cfg.segment_ring)
             try:  # pre-compile insert buckets/segment so the first
                 decoder.warmup()  # requests never pay a compile
             except Exception:

@@ -432,3 +432,96 @@ def test_serving_engine_fault_recovery():
         await eng.stop()
 
     asyncio.run(run())
+
+
+def test_fused_ring_off_matches_jnp(setup):
+    """segment_ring=False (the classic per-step scatter path) must still
+    equal the XLA engine — kept compiled+tested as the ring A/B arm."""
+    params, mstate, tok = setup
+    rng = np.random.default_rng(9)
+    imgs = rng.standard_normal((4, 96, 320, 1)).astype(np.float32)
+    engine = DecodeEngine(params, mstate, CFG, tokenizer=tok)
+    want = engine.predict_with_confidence(imgs)
+
+    cont = ContinuousDecoder(params, mstate, CFG, tok, num_slots=2,
+                             segment_steps=3, encode_buckets=(1, 2),
+                             use_fused=True, segment_ring=False)
+    assert cont.use_fused and not cont.segment_ring
+    outs = cont.run_all(list(imgs))
+    for i, (latex, conf) in enumerate(outs):
+        assert latex == want[i][0], i
+        assert abs(conf - want[i][1]) < 1e-4
+
+
+def test_fused_ring_segment_matches_plain_exact(setup):
+    """decode_segment_fused(ring_s=K) vs ring_s=0 on the same ragged
+    mid-decode state: identical tokens/positions/log-probs and an
+    identical self-cache after the once-per-segment write-back —
+    including finished rows (no write), rows at heterogeneous positions,
+    and inactive rows."""
+    from handwritten_math_ocr_api_tpu.decode.continuous import (
+        SmallState, decode_segment_fused, init_slot_state_fused,
+    )
+    from handwritten_math_ocr_api_tpu.ops.fused_step import (
+        build_stacked_full,
+    )
+
+    params, mstate, tok = setup
+    stacked = build_stacked_full(params["decoder"], CFG)
+    B = 16  # one kernel block
+    small0, cache0 = init_slot_state_fused(CFG, B)
+    rng = np.random.default_rng(11)
+    L = CFG.num_decoder_layers
+    T = CFG.max_seq_len
+    kvd = cache0["self_k"].shape[-1]
+    l_enc = cache0["cross_k"].shape[2]
+    cache = {
+        "self_k": jnp.asarray(
+            rng.standard_normal((L, B, T, kvd)) * 0.2,
+            cache0["self_k"].dtype),
+        "self_v": jnp.asarray(
+            rng.standard_normal((L, B, T, kvd)) * 0.2,
+            cache0["self_v"].dtype),
+        "cross_k": jnp.asarray(
+            rng.standard_normal((L, B, l_enc, CFG.d_model)) * 0.2,
+            cache0["cross_k"].dtype),
+        "cross_v": jnp.asarray(
+            rng.standard_normal((L, B, l_enc, CFG.d_model)) * 0.2,
+            cache0["cross_v"].dtype),
+    }
+    pos = jnp.asarray(rng.integers(0, 7, B), jnp.int32)
+    active = jnp.asarray(rng.random(B) < 0.8)
+    finished = jnp.asarray(rng.random(B) < 0.25) & active
+    small = SmallState(
+        prev=jnp.asarray(rng.integers(4, CFG.vocab_size, B), jnp.int32),
+        pos=pos, active=active, finished=finished,
+        tokens=jnp.zeros((B, T), jnp.int32),
+        lp_sum=jnp.zeros((B,), jnp.float32),
+        count=jnp.zeros((B,), jnp.int32),
+    )
+    n = jnp.int32(4)
+    s_plain, c_plain = decode_segment_fused(
+        stacked, CFG, small, dict(cache), n, l_enc, ring_s=0)
+    s_ring, c_ring = decode_segment_fused(
+        stacked, CFG, small, dict(cache), n, l_enc, ring_s=8)
+    assert bool(jnp.all(s_plain.prev == s_ring.prev))
+    assert bool(jnp.all(s_plain.pos == s_ring.pos))
+    assert bool(jnp.all(s_plain.finished == s_ring.finished))
+    assert bool(jnp.all(s_plain.tokens == s_ring.tokens))
+    np.testing.assert_allclose(np.asarray(s_plain.lp_sum),
+                               np.asarray(s_ring.lp_sum),
+                               rtol=1e-5, atol=1e-6)
+    # Compare caches on each row's VALID extent [0, pos_end) only. The
+    # two paths differ intentionally outside it: the plain path's
+    # live-masked scatter incidentally writes zeros at non-live rows'
+    # frozen positions every step, while the ring write-back skips those
+    # rows entirely — both are don't-care garbage territory (attention
+    # masks them; recycling overwrites them).
+    valid = (np.arange(T)[None, :]
+             < np.asarray(s_ring.pos)[:, None])[None, :, :, None]
+    for key in ("self_k", "self_v"):
+        a = np.asarray(c_plain[key], np.float32)
+        b = np.asarray(c_ring[key], np.float32)
+        np.testing.assert_allclose(np.where(valid, a, 0.0),
+                                   np.where(valid, b, 0.0),
+                                   rtol=1e-5, atol=1e-6)
