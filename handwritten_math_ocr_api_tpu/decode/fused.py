@@ -74,7 +74,8 @@ def greedy_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
                         sos_id: int = SOS_ID, eos_id: int = EOS_ID,
                         pad_id: int = PAD_ID,
                         interpret: bool | None = None,
-                        variant: str = "v2") -> GreedyResult:
+                        variant: str = "v2",
+                        t_buckets: tuple = (40, 80, 120)) -> GreedyResult:
     """Drop-in equivalent of decode.greedy.greedy_decode using the fused
     layer kernel. ``stacked`` from ops.fused_step.build_stacked.
 
@@ -156,7 +157,7 @@ def greedy_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
         step, _, finished, *_ = state
         return jnp.logical_and(step < T_out, ~jnp.all(finished))
 
-    def body(state):
+    def body(state, t_active=None):
         step, prev, finished, tokens, lp_sum, count, sk, sv = state
         if variant in ("v3", "v4"):
             if variant == "v4":
@@ -187,7 +188,7 @@ def greedy_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
             x, k_new, v_new = fused_decoder_layers_step_v2(
                 stacked, cfg, x_emb, sk, sv, cross_k, cross_v, step,
                 l_enc_actual=l_enc_actual, interpret=interpret,
-                mxu_attn=variant == "v2m")
+                mxu_attn=variant == "v2m", t_active=t_active)
             sk = jax.lax.dynamic_update_slice(
                 sk, k_new[:, :, None, :], (0, 0, step, 0))
             sv = jax.lax.dynamic_update_slice(
@@ -213,8 +214,31 @@ def greedy_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
         return (step + 1, prev_next, finished, tokens, lp_sum, count,
                 sk, sv)
 
-    _, _, _, tokens, lp_sum, count, _, _ = jax.lax.while_loop(
-        cond, body, state0)
+    if variant == "v2":
+        # T-prefix bucketing: at decode step t only cache rows [0, t)
+        # exist, but a single compiled step streams and computes the
+        # full T extent every step. Chain one while_loop per static
+        # T bucket — the kernel in bucket b only fetches (BlockSpec
+        # prefix) and attends over [0, b). Average extent for a
+        # worst-case 150-step decode drops 150 -> ~93; a typical
+        # ~25-token decode stays entirely in the first bucket.
+        buckets = sorted({min(b, T_out) for b in (t_buckets or ())}
+                         | {T_out})
+        state = state0
+        for tb in buckets:
+            def cond_b(state, _tb=jnp.int32(min(tb, T_out))):
+                step, _, finished, *_ = state
+                return jnp.logical_and(step < _tb,
+                                       ~jnp.all(finished))
+
+            state = jax.lax.while_loop(
+                cond_b,
+                lambda s, _tb=(None if tb >= T_out else tb): body(s, _tb),
+                state)
+        _, _, _, tokens, lp_sum, count, _, _ = state
+    else:
+        _, _, _, tokens, lp_sum, count, _, _ = jax.lax.while_loop(
+            cond, body, state0)
     lengths = jnp.sum(tokens != pad_id, axis=-1)
     return GreedyResult(tokens, lengths, lp_sum, count)
 

@@ -775,7 +775,8 @@ def fused_decoder_layers_step_v2(stacked, cfg: ModelConfig, x_emb, self_k,
                                  self_v, cross_k, cross_v, pos,
                                  l_enc_actual: int | None = None,
                                  *, interpret: bool | None = None,
-                                 mxu_attn: bool = False):
+                                 mxu_attn: bool = False,
+                                 t_active: int | None = None):
     """Compute-only fused step. Caches are inputs only; returns
     (x_out (B, D) f32, k_new (L, B, D), v_new (L, B, D)) — the caller
     appends the rows with one dynamic_update_slice per stacked cache.
@@ -785,13 +786,23 @@ def fused_decoder_layers_step_v2(stacked, cfg: ModelConfig, x_emb, self_k,
     matmul output inside the kernel (half the weight bandwidth).
 
     ``mxu_attn=True`` selects the batched-MXU attention formulation
-    (measured slower at batch 10; see :func:`_make_kernel_v2`)."""
+    (measured slower at batch 10; see :func:`_make_kernel_v2`).
+
+    ``t_active``: static T-prefix bucket — the kernel streams and
+    computes only cache rows [0, t_active), valid whenever every row's
+    ``pos`` < t_active. The decode loop chains per-bucket while_loops
+    (greedy_decode_fused), halving average cache DMA + attention
+    compute over a full worst-case decode."""
     from . import default_interpret
 
     if interpret is None:
         interpret = default_interpret()
     quantized = "w_qkv_s" in stacked
     L, B, T, kvd = self_k.shape     # kvd < D under MQA/GQA
+    if t_active is not None:
+        if not 0 < t_active <= T:
+            raise ValueError(f"t_active {t_active} not in (0, {T}]")
+        T = t_active
     D = cfg.d_model
     L_enc = cross_k.shape[2]
     if l_enc_actual is None:
