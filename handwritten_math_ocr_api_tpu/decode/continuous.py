@@ -283,7 +283,8 @@ def decode_segment_fused(stacked, cfg: ModelConfig, small: SmallState,
                          cache: Dict[str, jax.Array], n_steps: jax.Array,
                          l_enc_actual: int, block_b: int = 16,
                          n_chunks: Optional[int] = None,
-                         ring_s: int = 0
+                         ring_s: int = 0,
+                         t_active: Optional[int] = None
                          ) -> Tuple[SmallState, Dict[str, jax.Array]]:
     """decode_segment on the whole-step ragged Pallas megakernel
     (ops/fused_step.fused_ragged_step): embedding + 8 layers + head run
@@ -342,7 +343,8 @@ def decode_segment_fused(stacked, cfg: ModelConfig, small: SmallState,
                 stacked, cfg, s.prev, s.pos, sk0, sv0,
                 cache["cross_k"], cache["cross_v"], l_enc_actual,
                 block_b=block_b, n_chunks=n_chunks,
-                seg_start=seg0, ring_k=rk, ring_v=rv)
+                seg_start=seg0, ring_k=rk, ring_v=rv,
+                t_active=t_active)
             # zero non-live rows (uncovered-chunk outputs are
             # uninitialized; NaN garbage must never enter the ring)
             live3 = live[None, :, None]
@@ -390,7 +392,7 @@ def decode_segment_fused(stacked, cfg: ModelConfig, small: SmallState,
         nxt, logp, k_rows, v_rows = fused_ragged_step(
             stacked, cfg, s.prev, s.pos, sk, sv,
             cache["cross_k"], cache["cross_v"], l_enc_actual,
-            block_b=block_b, n_chunks=n_chunks)
+            block_b=block_b, n_chunks=n_chunks, t_active=t_active)
         # never scatter non-live rows: with bucketed dispatch (n_chunks)
         # the kernel leaves rows of uncovered chunks UNINITIALIZED, and
         # appending that garbage (possibly NaN bit patterns) into a
@@ -453,7 +455,8 @@ class ContinuousDecoder:
                  use_fused: bool = False, fused_block_b: int = 16,
                  quantize: bool = False,
                  pallas_encoder_block: bool = False,
-                 segment_ring: bool = True):
+                 segment_ring: bool = True,
+                 t_buckets: Optional[Tuple[int, ...]] = None):
         """``mesh``: optional Mesh — the slot pool shards over the 'data'
         axis (params replicated), scaling continuous serving across chips
         (the v5e-4 target). The pool is padded so (num_slots + scratch)
@@ -551,6 +554,7 @@ class ContinuousDecoder:
                                                  self._cache)
         self._free: List[int] = list(range(num_slots))
         self._slot_req: Dict[int, int] = {}
+        self._pos_ub: Dict[int, int] = {}  # slot -> position upper bound
         self._admit_seg: Dict[int, int] = {}  # slot -> first segment index
         self._pending: List[Tuple[int, jax.Array]] = []
         self._next_id = 0
@@ -611,13 +615,16 @@ class ContinuousDecoder:
             l_enc = self._l_enc
 
             ring_s = self.max_segment_steps if self.segment_ring else 0
+            Tmax = cfg.max_seq_len
 
-            def _make_seg(n_chunks):
+            def _make_seg(n_chunks, tb):
+                t_active = None if tb >= Tmax else tb
+
                 def _seg(p, small, cache, n):
                     s2, c2 = decode_segment_fused(
                         p, self.cfg, small, cache, n, l_enc,
                         block_b=fused_block_b, n_chunks=n_chunks,
-                        ring_s=ring_s)
+                        ring_s=ring_s, t_active=t_active)
                     return s2, c2, pack_report(s2)
                 return jax.jit(_seg, donate_argnums=(2,))
 
@@ -632,9 +639,20 @@ class ContinuousDecoder:
                 b *= 2
             buckets.append(nb_full)
             self._seg_buckets = sorted(set(buckets))
-            self._segment_fns = {nc: _make_seg(nc)
-                                 for nc in self._seg_buckets}
-            self._segment_fn = self._segment_fns[nb_full]
+            # T-prefix buckets: a segment only streams/computes cache
+            # rows [0, tb) where tb covers the pool's highest position
+            # upper bound (host-tracked) — young pools skip most of the
+            # T extent (the ragged kernel's cache DMA + attention
+            # compute scale with it; benchmarks/probe_ragged_kernel_
+            # floor.py).
+            self._t_buckets = sorted(
+                {min(b, Tmax) for b in (t_buckets
+                                        if t_buckets is not None
+                                        else (40, 80, 120))} | {Tmax})
+            self._segment_fns = {
+                (nc, tb): _make_seg(nc, tb)
+                for nc in self._seg_buckets for tb in self._t_buckets}
+            self._segment_fn = self._segment_fns[(nb_full, Tmax)]
         else:
             def _seg(p, small, cache, n):
                 s2, c2 = decode_segment(p, self.cfg, small, cache, n)
@@ -666,6 +684,7 @@ class ContinuousDecoder:
         self._pending.clear()
         self._slot_req.clear()
         self._admit_seg.clear()
+        self._pos_ub.clear()
         self._free = list(range(self.num_slots))
         self._in_flight.clear()
         self._inflight = 0
@@ -745,7 +764,21 @@ class ContinuousDecoder:
                 # masked out and need no compute
                 need = -(-(max(self._slot_req) + 1) // self._block_b)
                 nchunks = next(b for b in self._seg_buckets if b >= need)
-                seg_fn = self._segment_fns[nchunks]
+                # smallest T-prefix bucket covering every occupied
+                # slot's position upper bound: ring mode reads cache
+                # rows < seg_start <= ub; the plain path reads rows
+                # <= pos which advances up to ub + n this segment
+                Tmax = self._t_buckets[-1]
+                need_t = max((self._pos_ub.get(s, Tmax)
+                              for s in self._slot_req), default=1)
+                if not self.segment_ring:
+                    need_t += n
+                tb = next(b for b in self._t_buckets
+                          if b >= min(max(need_t, 1), Tmax))
+                seg_fn = self._segment_fns[(nchunks, tb)]
+                for s in self._slot_req:
+                    self._pos_ub[s] = min(
+                        self._pos_ub.get(s, 0) + n, Tmax)
                 self.rows_scheduled += n * nchunks * self._block_b
             self._small, self._cache, rep = seg_fn(
                 self._seg_params, self._small, self._cache, nc)
@@ -889,9 +922,14 @@ class ContinuousDecoder:
         # to execute — smaller ones would apply uncomputed rows.
         live_max = max(self._slot_req, default=-1)
         need = -(-(live_max + 1) // self._block_b)
-        for nc, fn in self._segment_fns.items():
+        need_t = max((self._pos_ub.get(s, 10 ** 9)
+                      for s in self._slot_req), default=0)
+        for key, fn in self._segment_fns.items():
+            nc, tb = key if isinstance(key, tuple) else (key, None)
             if nc is not None and nc < need:
                 continue
+            if tb is not None and tb < need_t:
+                continue  # smaller T than a live slot's position
             self._small, self._cache, _rep = fn(
                 self._seg_params, self._small, self._cache,
                 self._nsteps_const[self.segment_steps])
@@ -938,6 +976,7 @@ class ContinuousDecoder:
         self.t_admit_insert += time.perf_counter() - ti
         for slot, (rid, _) in zip(slots, batch):
             self._slot_req[slot] = rid
+            self._pos_ub[slot] = 0
             # effective from the NEXT dispatched segment: reports from
             # earlier segments must not harvest this slot
             self._admit_seg[slot] = self._seg_counter + 1
@@ -987,6 +1026,7 @@ class ContinuousDecoder:
         for s in done_slots:
             rid = self._slot_req.pop(s)
             self._admit_seg.pop(s, None)
+            self._pos_ub.pop(s, None)
             self.tokens_emitted += int(counts[s])
             if counts[s] == 0:
                 results[rid] = (EMPTY_RESULT_FALLBACK, 0.0)

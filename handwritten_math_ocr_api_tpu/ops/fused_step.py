@@ -1223,6 +1223,7 @@ def fused_ragged_step(stacked, cfg: ModelConfig, prev, pos,
                       block_b: int = 16, n_chunks: int | None = None,
                       return_logits: bool = False,
                       seg_start=None, ring_k=None, ring_v=None,
+                      t_active: int | None = None,
                       interpret: bool | None = None):
     """One whole ragged decode step for the continuous slot pool.
 
@@ -1245,12 +1246,23 @@ def fused_ragged_step(stacked, cfg: ModelConfig, prev, pos,
     (this segment's fresh rows) instead of the cache; the cache only
     supplies rows < seg_start_b, so the caller can defer the expensive
     per-row cache scatter to once per segment (decode/continuous.py::
-    decode_segment_fused(ring=True))."""
+    decode_segment_fused(ring=True)).
+
+    ``t_active``: static T-prefix bucket — stream/compute only cache
+    rows [0, t_active). Correctness requires t_active > every row's
+    highest READ cache slot: >= max(seg_start) in ring mode,
+    > max(pos) reached during the call otherwise (the engine tracks a
+    host-side per-slot position upper bound and picks the bucket per
+    segment)."""
     from . import default_interpret
 
     if interpret is None:
         interpret = default_interpret()
     L, B, T, kvd = self_k.shape
+    if t_active is not None:
+        if not 0 < t_active <= T:
+            raise ValueError(f"t_active {t_active} not in (0, {T}]")
+        T = t_active
     if B % block_b:
         raise ValueError(f"pool size {B} not a multiple of {block_b}")
     nB = B // block_b

@@ -525,3 +525,51 @@ def test_fused_ring_segment_matches_plain_exact(setup):
         np.testing.assert_allclose(np.where(valid, a, 0.0),
                                    np.where(valid, b, 0.0),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_fused_t_bucketed_segments_match(setup):
+    """T-prefix bucketed segment dispatch (multiple compiled T buckets,
+    host-tracked position upper bounds) must equal the XLA engine under
+    trickled admission and slot recycling — positions straddle the
+    bucket boundaries as decodes progress."""
+    params, mstate, tok = setup
+    rng = np.random.default_rng(13)
+    imgs = rng.standard_normal((6, 96, 320, 1)).astype(np.float32)
+    engine = DecodeEngine(params, mstate, CFG, tokenizer=tok)
+    want = engine.predict_with_confidence(imgs)
+
+    cont = ContinuousDecoder(params, mstate, CFG, tok, num_slots=2,
+                             segment_steps=2, encode_buckets=(1, 2),
+                             use_fused=True, t_buckets=(4, 8))
+    assert len(cont._t_buckets) == 3, cont._t_buckets  # 4, 8, 12
+    results = {}
+    ids = [cont.submit(imgs[0]), cont.submit(imgs[1])]
+    submitted = 2
+    while not cont.idle:
+        results.update(cont.step_once())
+        if submitted < 6:
+            ids.append(cont.submit(imgs[submitted]))
+            submitted += 1
+    assert len(results) == 6
+    for i, rid in enumerate(ids):
+        assert results[rid][0] == want[i][0], i
+        assert abs(results[rid][1] - want[i][1]) < 1e-4
+
+
+def test_fused_t_bucketed_ring_off_matches(setup):
+    """Same as above on the plain (ring-off) path, whose bucket bound
+    must additionally cover positions advanced during the segment."""
+    params, mstate, tok = setup
+    rng = np.random.default_rng(14)
+    imgs = rng.standard_normal((4, 96, 320, 1)).astype(np.float32)
+    engine = DecodeEngine(params, mstate, CFG, tokenizer=tok)
+    want = engine.predict_with_confidence(imgs)
+
+    cont = ContinuousDecoder(params, mstate, CFG, tok, num_slots=2,
+                             segment_steps=3, encode_buckets=(1, 2),
+                             use_fused=True, segment_ring=False,
+                             t_buckets=(4, 8))
+    outs = cont.run_all(list(imgs))
+    for i, (latex, conf) in enumerate(outs):
+        assert latex == want[i][0], i
+        assert abs(conf - want[i][1]) < 1e-4
