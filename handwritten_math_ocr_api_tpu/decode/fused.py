@@ -338,13 +338,13 @@ def beam_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
         step, _, _, finished, *_ = state
         return jnp.logical_and(step < T, ~jnp.all(finished))
 
-    def body(state):
+    def body(state, t_active=None):
         step, prev, scores, finished, tokens, sk, sv = state
         pos_vec = jnp.full((R,), step, jnp.int32)
         logits_full, k_new, v_new = fused_ragged_step(
             stacked, cfg, prev, pos_vec, sk, sv, cross_k, cross_v,
             l_enc_actual=l_enc_actual, block_b=bb, return_logits=True,
-            interpret=interpret)
+            t_active=t_active, interpret=interpret)
         # append fresh rows (uniform position), then reorder by parent
         sk = jax.lax.dynamic_update_slice(
             sk, k_new[:, :, None, :], (0, 0, step, 0))
@@ -372,8 +372,17 @@ def beam_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
         finished = was_finished | (token == eos_id)
         scores = top_scores
 
-        sk = reorder(sk, beam_idx)
-        sv = reorder(sv, beam_idx)
+        if t_active is not None and t_active < T:
+            # reorder only the live [0, t_active) prefix: rows beyond
+            # the current position are still all-zero (never written),
+            # so the parent gather is the identity there
+            sk = jax.lax.dynamic_update_slice(
+                sk, reorder(sk[:, :, :t_active], beam_idx), (0, 0, 0, 0))
+            sv = jax.lax.dynamic_update_slice(
+                sv, reorder(sv[:, :, :t_active], beam_idx), (0, 0, 0, 0))
+        else:
+            sk = reorder(sk, beam_idx)
+            sv = reorder(sv, beam_idx)
 
         prev_real = jnp.where(
             finished, eos_id,
@@ -383,8 +392,21 @@ def beam_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
             if R > BK else prev_real)
         return (step + 1, prev, scores, finished, tokens, sk, sv)
 
-    _, _, scores, finished, tokens, _, _ = jax.lax.while_loop(
-        cond, body, state0)
+    # T-prefix bucketed loops (same design as greedy_decode_fused): at
+    # step t the kernel streams/attends and the parent reorder gathers
+    # only cache rows [0, bucket) — the dominant per-step costs all
+    # scale with the T extent at B*K rows
+    state = state0
+    for tb in sorted({min(b, T) for b in (40, 80, 120)} | {T}):
+        def cond_b(state, _tb=jnp.int32(tb)):
+            step, _, _, finished, *_ = state
+            return jnp.logical_and(step < _tb, ~jnp.all(finished))
+
+        state = jax.lax.while_loop(
+            cond_b,
+            lambda s, _tb=(None if tb >= T else tb): body(s, _tb),
+            state)
+    _, _, scores, finished, tokens, _, _ = state
 
     lengths = jnp.sum(tokens != pad_id, axis=-1)       # (B, K)
     if alpha > 0.0:
