@@ -223,7 +223,11 @@ class ServeConfig:
     # admission (decode/continuous.py).
     batching_mode: str = "dynamic"
     max_batch_size: int = 64
-    batch_timeout_ms: float = 5.0
+    # Dynamic-batching linger: 0 = drain-and-go (dispatch as soon as the
+    # queue empties — lone warm requests pay zero batching latency, the
+    # measured round-3 default); > 0 = wait up to this long after the
+    # first request for more to coalesce (classic timeout batching).
+    batch_timeout_ms: float = 0.0
     max_batch_images: int = 10  # per /predict/batch request
     # Continuous mode: KV-cache slot pool size. With the fused ragged
     # kernel the pool pads (num_slots + 1 scratch row) up to the kernel's

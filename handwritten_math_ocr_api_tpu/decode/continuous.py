@@ -64,6 +64,21 @@ from .api import EMPTY_RESULT_FALLBACK, pick_bucket
 logger = logging.getLogger(__name__)
 
 
+class ContinuousSegmentError(RuntimeError):
+    """A segment report carried a device error, but other reports in the
+    same scheduler tick completed real requests first. ``partial_results``
+    holds those {request_id: (latex, confidence)} — the serving worker
+    resolves them before failing the remaining futures (their slot state
+    was consumed by ``_process_report``; dropping them would 500 requests
+    whose decodes finished)."""
+
+    def __init__(self, cause: Exception,
+                 partial_results: Dict[int, Tuple[str, float]]):
+        super().__init__(str(cause))
+        self.__cause__ = cause
+        self.partial_results = partial_results
+
+
 class SmallState(NamedTuple):
     """Per-slot bookkeeping — the segment 'report'. Small enough
     ((S, T) int32 dominates, ~40 KB at 64 slots) to stream to the host
@@ -567,6 +582,10 @@ class ContinuousDecoder:
         self._ready_q: "queue.Queue" = queue.Queue()
         self._harvester: Optional[threading.Thread] = None
         self._seg_counter = 0
+        self._stale_before = 0  # reports from segments < this are dropped
+        # (set by fail_reset: in-flight fetches from before a fault must
+        # neither re-raise their errors onto fresh requests nor drive
+        # _inflight negative when they eventually land)
         # params passed as jit arguments (not closure constants) so weights
         # are shared, not baked into every executable. Only the CACHE is
         # donated: each segment's SmallState report must stay readable
@@ -680,19 +699,28 @@ class ContinuousDecoder:
         the engine returns to idle instead of re-raising forever (the
         serving worker fails the affected futures; later requests start
         clean). Device state is reusable: the next insert fully resets
-        any slot it takes."""
+        any slot it takes.
+
+        Reports from segments dispatched before the reset may still be in
+        the harvester (mid-fetch or queued): they are NOT cancelled here —
+        ``_inflight`` keeps counting them and ``_stale_before`` makes
+        ``step_once`` drop them (results and errors alike) when they land,
+        so a fault never drives ``_inflight`` negative or re-raises a
+        stale error onto fresh requests. ``idle`` stays False until every
+        pre-fault fetch has drained."""
         self._pending.clear()
         self._slot_req.clear()
         self._admit_seg.clear()
         self._pos_ub.clear()
         self._free = list(range(self.num_slots))
         self._in_flight.clear()
-        self._inflight = 0
-        while True:
+        self._stale_before = self._seg_counter + 1
+        while True:  # already-landed reports: account and drop
             try:
                 self._ready_q.get_nowait()
             except queue.Empty:
                 break
+            self._inflight -= 1
 
     def reset_stats(self) -> None:
         """Zero all throughput counters and phase timers (post-warmup)."""
@@ -792,6 +820,7 @@ class ContinuousDecoder:
             self.occupancy_sum += n * len(self._slot_req) / self.num_slots
             self.t_dispatch += time.perf_counter() - t1
         results: Dict[int, Tuple[str, float]] = {}
+        err_pending: Optional[Exception] = None
         # eager integrate: reports the harvester already fetched
         while True:
             try:
@@ -799,8 +828,11 @@ class ContinuousDecoder:
             except queue.Empty:
                 break
             self._inflight -= 1
+            if seg_idx < self._stale_before:
+                continue  # pre-fail_reset segment: drop results AND errors
             if err is not None:
-                raise err
+                err_pending = err_pending or err
+                continue  # keep integrating: completed results survive
             results.update(self._process_report(seg_idx, rep))
         # forced: pipeline full, or draining with no live work
         while self._inflight > 0 and (
@@ -811,9 +843,17 @@ class ContinuousDecoder:
             seg_idx, rep, err = self._ready_q.get()
             self.t_harvest_wait += time.perf_counter() - tw
             self._inflight -= 1
+            if seg_idx < self._stale_before:
+                continue
             if err is not None:
-                raise err
+                err_pending = err_pending or err
+                continue
             results.update(self._process_report(seg_idx, rep))
+        if err_pending is not None:
+            # requests whose decodes completed this tick were already
+            # popped from _slot_req — losing them here would 500 a request
+            # whose LaTeX exists. Carry them out with the error.
+            raise ContinuousSegmentError(err_pending, results)
         return results
 
     def run_all(self, images) -> List[Tuple[str, float]]:
@@ -919,20 +959,36 @@ class ContinuousDecoder:
         # compile EVERY bucketed segment variant (idle pool: the while
         # loop exits after 0 steps, so each call is compile + a no-op).
         # On live state only variants covering every live slot are safe
-        # to execute — smaller ones would apply uncomputed rows.
+        # to execute — smaller ones would apply uncomputed rows. Each
+        # executed variant REALLY advances live slots by segment_steps,
+        # so the T guard must grow per execution (and carry the +n margin
+        # the non-ring kernel needs: it reads rows <= pos + n), and the
+        # host-side position bounds must be bumped afterwards — otherwise
+        # later step_once ticks would pick a T bucket below a live slot's
+        # true position and silently truncate its attention history.
         live_max = max(self._slot_req, default=-1)
         need = -(-(live_max + 1) // self._block_b)
         need_t = max((self._pos_ub.get(s, 10 ** 9)
                       for s in self._slot_req), default=0)
+        margin = 0 if self.segment_ring else self.segment_steps
+        Tmax = self.cfg.max_seq_len
+        executed = 0
         for key, fn in self._segment_fns.items():
             nc, tb = key if isinstance(key, tuple) else (key, None)
             if nc is not None and nc < need:
                 continue
-            if tb is not None and tb < need_t:
+            bound = need_t + executed * self.segment_steps + margin
+            if tb is not None and self._slot_req and tb < min(bound, Tmax):
                 continue  # smaller T than a live slot's position
             self._small, self._cache, _rep = fn(
                 self._seg_params, self._small, self._cache,
                 self._nsteps_const[self.segment_steps])
+            executed += 1
+        if executed and self._seg_buckets is not None:
+            for s in list(self._slot_req):
+                self._pos_ub[s] = min(
+                    self._pos_ub.get(s, Tmax)
+                    + executed * self.segment_steps, Tmax)
         # Force with a real device->host fetch, NOT block_until_ready: on
         # the tunneled TPU platform compiles+execution of everything
         # enqueued above happen remotely and are only forced by a

@@ -230,8 +230,10 @@ def swin_block(p, x: Array, ws: int, shift: int, num_heads: int,
 
     ``use_pallas_block`` routes the whole block through the fused Pallas
     megakernel (ops/swin_block.py) when the stage fits VMEM — inference
-    only (stochastic depth must be inactive)."""
-    if use_pallas_block and (deterministic or sd_rate == 0.0):
+    only (``deterministic`` required: the kernel has no VJP, so routing a
+    training forward through it — even with sd_rate == 0 — would fail at
+    jax.grad trace time)."""
+    if use_pallas_block and deterministic:
         from ..ops.swin_block import fits_vmem, fused_swin_block
 
         pad_r = (ws - x.shape[2] % ws) % ws

@@ -110,6 +110,15 @@ class ServerState:
         t0 = time.time()
         import jax
 
+        if self.batcher is not None:
+            # re-init replaces the batcher: stop the old decoder's
+            # harvester thread so repeated inits don't leak one blocked
+            # daemon thread each (normal shutdown goes through
+            # batcher.stop(), which also closes it)
+            close = getattr(getattr(self.batcher, "decoder", None),
+                            "close", None)
+            if close is not None:
+                close()
         self.device = jax.devices()[0].platform
         logger.info("using device: %s", self.device)
         params, model_state, vocab, idx2char, model_cfg = \

@@ -5,9 +5,10 @@ decoded its images one at a time in a Python loop, each a full
 encoder+decoder pass (reference: app/src/main.py:546-570), and concurrent
 /predict requests each ran their own decode. Here every concurrently
 in-flight image — from /predict and /predict/batch alike — lands in one
-queue; a collector coalesces up to ``max_batch_size`` images within
-``batch_timeout_ms`` and launches ONE padded, bucketed, KV-cached decode on
-the TPU. Throughput scales with concurrency instead of degrading.
+queue; a collector coalesces up to ``max_batch_size`` images (drain-and-go
+by default; ``batch_timeout_ms > 0`` opts into a timed linger) and launches
+ONE padded, bucketed, KV-cached decode on the TPU. Throughput scales with
+concurrency instead of degrading.
 
 The TPU dispatch runs in a single worker thread (device work is serialized
 anyway and this keeps the event loop free); results resolve asyncio
@@ -46,7 +47,7 @@ class _Pending:
 
 class BatchingEngine:
     def __init__(self, engine: DecodeEngine, max_batch_size: int = 64,
-                 batch_timeout_ms: float = 5.0, queue_limit: int = 512):
+                 batch_timeout_ms: float = 0.0, queue_limit: int = 512):
         self.engine = engine
         self.max_batch_size = max_batch_size
         self.batch_timeout = batch_timeout_ms / 1000.0
@@ -101,12 +102,17 @@ class BatchingEngine:
 
     async def _collector(self) -> None:
         """Drain-and-go (round 3): dispatch the moment the queue is empty
-        instead of lingering ``batch_timeout_ms`` hoping for company. A
-        lone warm request pays zero batching latency; concurrent load
-        still coalesces naturally because requests that arrive while a
-        decode is in flight queue up and are drained together for the
-        next batch. One zero-delay yield lets same-instant arrivals
-        (e.g. a client burst scheduled on this loop tick) join the batch.
+        instead of lingering hoping for company. A lone warm request pays
+        zero batching latency; concurrent load still coalesces naturally
+        because requests that arrive while a decode is in flight queue up
+        and are drained together for the next batch. One zero-delay yield
+        lets same-instant arrivals (e.g. a client burst scheduled on this
+        loop tick) join the batch.
+
+        ``batch_timeout_ms > 0`` opts back into the classic linger: after
+        the first request, wait up to that long for more to arrive before
+        dispatching (maximizes coalescing at the cost of adding that
+        latency to lone requests). The default is 0 — drain-and-go.
         """
         loop = asyncio.get_running_loop()
         while True:
@@ -117,9 +123,28 @@ class BatchingEngine:
                 continue
             batch = [first]
             await asyncio.sleep(0)  # let already-scheduled puts land
-            while len(batch) < self.max_batch_size and not self._queue.empty():
-                item = self._queue.get_nowait()
+            deadline = (loop.time() + self.batch_timeout
+                        if self.batch_timeout > 0 else None)
+            while len(batch) < self.max_batch_size:
+                if not self._queue.empty():
+                    item = self._queue.get_nowait()
+                elif deadline is not None and not self._stopping:
+                    remaining = deadline - loop.time()
+                    if remaining <= 0:
+                        break
+                    try:
+                        item = await asyncio.wait_for(
+                            self._queue.get(), timeout=remaining)
+                    except asyncio.TimeoutError:
+                        break
+                else:
+                    break
                 if item is None:
+                    # shutdown sentinel mid-drain: re-queue it so the
+                    # outer loop sees it after this batch dispatches —
+                    # consuming it here would leave stop() awaiting a
+                    # collector that blocks forever on the next get()
+                    self._queue.put_nowait(None)
                     break
                 batch.append(item)
             await self._run_batch(loop, batch)
@@ -209,6 +234,12 @@ class ContinuousServingEngine:
             await asyncio.get_running_loop().run_in_executor(
                 None, self._thread.join)
             self._thread = None
+        # stop the decoder's harvester thread too — engines discarded on
+        # model re-init would otherwise each leak a daemon thread blocked
+        # forever on its fetch queue
+        close = getattr(self.decoder, "close", None)
+        if close is not None:
+            close()
 
     async def predict(self, image: np.ndarray) -> Tuple[str, float]:
         if self._subq.qsize() >= self.queue_limit:
@@ -250,6 +281,14 @@ class ContinuousServingEngine:
                 done = self.decoder.step_once()
             except Exception as e:  # fail every waiter, keep serving
                 logger.exception("continuous decode segment failed")
+                # decodes that COMPLETED in the failing tick still resolve
+                # (their slot state was consumed; the result exists)
+                partial = getattr(e, "partial_results", None) or {}
+                for rid, result in partial.items():
+                    entry = self._futures.pop(rid, None)
+                    if entry is not None:
+                        fut, loop = entry
+                        loop.call_soon_threadsafe(self._resolve, fut, result)
                 for fut, loop in self._futures.values():
                     loop.call_soon_threadsafe(self._fail, fut, e)
                 self._futures.clear()

@@ -573,3 +573,181 @@ def test_fused_t_bucketed_ring_off_matches(setup):
     for i, (latex, conf) in enumerate(outs):
         assert latex == want[i][0], i
         assert abs(conf - want[i][1]) < 1e-4
+
+
+def test_fail_reset_drops_inflight_stale_reports(setup):
+    """fail_reset with reports still in the harvester pipeline: the stale
+    reports (results AND errors) must be dropped when they land, the
+    inflight count must never go negative, and a fresh request afterwards
+    must decode correctly (regression: fail_reset used to zero _inflight
+    while fetches were mid-flight, so late reports drove it negative,
+    re-raised stale errors onto new requests, and wedged ``idle``)."""
+    params, mstate, tok = setup
+    rng = np.random.default_rng(21)
+    imgs = rng.standard_normal((3, 96, 320, 1)).astype(np.float32)
+    engine = DecodeEngine(params, mstate, CFG, tokenizer=tok)
+    want = engine.predict_with_confidence(imgs)
+
+    cont = ContinuousDecoder(params, mstate, CFG, tok, num_slots=2,
+                             segment_steps=2, encode_buckets=(1, 2),
+                             pipeline_depth=3, use_fused=True)
+    cont.submit(imgs[0])
+    cont.submit(imgs[1])
+    cont.step_once()  # dispatch ≥1 segment; its fetch may be in flight
+    cont.step_once()
+    assert cont._inflight >= 1
+    cont.fail_reset()
+    assert cont._stale_before == cont._seg_counter + 1
+    # inject a stale ERROR report as the harvester would land it
+    cont._ready_q.put((0, None, RuntimeError("stale device error")))
+    cont._inflight += 1
+    # fresh request after the fault: must complete, stale error ignored
+    rid = cont.submit(imgs[2])
+    results = {}
+    while not cont.idle:
+        results.update(cont.step_once())  # must NOT raise
+    assert cont._inflight == 0
+    assert results[rid][0] == want[2][0]
+    assert abs(results[rid][1] - want[2][1]) < 1e-4
+
+
+def test_warmup_on_live_state_preserves_decode(setup):
+    """warmup() mid-decode really advances live slots by one segment per
+    executed variant; the host position bounds must follow, or later
+    T-prefix bucket selection truncates the slot's attention history
+    (regression: _pos_ub was left stale and the non-ring guard missed the
+    +segment_steps margin)."""
+    params, mstate, tok = setup
+    rng = np.random.default_rng(22)
+    imgs = rng.standard_normal((2, 96, 320, 1)).astype(np.float32)
+    engine = DecodeEngine(params, mstate, CFG, tokenizer=tok)
+    want = engine.predict_with_confidence(imgs)
+
+    for ring in (True, False):
+        cont = ContinuousDecoder(params, mstate, CFG, tok, num_slots=2,
+                                 segment_steps=2, encode_buckets=(1, 2),
+                                 use_fused=True, segment_ring=ring,
+                                 t_buckets=(4, 8))
+        results = {}
+        ids = [cont.submit(imgs[0]), cont.submit(imgs[1])]
+        results.update(cont.step_once())  # admit + first segment
+        pos_before = dict(cont._pos_ub)
+        cont.warmup()  # live-state warmup: advances every live slot
+        for s, ub in cont._pos_ub.items():
+            assert ub >= pos_before.get(s, 0), (ring, s)
+        while not cont.idle:
+            results.update(cont.step_once())
+        for i, rid in enumerate(ids):
+            assert results[rid][0] == want[i][0], (ring, i)
+            assert abs(results[rid][1] - want[i][1]) < 1e-4, (ring, i)
+
+
+def test_segment_error_carries_partial_results(setup):
+    """A tick that integrates a completed report and then hits an error
+    report must deliver the completed result inside the raised
+    ContinuousSegmentError (regression: raise-on-first-error discarded
+    decodes that had already finished and whose slot state was consumed
+    by _process_report)."""
+    from handwritten_math_ocr_api_tpu.decode.continuous import (
+        ContinuousSegmentError,
+    )
+
+    params, mstate, tok = setup
+    rng = np.random.default_rng(23)
+    img = rng.standard_normal((96, 320, 1)).astype(np.float32)
+
+    import threading
+
+    from handwritten_math_ocr_api_tpu.decode.continuous import unpack_report
+
+    # one full-length segment finishes the whole decode in one dispatch
+    cont = ContinuousDecoder(params, mstate, CFG, tok, num_slots=2,
+                             segment_steps=CFG.max_seq_len,
+                             encode_buckets=(1,), use_fused=True)
+    # gate the harvester so report landing order is fully deterministic
+    gate = threading.Event()
+    blocker = threading.Thread(target=gate.wait, daemon=True)
+    blocker.start()
+    cont._harvester = blocker  # _ensure_harvester sees it alive
+    rid = cont.submit(img)
+    first = cont.step_once()  # admit + dispatch; nothing can land yet
+    assert first == {}
+    # land the real (finished) report by hand, then an error behind it,
+    # so ONE tick integrates the completed decode and then hits the error
+    item = cont._fetch_q.get_nowait()
+    cont._ready_q.put((item.seg_idx,
+                       unpack_report(np.asarray(item.report)), None))
+    cont._ready_q.put((item.seg_idx + 97, None, RuntimeError("boom")))
+    cont._inflight += 1
+    gate.set()  # real harvester may now take over for later segments
+    with pytest.raises(ContinuousSegmentError) as ei:
+        cont.step_once()
+    assert rid in ei.value.partial_results  # the finished decode survives
+    assert ei.value.partial_results[rid][0] is not None
+    assert isinstance(ei.value.__cause__, RuntimeError)
+    assert cont._inflight == 0
+
+
+def test_serving_engine_resolves_partial_results_on_error():
+    """ContinuousServingEngine must resolve futures for decodes the
+    failing tick completed and fail only the rest."""
+    import asyncio
+
+    from handwritten_math_ocr_api_tpu.decode.continuous import (
+        ContinuousSegmentError,
+    )
+    from handwritten_math_ocr_api_tpu.serve.batcher import (
+        ContinuousServingEngine,
+    )
+
+    class FakeDecoder:
+        def __init__(self):
+            self.queue = []
+            self._n = 0
+            self.resets = 0
+
+        def submit(self, img):
+            self._n += 1
+            self.queue.append(self._n)
+            return self._n
+
+        @property
+        def idle(self):
+            return not self.queue
+
+        def step_once(self):
+            done = {self.queue.pop(0): ("finished-ok", 0.9)}
+            self.queue.clear()
+            raise ContinuousSegmentError(RuntimeError("segment died"), done)
+
+        def fail_reset(self):
+            self.resets += 1
+            self.queue.clear()
+
+        def close(self):
+            pass
+
+        @property
+        def stats(self):
+            return {}
+
+    async def run():
+        eng = ContinuousServingEngine(FakeDecoder())
+        await eng.start()
+        img = np.zeros((8, 8, 1), np.float32)
+        r1 = asyncio.ensure_future(eng.predict(img))
+        r2 = asyncio.ensure_future(eng.predict(img))
+        done, _ = await asyncio.wait([r1, r2], timeout=5)
+        assert len(done) == 2
+        results = []
+        for f in (r1, r2):
+            try:
+                results.append(("ok", f.result()))
+            except RuntimeError as e:
+                results.append(("err", str(e)))
+        kinds = sorted(k for k, _ in results)
+        assert kinds == ["err", "ok"], results
+        assert ("ok", ("finished-ok", 0.9)) in results
+        await eng.stop()
+
+    asyncio.run(run())

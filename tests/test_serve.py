@@ -493,3 +493,81 @@ def test_root_html(model_dir):
         assert "API is running" in text
 
     _with_client(_serve_cfg(model_dir), fn)
+
+
+class _FakeEngine:
+    """Minimal DecodeEngine stand-in recording batch sizes."""
+
+    def __init__(self, delay: float = 0.0):
+        self.batch_sizes = []
+        self.delay = delay
+
+    def predict_with_confidence(self, images):
+        import time as _t
+
+        if self.delay:
+            _t.sleep(self.delay)
+        self.batch_sizes.append(len(images))
+        return [("x", 0.5)] * len(images)
+
+
+def test_batcher_stop_with_sentinel_behind_request():
+    """stop()'s None sentinel queued behind a pending request must not be
+    swallowed by the mid-batch drain (regression: the collector consumed
+    it, dispatched, then blocked forever on the next get() and stop()
+    never returned)."""
+    from handwritten_math_ocr_api_tpu.serve.batcher import BatchingEngine
+
+    async def run():
+        img = np.zeros((8, 8, 1), np.float32)
+        fake = _FakeEngine(delay=0.2)
+        eng = BatchingEngine(fake)
+        await eng.start()
+        # collector goes busy dispatching request 1; request 2 and stop()'s
+        # sentinel then queue up as [request2, None] — the next drain pass
+        # pulls the sentinel mid-batch
+        t1 = asyncio.ensure_future(eng.predict(img))
+        await asyncio.sleep(0.05)
+        t2 = asyncio.ensure_future(eng.predict(img))
+        stop_t = asyncio.ensure_future(eng.stop())
+        await asyncio.wait_for(asyncio.gather(t1, t2, stop_t),
+                               timeout=5)  # hung pre-fix
+        assert (await t1) == ("x", 0.5)
+        assert (await t2) == ("x", 0.5)
+        assert fake.batch_sizes == [1, 1]
+
+    asyncio.run(run())
+
+
+def test_batcher_timeout_linger_coalesces():
+    """batch_timeout_ms > 0 opts back into linger batching: a request
+    arriving within the window joins the first one's batch (regression:
+    the knob was plumbed but dead after the drain-and-go rewrite)."""
+    from handwritten_math_ocr_api_tpu.serve.batcher import BatchingEngine
+
+    async def run():
+        img = np.zeros((8, 8, 1), np.float32)
+
+        fake = _FakeEngine()
+        eng = BatchingEngine(fake, batch_timeout_ms=500.0)
+        await eng.start()
+        t1 = asyncio.ensure_future(eng.predict(img))
+        await asyncio.sleep(0.05)  # well inside the 500 ms linger
+        t2 = asyncio.ensure_future(eng.predict(img))
+        await asyncio.gather(t1, t2)
+        assert fake.batch_sizes == [2], fake.batch_sizes  # ONE batch
+        await eng.stop()
+
+        # default (0): drain-and-go — the same arrival pattern dispatches
+        # the first request immediately
+        fake2 = _FakeEngine()
+        eng2 = BatchingEngine(fake2)
+        await eng2.start()
+        t1 = asyncio.ensure_future(eng2.predict(img))
+        await asyncio.sleep(0.05)
+        t2 = asyncio.ensure_future(eng2.predict(img))
+        await asyncio.gather(t1, t2)
+        assert fake2.batch_sizes == [1, 1], fake2.batch_sizes
+        await eng2.stop()
+
+    asyncio.run(run())
