@@ -39,6 +39,12 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=16)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--vocab", type=int, default=600)
+    ap.add_argument("--block-b", type=int, default=16,
+                    help="kernel rows per grid chunk (A/B 16/32/64: fewer, "
+                         "larger grid programs vs per-program VMEM)")
+    ap.add_argument("--t-active", type=int, default=0,
+                    help="compile the step at this T-prefix bucket "
+                         "(0 = full T)")
     args = ap.parse_args()
 
     import jax
@@ -86,6 +92,7 @@ def main() -> None:
         return (time.perf_counter() - t0) / args.iters
 
     S = args.steps
+    t_active = args.t_active or None
 
     # a) kernel alone, chained S steps (pos advances so shapes stay hot)
     @jax.jit
@@ -93,7 +100,8 @@ def main() -> None:
         def body(i, c):
             pv, ps, acc = c
             nxt, logp, k_rows, v_rows = fused_ragged_step(
-                stacked, cfg, pv, ps, sk, sv, ck, cv, L_enc)
+                stacked, cfg, pv, ps, sk, sv, ck, cv, L_enc,
+                block_b=args.block_b, t_active=t_active)
             acc = acc + logp.sum() + k_rows.sum().astype(jnp.float32)
             return (nxt, ps + 1, acc)
         _, _, acc = jax.lax.fori_loop(
@@ -136,13 +144,16 @@ def main() -> None:
 
     @jax.jit
     def segment(small, cache, n):
-        s, c = decode_segment_fused(stacked, cfg, small, cache, n, L_enc)
+        s, c = decode_segment_fused(stacked, cfg, small, cache, n, L_enc,
+                                    block_b=args.block_b,
+                                    t_active=t_active)
         return s.lp_sum.sum() + c["self_k"][0, 0, 0, 0].astype(jnp.float32)
 
     @jax.jit
     def segment_ring(small, cache, n):
         s, c = decode_segment_fused(stacked, cfg, small, cache, n, L_enc,
-                                    ring_s=S)
+                                    ring_s=S, block_b=args.block_b,
+                                    t_active=t_active)
         return s.lp_sum.sum() + c["self_k"][0, 0, 0, 0].astype(jnp.float32)
 
     nsteps = jnp.int32(S)
@@ -151,6 +162,7 @@ def main() -> None:
 
     out = {
         "slots": B, "steps_per_segment": S,
+        "block_b": args.block_b, "t_active": args.t_active or None,
         "kernel_only_ms_per_step": round(dt_kernel / S * 1e3, 3),
         "appends_only_ms_per_step": round(dt_append / S * 1e3, 3),
         "full_segment_ms_per_step": round(dt_segment / S * 1e3, 3),
@@ -161,8 +173,12 @@ def main() -> None:
                            "MHA rows, T=150"),
     }
     print(json.dumps(out, indent=2))
+    suffix = ""
+    if args.block_b != 16 or args.t_active:
+        suffix = f"_b{args.block_b}" + (
+            f"_t{args.t_active}" if args.t_active else "")
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "probe_ragged_split_results.json")
+                        f"probe_ragged_split_results{suffix}.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
 
