@@ -751,3 +751,51 @@ def test_serving_engine_resolves_partial_results_on_error():
         await eng.stop()
 
     asyncio.run(run())
+
+
+def test_fused_ragged_step_block_b_equivalence(setup):
+    """fused_ragged_step must be numerically identical across grid chunk
+    sizes (block_b 16 vs 32): the block_b A/B in
+    benchmarks/probe_ragged_split.py is only meaningful if the variants
+    agree bit-for-bit on tokens."""
+    from handwritten_math_ocr_api_tpu.decode.continuous import (
+        init_slot_state_fused,
+    )
+    from handwritten_math_ocr_api_tpu.ops.fused_step import (
+        build_stacked_full, fused_ragged_step,
+    )
+
+    params, _, _ = setup
+    stacked = build_stacked_full(params["decoder"], CFG)
+    B = 32
+    _, cache0 = init_slot_state_fused(CFG, B)
+    rng = np.random.default_rng(31)
+    L = CFG.num_decoder_layers
+    T = CFG.max_seq_len
+    kvd = cache0["self_k"].shape[-1]
+    l_enc = cache0["cross_k"].shape[2]
+    sk = jnp.asarray(rng.standard_normal((L, B, T, kvd)) * 0.3,
+                     cache0["self_k"].dtype)
+    sv = jnp.asarray(rng.standard_normal((L, B, T, kvd)) * 0.3,
+                     cache0["self_v"].dtype)
+    ck = jnp.asarray(rng.standard_normal((L, B, l_enc, CFG.d_model)) * 0.3,
+                     cache0["cross_k"].dtype)
+    cv = jnp.asarray(rng.standard_normal((L, B, l_enc, CFG.d_model)) * 0.3,
+                     cache0["cross_v"].dtype)
+    prev = jnp.asarray(rng.integers(4, CFG.vocab_size, B), jnp.int32)
+    pos = jnp.asarray(rng.integers(0, T - 1, B), jnp.int32)
+
+    outs = {}
+    for bb in (16, 32):
+        nxt, logp, k_new, v_new = fused_ragged_step(
+            stacked, CFG, prev, pos, sk, sv, ck, cv, l_enc, block_b=bb)
+        outs[bb] = (np.asarray(nxt), np.asarray(logp, np.float32),
+                    np.asarray(k_new, np.float32),
+                    np.asarray(v_new, np.float32))
+    np.testing.assert_array_equal(outs[16][0], outs[32][0])
+    np.testing.assert_allclose(outs[16][1], outs[32][1],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(outs[16][2], outs[32][2],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(outs[16][3], outs[32][3],
+                               rtol=1e-5, atol=1e-6)
