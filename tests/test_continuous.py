@@ -680,6 +680,9 @@ def test_segment_error_carries_partial_results(setup):
     cont._ready_q.put((item.seg_idx + 97, None, RuntimeError("boom")))
     cont._inflight += 1
     gate.set()  # real harvester may now take over for later segments
+    blocker.join()  # _ensure_harvester must see it DEAD, else the next
+    # step_once's forced harvest waits forever on a fetch queue no real
+    # harvester is servicing (is_alive() stays true briefly after set())
     with pytest.raises(ContinuousSegmentError) as ei:
         cont.step_once()
     assert rid in ei.value.partial_results  # the finished decode survives
