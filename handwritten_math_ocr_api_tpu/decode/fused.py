@@ -292,14 +292,16 @@ def beam_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
 
     # row blocking: the ragged kernel chunks rows so cache blocks fit
     # VMEM; rows are padded to the block multiple with dead rows (their
-    # fresh K/V land in dead cache rows; the beam state never reads them)
+    # fresh K/V land in dead cache rows; the beam state never reads
+    # them). Blocks must sit on the 8-sublane hardware tile — a bb=BK
+    # block for small BK (e.g. single-image beam-5 -> 5 rows) fails
+    # Mosaic's alignment proof on hardware even though interpret mode
+    # accepts it (caught on-chip; see tests/test_fused.py)
     if BK % 16 == 0:
         bb, R = 16, BK
-    elif BK <= 32:
-        bb, R = BK, BK
     else:
         R = -(-BK // 8) * 8
-        bb = 8
+        bb = 16 if R % 16 == 0 else 8
 
     mem_exp = jnp.repeat(memory, K, axis=0)            # (B*K, L_enc, D)
     if R > BK:

@@ -1263,6 +1263,12 @@ def fused_ragged_step(stacked, cfg: ModelConfig, prev, pos,
         if not 0 < t_active <= T:
             raise ValueError(f"t_active {t_active} not in (0, {T}]")
         T = t_active
+    if block_b % 8:
+        # hardware Mosaic requires row blocks on the 8-sublane tile: a
+        # (5, D) f32 store into an 8-row scratch fails with "cannot
+        # statically prove that index ... is a multiple of 8" (interpret
+        # mode would silently accept it, so enforce the contract here)
+        raise ValueError(f"block_b {block_b} must be a multiple of 8")
     if B % block_b:
         raise ValueError(f"pool size {B} not a multiple of {block_b}")
     nB = B // block_b

@@ -380,3 +380,47 @@ def test_engine_fused_beam_matches_default_beam(setup):
     want = eng.decode_tokens(imgs, beam_size=3)
     np.testing.assert_array_equal(np.asarray(got.tokens),
                                   np.asarray(want.tokens))
+
+
+def test_fused_beam_single_image_8aligned_blocks(setup):
+    """B=1, K=5 (BK=5): row blocks must pad to the 8-sublane tile. The
+    old blocking chose bb=BK=5, which interpret mode accepted but
+    hardware Mosaic rejected ("cannot statically prove that index in
+    dimension 0 is a multiple of 8") — so /predict?beam_size=5 on a
+    fused engine failed to compile on chip. Verified fixed on v5e
+    (token agreement 1.000 vs the XLA beam at B=1/2/8)."""
+    from handwritten_math_ocr_api_tpu.decode.beam import beam_decode
+    from handwritten_math_ocr_api_tpu.decode.fused import beam_decode_fused
+
+    params, _, memory = setup
+    stacked = _full_stacked(params)
+    for B, beam in ((1, 5), (2, 5)):   # BK=5 -> R=8/bb=8; BK=10 -> 16/16
+        mem = memory[:B]
+        want = beam_decode(params, CFG, mem, beam_size=beam)
+        got = beam_decode_fused(params, stacked, CFG, mem, beam_size=beam,
+                                interpret=True)
+        np.testing.assert_array_equal(np.asarray(got.tokens),
+                                      np.asarray(want.tokens))
+
+
+def test_fused_ragged_step_rejects_misaligned_block():
+    """block_b must be a multiple of 8 (hardware sublane tile): the
+    kernel now rejects it eagerly instead of failing deep inside the
+    Mosaic compiler on chip (and silently passing in interpret mode)."""
+    from handwritten_math_ocr_api_tpu.ops.fused_step import (
+        build_stacked_full, fused_ragged_step,
+    )
+
+    params = dec.init_decoder_params(jax.random.PRNGKey(0), CFG)
+    stacked = build_stacked_full(params, CFG)
+    L, D = CFG.num_decoder_layers, CFG.d_model
+    B, T = 5, 16
+    sk = jnp.zeros((L, B, T, D))
+    sv = jnp.zeros((L, B, T, D))
+    ck = jnp.zeros((L, B, 16, D))
+    cv = jnp.zeros((L, B, 16, D))
+    prev = jnp.zeros((B,), jnp.int32)
+    pos = jnp.zeros((B,), jnp.int32)
+    with pytest.raises(ValueError, match="multiple of 8"):
+        fused_ragged_step(stacked, CFG, prev, pos, sk, sv, ck, cv,
+                          block_b=5, interpret=True)
