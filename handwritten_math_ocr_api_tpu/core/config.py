@@ -264,6 +264,13 @@ class ServeConfig:
     # bucket sizes, "0" disables; from_env defaults to (1,)). Dataclass
     # default is off so test servers start instantly.
     warmup_batch_sizes: Tuple[int, ...] = ()
+    # Ship uint8 pixels to the device and normalize on-chip instead of
+    # transferring float32 (data/preprocess.py:device_normalize — same
+    # x/255*2-1 arithmetic, fused into the patch-embed conv by XLA). 4x
+    # less host->device traffic per request, and 4x less RSS growth from
+    # the remote-TPU runtime's per-transfer host-buffer retention
+    # (measured; see BENCHMARKS.md "Serving memory under sustained load").
+    uint8_transfer: bool = True
 
     @classmethod
     def from_env(cls) -> "ServeConfig":
@@ -335,6 +342,10 @@ class ServeConfig:
             pallas_encoder_block=env.get(
                 "SERVING_PALLAS_ENCODER",
                 "1" if defaults.pallas_encoder_block else "0") in
+            ("1", "true", "True"),
+            uint8_transfer=env.get(
+                "SERVING_UINT8_TRANSFER",
+                "1" if defaults.uint8_transfer else "0") in
             ("1", "true", "True"),
         )
 

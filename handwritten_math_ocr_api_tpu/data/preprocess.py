@@ -41,12 +41,20 @@ def load_image_cv2(path: str, img_h: int = 96, img_w: int = 320) -> np.ndarray:
     return cv2.resize(img, (img_w, img_h))  # cv2 takes (W, H); default bilinear
 
 
+def resize_pil_u8(image, img_h: int = 96, img_w: int = 320) -> np.ndarray:
+    """Serving-path resize: PIL image -> uint8 (H, W) grayscale
+    (reference: app/src/preprocess.py:6-16). Accepts any PIL mode. The
+    normalize half runs either host-side (``normalize``) or on-device
+    (``device_normalize``) — both compute the same x/255*2-1 in float32."""
+    image = image.convert("L")
+    image = image.resize((img_w, img_h), Image.BILINEAR)
+    return np.asarray(image, dtype=np.uint8)
+
+
 def preprocess_pil(image, img_h: int = 96, img_w: int = 320) -> np.ndarray:
     """Serving-path preprocess: PIL image -> normalized float32 (H, W)
     (reference: app/src/preprocess.py:6-16). Accepts any PIL mode."""
-    image = image.convert("L")
-    image = image.resize((img_w, img_h), Image.BILINEAR)
-    arr = np.asarray(image, dtype=np.float32)
+    arr = resize_pil_u8(image, img_h, img_w).astype(np.float32)
     return arr / 255.0 * 2.0 - 1.0
 
 

@@ -262,11 +262,15 @@ class DecodeEngine:
         return out
 
     def warmup(self, batch_sizes: Sequence[int] = (1,),
-               beam_sizes: Sequence[int] = ()) -> None:
-        """Pre-compile decode programs for the given bucket sizes."""
+               beam_sizes: Sequence[int] = (),
+               dtype=np.float32) -> None:
+        """Pre-compile decode programs for the given bucket sizes. ``dtype``
+        must match the dtype serving will transfer (uint8 when the server
+        ships raw pixels and normalizes on-device) — jit caches are keyed
+        by dtype, so a mismatch would recompile on the first request."""
         h, w = self.cfg.img_h, self.cfg.img_w
         for b in batch_sizes:
-            dummy = np.zeros((b, h, w, 1), np.float32)
+            dummy = np.zeros((b, h, w, 1), dtype)
             self.decode_tokens(dummy)
             for k in beam_sizes:
                 self.decode_tokens(dummy, beam_size=k)

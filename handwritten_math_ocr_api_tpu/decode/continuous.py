@@ -155,6 +155,10 @@ def insert_requests(params, model_state, cfg: ModelConfig,
     separate release op."""
     if not isinstance(images, (jax.Array, np.ndarray)):
         images = jnp.stack(list(images))
+    if images.dtype == jnp.uint8:  # normalize shipped raw pixels on-device
+        from ..data.preprocess import device_normalize
+
+        images = device_normalize(images)
     memory, _ = model_mod.encode(params, model_state, cfg, images,
                                  use_pallas_block=use_pallas_block)
     cross = decoder_mod.project_cross_kv(params["decoder"], cfg, memory)
@@ -271,6 +275,10 @@ def insert_requests_fused(params, model_state, cfg: ModelConfig,
 
     if not isinstance(images, (jax.Array, np.ndarray)):
         images = jnp.stack(list(images))
+    if images.dtype == jnp.uint8:  # normalize shipped raw pixels on-device
+        from ..data.preprocess import device_normalize
+
+        images = device_normalize(images)
     memory, _ = model_mod.encode(params, model_state, cfg, images,
                                  use_pallas_block=use_pallas_block)
     ck, cv = project_cross_kv_merged(
@@ -749,7 +757,11 @@ class ContinuousDecoder:
         chip, so admission never blocks on the (tunnel) transfer."""
         rid = self._next_id
         self._next_id += 1
-        img = np.ascontiguousarray(image, np.float32)
+        # uint8 images ride as-is (4x smaller upload; the admit jit
+        # normalizes on-device via data/preprocess.py:device_normalize);
+        # anything else is coerced to float32 as before
+        dt = np.uint8 if np.asarray(image).dtype == np.uint8 else np.float32
+        img = np.ascontiguousarray(image, dt)
         try:
             dev = jax.device_put(img)  # async; overlaps with decode
         except Exception:  # pragma: no cover - platform-specific
@@ -933,21 +945,26 @@ class ContinuousDecoder:
             self._insert_fns[k_bucket] = jax.jit(fn, donate_argnums=(3,))
         return self._insert_fns[k_bucket]
 
-    def _pad_image(self, h: int, w: int) -> jax.Array:
-        pad = self._pad_img.get((h, w))
+    def _pad_image(self, h: int, w: int,
+                   dtype=np.float32) -> jax.Array:
+        dtype = np.dtype(dtype)
+        pad = self._pad_img.get((h, w, dtype))
         if pad is None:
-            pad = jnp.asarray(np.zeros((h, w, 1), np.float32))
-            self._pad_img[(h, w)] = pad
+            pad = jnp.asarray(np.zeros((h, w, 1), dtype))
+            self._pad_img[(h, w, dtype)] = pad
         return pad
 
-    def warmup(self, image_shape: Optional[Tuple[int, int]] = None) -> None:
+    def warmup(self, image_shape: Optional[Tuple[int, int]] = None,
+               image_dtype=np.float32) -> None:
         """Pre-compile every insert bucket + the segment program and cache
         the segment-length device scalars, so steady-state serving never
         pays a compile or a scalar-upload RTT mid-stream (bucket compiles
         dominated admission time before this existed). Safe on live
-        state: warm inserts target only the scratch slot."""
+        state: warm inserts target only the scratch slot. ``image_dtype``
+        must match what submit() will receive (uint8 when the server ships
+        raw pixels) — insert jits are keyed by dtype."""
         h, w = image_shape or (self.cfg.img_h, self.cfg.img_w)
-        pad = self._pad_image(h, w)
+        pad = self._pad_image(h, w, image_dtype)
         scratch = self.num_slots
         for b in self.encode_buckets:
             slot_arr = jnp.asarray(np.full((b,), scratch, np.int32))
@@ -1019,7 +1036,7 @@ class ContinuousDecoder:
         # critical path (preprocess guarantees uniform shapes; the swin
         # trunk accepts any multiple-of-32 size)
         h, w = batch[0][1].shape[:2]
-        pad = self._pad_image(int(h), int(w))
+        pad = self._pad_image(int(h), int(w), batch[0][1].dtype)
         imgs = [img for _, img in batch] + [pad] * (bucket - n)
         tu = time.perf_counter()
         slot_dev = jax.device_put(slot_arr)  # async upload (tunnel: a

@@ -165,7 +165,8 @@ class ServerState:
                 pallas_encoder_block=self.cfg.pallas_encoder_block,
                 segment_ring=self.cfg.segment_ring)
             try:  # pre-compile insert buckets/segment so the first
-                decoder.warmup()  # requests never pay a compile
+                decoder.warmup(image_dtype=(
+                    np.uint8 if self.cfg.uint8_transfer else np.float32))
             except Exception:
                 logger.warning("continuous warmup failed", exc_info=True)
             self.batcher = ContinuousServingEngine(decoder)
@@ -256,6 +257,15 @@ def _decode_base64_image(b64: str):
 
 
 def _preprocess(state: ServerState, pil_image) -> np.ndarray:
+    if state.cfg.uint8_transfer:
+        # ship raw resized pixels; normalization runs on-device inside the
+        # decode jit (data/preprocess.py:device_normalize) — 4x less
+        # host->device traffic than float32, same arithmetic
+        from ..data.preprocess import resize_pil_u8
+
+        arr = resize_pil_u8(pil_image, state.model_cfg.img_h,
+                            state.model_cfg.img_w)
+        return arr[..., None]  # (H, W, 1) uint8
     arr = preprocess_pil(pil_image, state.model_cfg.img_h,
                          state.model_cfg.img_w)
     return arr[..., None].astype(np.float32)  # (H, W, 1)
@@ -697,14 +707,16 @@ def create_app(cfg: Optional[ServeConfig] = None,
             try:
                 t0 = time.time()
                 loop = asyncio.get_running_loop()
+                wdtype = np.uint8 if st.cfg.uint8_transfer else np.float32
                 await loop.run_in_executor(
-                    None, lambda: st.engine.warmup(st.cfg.warmup_batch_sizes))
+                    None, lambda: st.engine.warmup(st.cfg.warmup_batch_sizes,
+                                                   dtype=wdtype))
                 if (st.cfg.batching_mode == "continuous"
                         and st.batcher is not None):
                     dec = st.batcher.decoder
                     dummy = np.zeros(
                         (st.model_cfg.img_h, st.model_cfg.img_w, 1),
-                        np.float32)
+                        wdtype)
                     await loop.run_in_executor(
                         None, lambda: dec.run_all([dummy]))
                     dec.reset_stats()
