@@ -84,7 +84,8 @@ def cmd_train(args) -> int:
                           epochs=args.epochs,
                           learning_rate=args.learning_rate,
                           warmup_steps=args.warmup_steps,
-                          early_stop_patience=args.early_stop_patience),
+                          early_stop_patience=args.early_stop_patience,
+                          ema_decay=getattr(args, "ema_decay", 0.0)),
     )
     if args.synthetic_stream:
         mc = cfg.model
@@ -127,11 +128,14 @@ def cmd_evaluate(args) -> int:
     tok = Tokenizer(vocab, idx2char)
     mc = _model_config(args, len(vocab))
     dc = DataConfig(data_root=args.data_root, batch_size=args.batch_size)
-    state, _ = create_train_state(jax.random.PRNGKey(0), mc,
-                                  Config().train)
+    tc = Config().train
+    if getattr(args, "use_ema", False):
+        import dataclasses
+        tc = dataclasses.replace(tc, ema_decay=0.999)  # allocate the shadow
+    state, _ = create_train_state(jax.random.PRNGKey(0), mc, tc)
     state, _meta = load_checkpoint(args.checkpoint_dir, args.checkpoint,
                                    state, params_only=True)
-    engine = DecodeEngine(state.params, state.model_state, mc,
+    engine = DecodeEngine(state.eval_params, state.model_state, mc,
                           DecodeConfig(), tok,
                           use_fused=getattr(args, "use_fused", False),
                           quantize=getattr(args, "quantize", False))
@@ -159,10 +163,14 @@ def cmd_predict(args) -> int:
         os.path.join(args.checkpoint_dir, "vocab.json"))
     tok = Tokenizer(vocab, idx2char)
     mc = _model_config(args, len(vocab))
-    state, _ = create_train_state(jax.random.PRNGKey(0), mc, Config().train)
+    tc = Config().train
+    if getattr(args, "use_ema", False):
+        import dataclasses
+        tc = dataclasses.replace(tc, ema_decay=0.999)  # allocate the shadow
+    state, _ = create_train_state(jax.random.PRNGKey(0), mc, tc)
     state, _meta = load_checkpoint(args.checkpoint_dir, args.checkpoint,
                                    state, params_only=True)
-    engine = DecodeEngine(state.params, state.model_state, mc,
+    engine = DecodeEngine(state.eval_params, state.model_state, mc,
                           DecodeConfig(), tok)
     img = preprocess_file(args.image, mc)
     if args.beam_size and args.beam_size > 1:
@@ -245,6 +253,33 @@ def cmd_convert_encoder(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Training checkpoint -> serving artifact directory (params + vocab +
+    model config; the deploy-time handoff the reference did by copying a
+    pickled .pth into app/trained-model/ — app/trained-model/README.md)."""
+    from .core.config import Config
+    from .core.tokenizer import load_vocab
+    from .train.checkpoint import load_checkpoint, save_params_for_serving
+    from .train.step import create_train_state
+
+    import jax
+
+    vocab, _ = load_vocab(os.path.join(args.checkpoint_dir, "vocab.json"))
+    mc = _model_config(args, len(vocab))
+    tc = Config().train
+    if args.use_ema:
+        import dataclasses
+        tc = dataclasses.replace(tc, ema_decay=0.999)  # allocate the shadow
+    state, _ = create_train_state(jax.random.PRNGKey(0), mc, tc)
+    state, _meta = load_checkpoint(args.checkpoint_dir, args.checkpoint,
+                                   state, params_only=True)
+    out = save_params_for_serving(args.out_dir, state.eval_params, vocab,
+                                  mc, model_state=state.model_state)
+    kind = "ema" if (args.use_ema and state.ema_params is not None) else "raw"
+    print(f"serving artifact ({kind} weights) -> {out}")
+    return 0
+
+
 def cmd_serve(args) -> int:
     from .serve.app import run_server
 
@@ -282,6 +317,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "LaTeX source) or 'stroke' (handwriting-style "
                          "structural layout, data/strokes.py — the "
                          "MathWriting difficulty regime)")
+    tr.add_argument("--ema-decay", type=float, default=0.0,
+                    help="EMA decay for a shadow copy of the weights "
+                         "(0 = off); val metrics and the best artifact "
+                         "then use the EMA weights")
     tr.add_argument("--resume-from", default=None)
     tr.add_argument("--mlflow-experiment", default=None)
     tr.add_argument("--init-from", default=None, metavar="ARTIFACT_DIR",
@@ -305,6 +344,10 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--beam-size", type=int, default=None)
     ev.add_argument("--use-fused", action="store_true",
                     help="greedy decode via the fused Pallas megakernel")
+    ev.add_argument("--use-ema", action="store_true",
+                    help="evaluate the EMA weights of an --ema-decay "
+                         "checkpoint (falls back to raw weights if the "
+                         "checkpoint has no EMA shadow)")
     ev.add_argument("--quantize", action="store_true",
                     help="int8 decoder weights (in-kernel dequant with "
                          "--use-fused, ops/quant.py path otherwise)")
@@ -318,6 +361,7 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["swin_t", "resnet18", "res18trans"])
     pr.add_argument("--checkpoint", default="best_model")
     pr.add_argument("--beam-size", type=int, default=None)
+    pr.add_argument("--use-ema", action="store_true")
     pr.set_defaults(fn=cmd_predict)
 
     ri = sub.add_parser("render-inkml", help="rasterize InkML to PNGs+CSV")
@@ -366,6 +410,17 @@ def build_parser() -> argparse.ArgumentParser:
     ce.add_argument("pth")
     ce.add_argument("out_dir")
     ce.set_defaults(fn=cmd_convert_encoder)
+
+    ex = sub.add_parser("export",
+                        help="training checkpoint -> serving artifact")
+    _common_data_args(ex)
+    ex.add_argument("out_dir")
+    ex.add_argument("--encoder", default="swin_t",
+                    choices=["swin_t", "resnet18", "res18trans"])
+    ex.add_argument("--checkpoint", default="best_model")
+    ex.add_argument("--use-ema", action="store_true",
+                    help="export the EMA shadow weights when present")
+    ex.set_defaults(fn=cmd_export)
 
     sv = sub.add_parser("serve", help="run the serving API")
     sv.add_argument("--model-dir", default="trained-model")

@@ -173,6 +173,11 @@ class TrainConfig:
     # Rematerialize the encoder in backward (jax.checkpoint): ~1 extra
     # encoder forward buys freedom from storing its activations in HBM.
     remat: bool = False
+    # Exponential moving average of params (0 = off). When on, the val
+    # pass and best/serving artifacts use the EMA weights — a smoother
+    # late-training estimator than the raw Adam iterate. (Beyond the
+    # reference, which evaluated the raw weights: src/train.py:42-57.)
+    ema_decay: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

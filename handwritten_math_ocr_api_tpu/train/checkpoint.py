@@ -20,6 +20,19 @@ from .step import TrainState
 _META = "train_meta.json"
 
 
+def _saved_tree(ckptr, path):
+    """Top-level tree metadata of a saved checkpoint as a dict, handling
+    both older orbax (plain dict) and newer (StepMetadata.item_metadata)."""
+    try:
+        saved = ckptr.metadata(path)
+    except Exception:  # pragma: no cover - unreadable metadata
+        return {}
+    if isinstance(saved, dict):
+        return saved
+    tree = getattr(getattr(saved, "item_metadata", None), "tree", None)
+    return tree if isinstance(tree, dict) else {}
+
+
 def save_checkpoint(directory: str, name: str, state: TrainState,
                     epoch: int, metric: float,
                     scheduler_state: Optional[Dict] = None,
@@ -32,6 +45,8 @@ def save_checkpoint(directory: str, name: str, state: TrainState,
         "model_state": state.model_state,
         "step": state.step,
     }
+    if state.ema_params is not None:
+        tree["ema_params"] = state.ema_params
     ckptr.save(path, tree, force=True)
     meta = {
         "epoch": epoch,
@@ -60,20 +75,31 @@ def load_checkpoint(directory: str, name: str, template: TrainState,
     }
     if not params_only:
         target["opt_state"] = template.opt_state
+    # EMA shadow: restore it only when both the template tracks it and the
+    # checkpoint has it (pre-EMA checkpoints resume with ema := params).
+    want_ema = template.ema_params is not None
+    has_ema = want_ema and "ema_params" in _saved_tree(ckptr, path)
+    if has_ema:
+        target["ema_params"] = template.ema_params
+    partial = params_only or not has_ema
     # Explicit restore_args from the template: without them orbax falls
     # back to the sharding file written at save time, which breaks
     # cross-platform restores (e.g. TPU-saved checkpoint loaded on CPU).
     rargs = ocp.checkpoint_utils.construct_restore_args(target)
     try:
         restored = ckptr.restore(path, item=target, restore_args=rargs,
-                                 partial_restore=params_only)
+                                 partial_restore=partial)
     except TypeError:  # older orbax without partial_restore kwarg
         restored = ckptr.restore(path, item=target, restore_args=rargs)
+    ema = template.ema_params
+    if want_ema:
+        ema = restored["ema_params"] if has_ema else restored["params"]
     state = template.replace(
         params=restored["params"],
         opt_state=(template.opt_state if params_only
                    else restored["opt_state"]),
-        model_state=restored["model_state"], step=restored["step"])
+        model_state=restored["model_state"], step=restored["step"],
+        ema_params=ema)
     meta_path = os.path.join(path, _META)
     meta = json.load(open(meta_path)) if os.path.exists(meta_path) else {}
     return state, meta
@@ -121,8 +147,8 @@ def _restore_serving_tree(ckpt_path: str, cfg):
         # model_state (BN stats) structure is config-dependent; restore it
         # from saved metadata only if present.
         target = {"params": params_t, "model_state": {}}
-        saved = ckptr.metadata(ckpt_path)
-        if isinstance(saved, dict) and saved.get("model_state"):
+        saved = _saved_tree(ckptr, ckpt_path)
+        if saved.get("model_state"):
             state_t = jax.tree.map(
                 lambda m: jax.ShapeDtypeStruct(tuple(m.shape), m.dtype,
                                                sharding=sharding),

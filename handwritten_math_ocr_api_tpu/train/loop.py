@@ -86,9 +86,13 @@ def _graft_init(state: TrainState, artifact_dir: str) -> TrainState:
     model_state = state.model_state
     if src_ms:
         model_state = jax.tree_util.tree_map(jnp.asarray, src_ms)
+    ema = state.ema_params
+    if ema is not None:  # restart the shadow from the grafted weights
+        ema = jax.tree_util.tree_map(jnp.copy, params)
     # opt_state is re-initialized by the caller AFTER any mesh sharding,
     # so its placement matches the (possibly sharded) params
-    return state.replace(params=params, model_state=model_state)
+    return state.replace(params=params, model_state=model_state,
+                         ema_params=ema)
 
 
 def train_model(
@@ -139,7 +143,9 @@ def train_model(
         mesh = mesh_lib.make_mesh(data=-1, tensor=tc.tensor_axis)
     if mesh is not None:
         state = state.replace(
-            params=mesh_lib.shard_params(state.params, mesh))
+            params=mesh_lib.shard_params(state.params, mesh),
+            ema_params=(None if state.ema_params is None else
+                        mesh_lib.shard_params(state.ema_params, mesh)))
     if init_from or mesh is not None:
         # fresh optimizer state over the grafted and/or sharded params,
         # so moments/placement match (zeros_like inherits shardings)

@@ -35,6 +35,14 @@ class TrainState:
     opt_state: Any
     model_state: Any  # BN running stats ({} for swin)
     step: jnp.ndarray
+    # EMA shadow of params (None when TrainConfig.ema_decay == 0).
+    ema_params: Any = None
+
+    @property
+    def eval_params(self):
+        """Params the val pass / serving export should use: EMA when
+        tracked, the raw iterate otherwise."""
+        return self.params if self.ema_params is None else self.ema_params
 
 
 def create_train_state(key, model_cfg: ModelConfig,
@@ -42,9 +50,12 @@ def create_train_state(key, model_cfg: ModelConfig,
     params, model_state = model_mod.init_model(key, model_cfg)
     optimizer = make_optimizer(train_cfg)
     opt_state = optimizer.init(params)
+    ema = (jax.tree_util.tree_map(jnp.copy, params)
+           if train_cfg.ema_decay > 0 else None)
     return TrainState(params=params, opt_state=opt_state,
                       model_state=model_state,
-                      step=jnp.zeros((), jnp.int32)), optimizer
+                      step=jnp.zeros((), jnp.int32),
+                      ema_params=ema), optimizer
 
 
 def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
@@ -89,6 +100,15 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
             updates["encoder"] = jax.tree_util.tree_map(
                 lambda u: u * encoder_update_scale, updates["encoder"])
         new_params = optax.apply_updates(state.params, updates)
+        new_ema = state.ema_params
+        if new_ema is not None:
+            d = train_cfg.ema_decay
+            # bias-corrected effective decay: ramps from 0 so the shadow
+            # tracks early training instead of the random init
+            d = jnp.minimum(d, (1.0 + state.step) / (10.0 + state.step))
+            new_ema = jax.tree_util.tree_map(
+                lambda e, p: d * e + (1.0 - d) * p.astype(e.dtype),
+                new_ema, new_params)
         metrics = {
             "loss": loss,
             "accuracy": token_accuracy(logits, captions[:, 1:], PAD_ID),
@@ -97,7 +117,7 @@ def make_train_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
         new_state = state.replace(
             params=new_params, opt_state=new_opt,
             model_state=new_ms if new_ms else state.model_state,
-            step=state.step + 1)
+            step=state.step + 1, ema_params=new_ema)
         return new_state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,))
@@ -109,8 +129,8 @@ def make_eval_step(model_cfg: ModelConfig, train_cfg: TrainConfig,
         if images.dtype == jnp.uint8:
             images = device_normalize(images)
         logits, _ = model_mod.forward(
-            state.params, state.model_state, model_cfg, images, captions,
-            deterministic=True, use_pallas=use_pallas)
+            state.eval_params, state.model_state, model_cfg, images,
+            captions, deterministic=True, use_pallas=use_pallas)
         loss = smoothed_cross_entropy(
             logits, captions[:, 1:], PAD_ID, train_cfg.label_smoothing)
         preds = jnp.argmax(logits, axis=-1)

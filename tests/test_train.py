@@ -276,3 +276,74 @@ def test_checkpoint_params_only_across_optimizer_chains(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(state.params),
                     jax.tree_util.tree_leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ema_shadow_tracks_update_rule():
+    """EMA shadow must follow e <- d*e + (1-d)*p with the bias-corrected
+    ramp d = min(decay, (1+t)/(10+t)) applied after each optimizer step."""
+    tc = TrainConfig(learning_rate=1e-3, ema_decay=0.5)
+    state, opt = create_train_state(jax.random.PRNGKey(0), TINY, tc)
+    assert state.ema_params is not None
+    # at init the shadow equals the params
+    for e, p in zip(jax.tree_util.tree_leaves(state.ema_params),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(e), np.asarray(p))
+
+    step = make_train_step(TINY, tc, opt)
+    rng = np.random.default_rng(0)
+    images, captions = _batch(rng)
+    expect = jax.tree_util.tree_map(np.asarray, state.ema_params)
+    for t in range(3):
+        state, _ = step(state, images, captions, jax.random.PRNGKey(1))
+        d = min(tc.ema_decay, (1.0 + t) / (10.0 + t))
+        expect = jax.tree_util.tree_map(
+            lambda e, p: d * e + (1 - d) * np.asarray(p),
+            expect, state.params)
+    for e, x in zip(jax.tree_util.tree_leaves(state.ema_params),
+                    jax.tree_util.tree_leaves(expect)):
+        np.testing.assert_allclose(np.asarray(e), x, rtol=2e-5, atol=1e-6)
+    # shadow differs from the raw iterate once training moves
+    diffs = [float(np.abs(np.asarray(e) - np.asarray(p)).max())
+             for e, p in zip(jax.tree_util.tree_leaves(state.ema_params),
+                             jax.tree_util.tree_leaves(state.params))]
+    assert max(diffs) > 0
+    # and eval_params surfaces the shadow
+    for e, p in zip(jax.tree_util.tree_leaves(state.eval_params),
+                    jax.tree_util.tree_leaves(state.ema_params)):
+        np.testing.assert_array_equal(np.asarray(e), np.asarray(p))
+
+
+def test_ema_checkpoint_roundtrip_and_fallbacks(tmp_path):
+    from handwritten_math_ocr_api_tpu.train import checkpoint as ck
+
+    tc = TrainConfig(checkpoint_dir=str(tmp_path), ema_decay=0.9)
+    state, opt = create_train_state(jax.random.PRNGKey(0), TINY, tc)
+    step = make_train_step(TINY, tc, opt)
+    rng = np.random.default_rng(0)
+    images, captions = _batch(rng)
+    state, _ = step(state, images, captions, jax.random.PRNGKey(1))
+    ck.save_checkpoint(str(tmp_path), "ema_ckpt", state, epoch=1, metric=1.0)
+
+    # 1) EMA ckpt -> EMA template: shadow restored exactly
+    fresh, _ = create_train_state(jax.random.PRNGKey(42), TINY, tc)
+    restored, _ = ck.load_checkpoint(str(tmp_path), "ema_ckpt", fresh)
+    for a, b in zip(jax.tree_util.tree_leaves(state.ema_params),
+                    jax.tree_util.tree_leaves(restored.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # 2) EMA ckpt -> non-EMA template (e.g. plain evaluate): loads fine
+    tc0 = TrainConfig(checkpoint_dir=str(tmp_path))
+    plain, _ = create_train_state(jax.random.PRNGKey(7), TINY, tc0)
+    r2, _ = ck.load_checkpoint(str(tmp_path), "ema_ckpt", plain,
+                               params_only=True)
+    assert r2.ema_params is None
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(r2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # 3) pre-EMA ckpt -> EMA template: shadow falls back to the params
+    ck.save_checkpoint(str(tmp_path), "old_ckpt", plain, epoch=1, metric=1.0)
+    r3, _ = ck.load_checkpoint(str(tmp_path), "old_ckpt", fresh)
+    for a, b in zip(jax.tree_util.tree_leaves(r3.ema_params),
+                    jax.tree_util.tree_leaves(r3.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
