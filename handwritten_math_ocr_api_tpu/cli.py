@@ -173,9 +173,20 @@ def cmd_predict(args) -> int:
     engine = DecodeEngine(state.eval_params, state.model_state, mc,
                           DecodeConfig(), tok)
     img = preprocess_file(args.image, mc)
+    sampled = (getattr(args, "temperature", None)
+               or getattr(args, "top_k", None)
+               or getattr(args, "top_p", None))
     if args.beam_size and args.beam_size > 1:
         out = engine.predict_batch(img, beam_size=args.beam_size)[0]
         print("Predicted LaTeX:", out)
+    elif sampled:
+        latex, conf = engine.predict_single_sampled(
+            img[0], temperature=getattr(args, "temperature", None) or 1.0,
+            top_k=getattr(args, "top_k", None) or 0,
+            top_p=getattr(args, "top_p", None) or 1.0,
+            seed=getattr(args, "seed", 0))
+        print("Predicted LaTeX:", latex)
+        print(f"Confidence: {conf:.4f}")
     else:
         latex, conf = engine.predict_single(img[0])
         print("Predicted LaTeX:", latex)
@@ -362,6 +373,13 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--checkpoint", default="best_model")
     pr.add_argument("--beam-size", type=int, default=None)
     pr.add_argument("--use-ema", action="store_true")
+    pr.add_argument("--temperature", type=float, default=None,
+                    help="sampled decode temperature (enables sampling)")
+    pr.add_argument("--top-k", type=int, default=None,
+                    help="sampled decode top-k filter")
+    pr.add_argument("--top-p", type=float, default=None,
+                    help="sampled decode nucleus filter")
+    pr.add_argument("--seed", type=int, default=0)
     pr.set_defaults(fn=cmd_predict)
 
     ri = sub.add_parser("render-inkml", help="rasterize InkML to PNGs+CSV")

@@ -122,6 +122,7 @@ class DecodeEngine:
                 batch_buckets=tuple(buckets))
         self._greedy_fns: Dict[int, callable] = {}
         self._beam_fns: Dict[Tuple[int, int], callable] = {}
+        self._sample_fns: Dict[Tuple, callable] = {}
 
     # -- compiled kernels --------------------------------------------------
 
@@ -180,6 +181,35 @@ class DecodeEngine:
             self._beam_fns[key] = fn
         return self._beam_fns[key]
 
+    def _sample_fn(self, batch: int, temperature: float, top_k: int,
+                   top_p: float):
+        key = (batch, float(temperature), int(top_k), float(top_p))
+        if key not in self._sample_fns:
+            cfg, state, up = self.cfg, self.state, self.use_pallas
+            upb = self.pallas_encoder_block
+            max_len = self.decode_cfg.max_seq_len
+
+            @jax.jit
+            def fn(params, rng, images):
+                if images.dtype == jnp.uint8:
+                    from ..data.preprocess import device_normalize
+
+                    images = device_normalize(images)
+                memory, _ = model_mod.encode(params, state, cfg, images,
+                                             use_pallas=up,
+                                             use_pallas_block=upb)
+                from .sampling import sample_decode
+
+                # sampling rides the XLA decode path (the fused megakernel
+                # is argmax-greedy); per-setting compiles are cached
+                return sample_decode(params["decoder"], cfg, memory, rng,
+                                     max_len, temperature=temperature,
+                                     top_k=top_k, top_p=top_p,
+                                     use_pallas=up)
+
+            self._sample_fns[key] = fn
+        return self._sample_fns[key]
+
     # -- internals ----------------------------------------------------------
 
     def _pad_batch(self, images: np.ndarray) -> Tuple[jnp.ndarray, int, int]:
@@ -212,6 +242,37 @@ class DecodeEngine:
         return _fetch_async(
             GreedyResult(res.tokens[:B], res.lengths[:B],
                          res.logprob_sum[:B], res.token_count[:B]))
+
+    def sample_tokens(self, images: np.ndarray, *, temperature: float = 1.0,
+                      top_k: int = 0, top_p: float = 1.0,
+                      seed: int = 0) -> GreedyResult:
+        """Stochastic decode (decode/sampling.py). Same result structure as
+        greedy; temperature/top_k/top_p are compile-time settings (cached
+        per distinct value), ``seed`` is a cheap runtime input."""
+        x, B, bucket = self._pad_batch(np.asarray(images))
+        res: GreedyResult = self._sample_fn(bucket, temperature, top_k,
+                                            top_p)(
+            self.params, jax.random.PRNGKey(seed), x)
+        return _fetch_async(
+            GreedyResult(res.tokens[:B], res.lengths[:B],
+                         res.logprob_sum[:B], res.token_count[:B]))
+
+    def predict_single_sampled(self, image: np.ndarray, *,
+                               temperature: float = 1.0, top_k: int = 0,
+                               top_p: float = 1.0, seed: int = 0
+                               ) -> Tuple[str, float]:
+        """Sampled serving decode -> (cleaned latex, confidence) with the
+        reference confidence semantics (raw-distribution log-probs)."""
+        if image.ndim == 3:
+            image = image[None]
+        res = self.sample_tokens(image, temperature=temperature,
+                                 top_k=top_k, top_p=top_p, seed=seed)
+        count = int(res.token_count[0])
+        if count == 0:
+            return EMPTY_RESULT_FALLBACK, 0.0
+        confidence = float(np.exp(float(res.logprob_sum[0]) / count))
+        latex = self.tokenizer.decode(np.asarray(res.tokens[0]))
+        return clean_latex_output(latex), confidence
 
     # -- reference-compatible surfaces ---------------------------------------
 

@@ -350,6 +350,30 @@ async def _read_prediction_input(state: ServerState, request) -> np.ndarray:
         None, lambda: _preprocess(state, _decode_base64_image(b64)))
 
 
+def _parse_sampling_query(request) -> dict:
+    """Optional sampled-decode query params on /predict (beyond-reference:
+    temperature / top_k / top_p / seed; decode/sampling.py). Returns {} when
+    none are present (the default greedy path)."""
+    q = request.query
+    if not any(k in q for k in ("temperature", "top_k", "top_p", "seed")):
+        return {}
+    out = {}
+    try:
+        out["temperature"] = float(q.get("temperature", 1.0))
+        out["top_k"] = int(q.get("top_k", 0))
+        out["top_p"] = float(q.get("top_p", 1.0))
+        out["seed"] = int(q.get("seed", 0))
+    except ValueError:
+        raise ApiError(400, "invalid sampling parameter")
+    if not 0.0 < out["temperature"] <= 10.0:
+        raise ApiError(400, "temperature must be in (0, 10]")
+    if not 0 <= out["top_k"] <= 1024:
+        raise ApiError(400, "top_k must be in [0, 1024]")
+    if not 0.0 < out["top_p"] <= 1.0:
+        raise ApiError(400, "top_p must be in (0, 1]")
+    return out
+
+
 async def handle_predict(request) -> "web.Response":
     state: ServerState = request.app["state"]
     state.verify_api_key(request)
@@ -363,6 +387,9 @@ async def handle_predict(request) -> "web.Response":
             raise ApiError(400, "beam_size must be an integer")
         if not 1 <= beam_size <= 16:
             raise ApiError(400, "beam_size must be in [1, 16]")
+    sampling = _parse_sampling_query(request)
+    if sampling and beam_size > 1:
+        raise ApiError(400, "beam_size and sampling params are exclusive")
     async with ConcurrentRequestTracker(state.limiter, client_id):
         state.ensure_model()
         with state.request_timer.stage("input"):
@@ -378,6 +405,13 @@ async def handle_predict(request) -> "web.Response":
 
             formula = clean_latex_output(formula)
             confidence = None
+        elif sampling:
+            # sampled decode bypasses the greedy batcher (per-request
+            # temperature/top_k/top_p can't share one compiled batch)
+            loop = asyncio.get_running_loop()
+            formula, confidence = await loop.run_in_executor(
+                None, lambda: state.engine.predict_single_sampled(
+                    image, **sampling))
         else:
             with state.request_timer.stage("decode"):
                 formula, confidence = await state.batcher.predict(image)

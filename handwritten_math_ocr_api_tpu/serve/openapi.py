@@ -44,7 +44,24 @@ def build_spec(title: str, version: str, description: str) -> Dict:
             "/predict": {"post": {
                 "summary": "Predict LaTeX from one image "
                            "(multipart 'file' or JSON {'image_data': b64}); "
-                           "optional ?beam_size=N",
+                           "optional ?beam_size=N or sampled decode via "
+                           "?temperature=&top_k=&top_p=&seed=",
+                "parameters": [
+                    {"name": "beam_size", "in": "query", "required": False,
+                     "schema": {"type": "integer", "minimum": 1,
+                                "maximum": 16}},
+                    {"name": "temperature", "in": "query", "required": False,
+                     "schema": {"type": "number", "exclusiveMinimum": 0,
+                                "maximum": 10}},
+                    {"name": "top_k", "in": "query", "required": False,
+                     "schema": {"type": "integer", "minimum": 0,
+                                "maximum": 1024}},
+                    {"name": "top_p", "in": "query", "required": False,
+                     "schema": {"type": "number", "exclusiveMinimum": 0,
+                                "maximum": 1}},
+                    {"name": "seed", "in": "query", "required": False,
+                     "schema": {"type": "integer"}},
+                ],
                 "responses": responses(PredictionResponse),
             }},
             "/predict/batch": {"post": {

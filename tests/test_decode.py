@@ -195,3 +195,92 @@ def test_beam_indirect_jits(setup):
     f = jax.jit(lambda p, m: beam_decode_indirect(p, CFG, m, beam_size=3))
     res = f(params, memory)
     assert res.tokens.shape == (3, CFG.max_seq_len)
+
+
+# ---- sampling (decode/sampling.py) ----------------------------------------
+
+def test_filter_logits_topk_topp():
+    from handwritten_math_ocr_api_tpu.decode.sampling import filter_logits
+
+    logits = jnp.asarray([[0.0, 1.0, 2.0, 3.0, 4.0]])
+    # top_k=2 keeps exactly the two largest
+    f = np.asarray(filter_logits(logits, top_k=2))
+    assert (f[0] > -1e29).tolist() == [False, False, False, True, True]
+    # top_p: probs of sorted [4,3,2,1,0] ≈ [.636,.234,.086,.032,.012];
+    # top_p=0.7 keeps {4} then crossing token {3} -> two survivors
+    f = np.asarray(filter_logits(logits, top_p=0.7))
+    assert (f[0] > -1e29).tolist() == [False, False, False, True, True]
+    # tiny top_p still keeps the argmax
+    f = np.asarray(filter_logits(logits, top_p=1e-6))
+    assert (f[0] > -1e29).tolist() == [False, False, False, False, True]
+    # temperature rescales without masking
+    f = np.asarray(filter_logits(logits, temperature=2.0))
+    np.testing.assert_allclose(f, np.asarray(logits) / 2.0, rtol=1e-6)
+
+
+def test_sampling_topk1_matches_greedy(setup):
+    from handwritten_math_ocr_api_tpu.decode.sampling import sample_decode
+
+    params, memory = setup
+    g = greedy_decode(params, CFG, memory, CFG.max_seq_len)
+    s = sample_decode(params, CFG, memory, jax.random.PRNGKey(3),
+                      CFG.max_seq_len, temperature=1.7, top_k=1)
+    np.testing.assert_array_equal(np.asarray(s.tokens), np.asarray(g.tokens))
+    # confidence comes from the RAW distribution -> identical to greedy
+    np.testing.assert_allclose(np.asarray(s.logprob_sum),
+                               np.asarray(g.logprob_sum), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(s.token_count),
+                                  np.asarray(g.token_count))
+
+
+def test_sampling_low_temperature_limit_matches_greedy(setup):
+    from handwritten_math_ocr_api_tpu.decode.sampling import sample_decode
+
+    params, memory = setup
+    g = greedy_decode(params, CFG, memory, CFG.max_seq_len)
+    s = sample_decode(params, CFG, memory, jax.random.PRNGKey(11),
+                      CFG.max_seq_len, temperature=1e-5)
+    np.testing.assert_array_equal(np.asarray(s.tokens), np.asarray(g.tokens))
+
+
+def test_sampling_seeds_vary_output(setup):
+    from handwritten_math_ocr_api_tpu.decode.sampling import sample_decode
+
+    params, memory = setup
+    outs = []
+    for seed in range(4):
+        s = sample_decode(params, CFG, memory, jax.random.PRNGKey(seed),
+                          CFG.max_seq_len, temperature=3.0)
+        outs.append(np.asarray(s.tokens))
+    assert any(not np.array_equal(outs[0], o) for o in outs[1:]), \
+        "high-temperature sampling produced identical outputs for all seeds"
+
+
+def test_engine_sampling_surfaces():
+    from handwritten_math_ocr_api_tpu.core.config import SwinConfig
+    from handwritten_math_ocr_api_tpu.models.model import init_model
+
+    cfg = ModelConfig(
+        d_model=32, nhead=4, dim_feedforward=64, dropout=0.0,
+        num_decoder_layers=2, max_seq_len=10, vocab_size=20, dtype="float32",
+        swin=SwinConfig(embed_dim=8, depths=(1, 1), num_heads=(2, 2),
+                        window_size=4, stochastic_depth=0.0),
+    )
+    mparams, mstate = init_model(jax.random.PRNGKey(1), cfg)
+    vocab = {"<pad>": 0, "<sos>": 1, "<eos>": 2, "<unk>": 3}
+    for i in range(4, 20):
+        vocab[f"t{i}"] = i
+    tok = Tokenizer(vocab, {i: t for t, i in vocab.items()})
+    engine = DecodeEngine(mparams, mstate, cfg,
+                          DecodeConfig(max_seq_len=10), tok)
+    img = np.random.default_rng(0).standard_normal(
+        (1, cfg.img_h, cfg.img_w, 1)).astype(np.float32)
+    res = engine.sample_tokens(img, temperature=1.5, top_k=4, seed=7)
+    assert res.tokens.shape[0] == 1
+    latex, conf = engine.predict_single_sampled(
+        img[0], temperature=1.5, top_k=4, seed=7)
+    assert isinstance(latex, str) and 0.0 <= conf <= 1.0
+    # greedy limit through the engine surface
+    latex_g, conf_g = engine.predict_single(img[0])
+    latex_s, conf_s = engine.predict_single_sampled(img[0], top_k=1)
+    assert latex_s == latex_g and abs(conf_s - conf_g) < 1e-5

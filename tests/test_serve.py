@@ -571,3 +571,39 @@ def test_batcher_timeout_linger_coalesces():
         await eng2.stop()
 
     asyncio.run(run())
+
+
+def test_predict_sampling_params(model_dir):
+    """Beyond-reference sampled decode on /predict: temperature/top_k/top_p/
+    seed query params (decode/sampling.py). top_k=1 must equal greedy."""
+    async def fn(client):
+        b64 = base64.b64encode(_png_bytes()).decode()
+        r0 = await client.post("/predict", json={"image_data": b64})
+        assert r0.status == 200
+        greedy = await r0.json()
+
+        r1 = await client.post("/predict?top_k=1",
+                               json={"image_data": b64})
+        assert r1.status == 200, await r1.text()
+        b1 = await r1.json()
+        assert b1["formula"] == greedy["formula"]
+        assert abs(b1["confidence"] - greedy["confidence"]) < 1e-5
+
+        r2 = await client.post("/predict?temperature=2.5&seed=3",
+                               json={"image_data": b64})
+        assert r2.status == 200
+        b2 = await r2.json()
+        assert isinstance(b2["formula"], str)
+        assert 0.0 <= b2["confidence"] <= 1.0
+
+        # validation errors
+        r = await client.post("/predict?temperature=0",
+                              json={"image_data": b64})
+        assert r.status == 400
+        r = await client.post("/predict?top_p=1.5", json={"image_data": b64})
+        assert r.status == 400
+        r = await client.post("/predict?temperature=1.5&beam_size=3",
+                              json={"image_data": b64})
+        assert r.status == 400
+
+    _with_client(_serve_cfg(model_dir), fn)
