@@ -123,6 +123,7 @@ class DecodeEngine:
         self._greedy_fns: Dict[int, callable] = {}
         self._beam_fns: Dict[Tuple[int, int], callable] = {}
         self._sample_fns: Dict[Tuple, callable] = {}
+        self._stream_fns: Dict[int, Tuple[callable, callable]] = {}
 
     # -- compiled kernels --------------------------------------------------
 
@@ -242,6 +243,80 @@ class DecodeEngine:
         return _fetch_async(
             GreedyResult(res.tokens[:B], res.lengths[:B],
                          res.logprob_sum[:B], res.token_count[:B]))
+
+    def _stream_fn(self, segment_steps: int):
+        """(start, segment) jitted pair for streaming decode
+        (decode/streaming.py); batch-1, keyed by segment length."""
+        if segment_steps not in self._stream_fns:
+            cfg, state, up = self.cfg, self.state, self.use_pallas
+            upb = self.pallas_encoder_block
+            max_len = self.decode_cfg.max_seq_len
+
+            from .streaming import stream_segment, stream_start
+
+            @jax.jit
+            def start(params, images):
+                if images.dtype == jnp.uint8:
+                    from ..data.preprocess import device_normalize
+
+                    images = device_normalize(images)
+                memory, _ = model_mod.encode(params, state, cfg, images,
+                                             use_pallas=up,
+                                             use_pallas_block=upb)
+                return stream_start(params["decoder"], cfg, memory,
+                                    max_len, segment_steps)
+
+            @jax.jit
+            def segment(params, carry):
+                return stream_segment(params["decoder"], cfg, carry,
+                                      segment_steps, use_pallas=up)
+
+            self._stream_fns[segment_steps] = (start, segment)
+        return self._stream_fns[segment_steps]
+
+    def predict_stream(self, image: np.ndarray, segment_steps: int = 8):
+        """Streaming serving decode: a generator of event dicts —
+        ``{"tokens": [...]}`` per segment with the freshly decoded token
+        strings, then a final ``{"formula", "confidence", "done": True}``
+        with the reference confidence/fallback semantics
+        (app/src/im2latex.py:33-55). The KV cache stays on device between
+        segments; each iteration costs one small host fetch."""
+        if image.ndim == 3:
+            image = image[None]
+        start, segment = self._stream_fn(segment_steps)
+        carry = start(self.params, jnp.asarray(np.asarray(image)))
+        max_len = self.decode_cfg.max_seq_len
+        all_ids: List[int] = []
+        eos_id = self.tokenizer.eos_id
+        pad_id = self.tokenizer.pad_id
+        done = False
+        while not done and len(all_ids) < max_len:
+            carry, toks = segment(self.params, carry)
+            row = np.asarray(toks[0])
+            done = bool(np.asarray(carry.finished[0]))
+            fresh: List[str] = []
+            for t in row:
+                t = int(t)
+                if t == pad_id:
+                    break
+                all_ids.append(t)
+                if t == eos_id:
+                    done = True
+                    break
+                fresh.append(self.tokenizer.idx2char.get(t, "<unk>"))
+                if len(all_ids) >= max_len:
+                    break
+            if fresh:
+                yield {"tokens": fresh}
+        count = int(np.asarray(carry.count[0]))
+        if count == 0:
+            yield {"formula": EMPTY_RESULT_FALLBACK, "confidence": 0.0,
+                   "done": True}
+            return
+        conf = float(np.exp(float(np.asarray(carry.lp_sum[0])) / count))
+        latex = self.tokenizer.decode(all_ids)
+        yield {"formula": clean_latex_output(latex), "confidence": conf,
+               "done": True}
 
     def sample_tokens(self, images: np.ndarray, *, temperature: float = 1.0,
                       top_k: int = 0, top_p: float = 1.0,

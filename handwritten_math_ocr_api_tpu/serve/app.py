@@ -423,6 +423,50 @@ async def handle_predict(request) -> "web.Response":
         return web.json_response(resp.model_dump())
 
 
+async def handle_predict_stream(request) -> "web.StreamResponse":
+    """Server-sent-events streaming decode (beyond-reference): tokens are
+    pushed as each device-side decode segment lands (decode/streaming.py),
+    ending with a final event carrying the cleaned formula + the reference
+    confidence. Input contract matches /predict (multipart or base64)."""
+    import json as _json
+
+    state: ServerState = request.app["state"]
+    state.verify_api_key(request)
+    start = time.time()
+    client_id, _auth = state.client_identity(request)
+    try:
+        segment_steps = int(request.query.get("segment_steps", 8))
+    except ValueError:
+        raise ApiError(400, "segment_steps must be an integer")
+    if not 1 <= segment_steps <= 64:
+        raise ApiError(400, "segment_steps must be in [1, 64]")
+    async with ConcurrentRequestTracker(state.limiter, client_id):
+        state.ensure_model()
+        image = await _read_prediction_input(state, request)
+        resp = web.StreamResponse(headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache",
+            "X-Accel-Buffering": "no",
+        })
+        await resp.prepare(request)
+        loop = asyncio.get_running_loop()
+        gen = state.engine.predict_stream(image, segment_steps=segment_steps)
+        _END = object()
+        while True:
+            event = await loop.run_in_executor(
+                None, lambda: next(gen, _END))
+            if event is _END:
+                break
+            if event.get("done"):
+                event["processing_time"] = time.time() - start
+                event["timestamp"] = _ts()
+                state.prediction_count += 1
+            await resp.write(
+                f"data: {_json.dumps(event)}\n\n".encode())
+        await resp.write_eof()
+        return resp
+
+
 async def handle_predict_batch(request) -> "web.Response":
     state: ServerState = request.app["state"]
     state.verify_api_key(request)
@@ -699,6 +743,7 @@ def create_app(cfg: Optional[ServeConfig] = None,
     app.router.add_get("/docs", handle_docs)
     app.router.add_get("/redoc", handle_redoc)
     app.router.add_post("/predict", handle_predict)
+    app.router.add_post("/predict/stream", handle_predict_stream)
     app.router.add_post("/predict/batch", handle_predict_batch)
     app.router.add_get("/status", handle_status)
     app.router.add_get("/health", handle_health)

@@ -64,6 +64,21 @@ def build_spec(title: str, version: str, description: str) -> Dict:
                 ],
                 "responses": responses(PredictionResponse),
             }},
+            "/predict/stream": {"post": {
+                "summary": "Streaming decode (server-sent events): token "
+                           "events as each decode segment lands, final "
+                           "event carries formula+confidence; same input "
+                           "contract as /predict",
+                "parameters": [
+                    {"name": "segment_steps", "in": "query",
+                     "required": False,
+                     "schema": {"type": "integer", "minimum": 1,
+                                "maximum": 64, "default": 8}},
+                ],
+                "responses": {"200": {"description":
+                                      "text/event-stream of JSON events"},
+                              "429": {"description": "Rate limit exceeded"}},
+            }},
             "/predict/batch": {"post": {
                 "summary": "Predict LaTeX for 1-10 base64 images (batched "
                            "on the TPU)",

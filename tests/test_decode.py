@@ -284,3 +284,72 @@ def test_engine_sampling_surfaces():
     latex_g, conf_g = engine.predict_single(img[0])
     latex_s, conf_s = engine.predict_single_sampled(img[0], top_k=1)
     assert latex_s == latex_g and abs(conf_s - conf_g) < 1e-5
+
+
+# ---- streaming (decode/streaming.py) ---------------------------------------
+
+def test_stream_segments_match_greedy(setup):
+    """Concatenated segment tokens + accounting must equal the one-shot
+    greedy while-loop decode, for segment lengths that do and don't divide
+    max_len."""
+    from handwritten_math_ocr_api_tpu.decode.streaming import (
+        stream_segment, stream_start,
+    )
+
+    params, memory = setup
+    g = greedy_decode(params, CFG, memory, CFG.max_seq_len)
+    for seg in (3, 4, 12):
+        carry = stream_start(params, CFG, memory, CFG.max_seq_len, seg)
+        rows = []
+        steps = 0
+        while steps < CFG.max_seq_len and not bool(
+                np.asarray(carry.finished).all()):
+            carry, toks = stream_segment(params, CFG, carry, seg)
+            rows.append(np.asarray(toks))
+            steps += seg
+        streamed = np.concatenate(rows, axis=1)[:, :CFG.max_seq_len]
+        want = np.asarray(g.tokens)
+        np.testing.assert_array_equal(streamed[:, :want.shape[1]], want,
+                                      err_msg=f"segment={seg}")
+        np.testing.assert_allclose(np.asarray(carry.lp_sum),
+                                   np.asarray(g.logprob_sum), rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(carry.count),
+                                      np.asarray(g.token_count))
+
+
+def test_engine_predict_stream_matches_predict_single():
+    from handwritten_math_ocr_api_tpu.core.config import SwinConfig
+    from handwritten_math_ocr_api_tpu.models.model import init_model
+
+    cfg = ModelConfig(
+        d_model=32, nhead=4, dim_feedforward=64, dropout=0.0,
+        num_decoder_layers=2, max_seq_len=10, vocab_size=20, dtype="float32",
+        swin=SwinConfig(embed_dim=8, depths=(1, 1), num_heads=(2, 2),
+                        window_size=4, stochastic_depth=0.0),
+    )
+    mparams, mstate = init_model(jax.random.PRNGKey(1), cfg)
+    vocab = {"<pad>": 0, "<sos>": 1, "<eos>": 2, "<unk>": 3}
+    for i in range(4, 20):
+        vocab[f"t{i}"] = i
+    tok = Tokenizer(vocab, {i: t for t, i in vocab.items()})
+    engine = DecodeEngine(mparams, mstate, cfg,
+                          DecodeConfig(max_seq_len=10), tok)
+    img = np.random.default_rng(0).standard_normal(
+        (cfg.img_h, cfg.img_w, 1)).astype(np.float32)
+
+    events = list(engine.predict_stream(img, segment_steps=4))
+    assert events and events[-1].get("done")
+    final = events[-1]
+    token_events = [e for e in events[:-1]]
+    assert all("tokens" in e for e in token_events)
+    streamed_text = " ".join(
+        t for e in token_events for t in e["tokens"])
+
+    latex, conf = engine.predict_single(img)
+    assert final["formula"] == latex
+    assert abs(final["confidence"] - conf) < 1e-5
+    # the streamed tokens are the uncleaned token stream of the same decode
+    from handwritten_math_ocr_api_tpu.core.tokenizer import (
+        clean_latex_output,
+    )
+    assert clean_latex_output(streamed_text) == latex

@@ -607,3 +607,43 @@ def test_predict_sampling_params(model_dir):
         assert r.status == 400
 
     _with_client(_serve_cfg(model_dir), fn)
+
+
+def test_predict_stream_sse(model_dir):
+    """SSE streaming endpoint: token events then a final done event whose
+    formula/confidence match the plain /predict path."""
+    async def fn(client):
+        b64 = base64.b64encode(_png_bytes()).decode()
+        r0 = await client.post("/predict", json={"image_data": b64})
+        assert r0.status == 200
+        plain = await r0.json()
+
+        r = await client.post("/predict/stream?segment_steps=4",
+                              json={"image_data": b64})
+        assert r.status == 200, await r.text()
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        raw = (await r.read()).decode()
+        events = [json.loads(line[len("data: "):])
+                  for line in raw.splitlines()
+                  if line.startswith("data: ")]
+        assert events, raw
+        final = events[-1]
+        assert final.get("done") is True
+        assert final["formula"] == plain["formula"]
+        # different compiled programs (fori segments vs while-loop) under
+        # bf16 -> small numeric drift in the accumulated log-probs; the
+        # exact-equivalence check lives in test_decode.py on a fp32 model
+        assert abs(final["confidence"] - plain["confidence"]) < 5e-3
+        assert "processing_time" in final and "timestamp" in final
+        streamed = " ".join(t for e in events[:-1] for t in e["tokens"])
+        from handwritten_math_ocr_api_tpu.core.tokenizer import (
+            clean_latex_output,
+        )
+        assert clean_latex_output(streamed) == plain["formula"]
+
+        # bad segment_steps rejected
+        r = await client.post("/predict/stream?segment_steps=0",
+                              json={"image_data": b64})
+        assert r.status == 400
+
+    _with_client(_serve_cfg(model_dir), fn)
