@@ -189,9 +189,10 @@ class DecodeEngine:
             cfg, state, up = self.cfg, self.state, self.use_pallas
             upb = self.pallas_encoder_block
             max_len = self.decode_cfg.max_seq_len
+            fused = self.use_fused
 
             @jax.jit
-            def fn(params, rng, images):
+            def fn(params, stacked, rng, images):
                 if images.dtype == jnp.uint8:
                     from ..data.preprocess import device_normalize
 
@@ -199,10 +200,17 @@ class DecodeEngine:
                 memory, _ = model_mod.encode(params, state, cfg, images,
                                              use_pallas=up,
                                              use_pallas_block=upb)
+                if fused:
+                    # sampling rides the fused megakernel step: the filter
+                    # + categorical run in XLA on the kernel's logits
+                    from .fused import greedy_decode_fused
+
+                    return greedy_decode_fused(
+                        params["decoder"], stacked, cfg, memory, max_len,
+                        rng=rng, temperature=temperature, top_k=top_k,
+                        top_p=top_p)
                 from .sampling import sample_decode
 
-                # sampling rides the XLA decode path (the fused megakernel
-                # is argmax-greedy); per-setting compiles are cached
                 return sample_decode(params["decoder"], cfg, memory, rng,
                                      max_len, temperature=temperature,
                                      top_k=top_k, top_p=top_p,
@@ -327,7 +335,7 @@ class DecodeEngine:
         x, B, bucket = self._pad_batch(np.asarray(images))
         res: GreedyResult = self._sample_fn(bucket, temperature, top_k,
                                             top_p)(
-            self.params, jax.random.PRNGKey(seed), x)
+            self.params, self._stacked or {}, jax.random.PRNGKey(seed), x)
         return _fetch_async(
             GreedyResult(res.tokens[:B], res.lengths[:B],
                          res.logprob_sum[:B], res.token_count[:B]))

@@ -75,7 +75,9 @@ def greedy_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
                         pad_id: int = PAD_ID,
                         interpret: bool | None = None,
                         variant: str = "v2",
-                        t_buckets: tuple = (40, 80, 120)) -> GreedyResult:
+                        t_buckets: tuple = (40, 80, 120),
+                        rng=None, temperature: float = 1.0,
+                        top_k: int = 0, top_p: float = 1.0) -> GreedyResult:
     """Drop-in equivalent of decode.greedy.greedy_decode using the fused
     layer kernel. ``stacked`` from ops.fused_step.build_stacked.
 
@@ -99,7 +101,17 @@ def greedy_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
     for the flagship size; a build_stacked_full bundle works for small
     configs and is auto-completed here. Measured at parity with v2 at
     batch 10 and slower at batch 1 — experimental, see the module
-    docstring for the A/B record."""
+    docstring for the A/B record.
+
+    ``rng``: when given, the decode SAMPLES instead of argmax — the
+    temperature/top_k/top_p filter (decode/sampling.py) runs in XLA on the
+    logits the kernel emits, so sampling rides the same fused megakernel
+    step. Only variants that surface logits outside the kernel (v1/v2/v2m)
+    support it; v3/v4/v5 compute argmax in-kernel."""
+    if rng is not None and variant not in ("v1", "v2", "v2m"):
+        raise NotImplementedError(
+            f"sampled fused decode needs XLA-side logits; variant "
+            f"{variant!r} computes argmax in-kernel — use 'v2'")
     if cfg.kv_heads != cfg.nhead and (variant != "v2"
                                       or cfg.kv_heads != 1):
         raise NotImplementedError(
@@ -199,7 +211,14 @@ def greedy_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
                 l_enc_actual=l_enc_actual, interpret=interpret)
         logits = layers.linear(fc_out, x.astype(jnp.float32))  # (B, V)
 
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if rng is not None:
+            from .sampling import filter_logits
+
+            filtered = filter_logits(logits, temperature, top_k, top_p)
+            nxt = jax.random.categorical(
+                jax.random.fold_in(rng, step), filtered).astype(jnp.int32)
+        else:
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         probs = jax.nn.softmax(logits, axis=-1)
         logp = jnp.take_along_axis(jnp.log(probs + 1e-10), nxt[:, None],
                                    axis=-1)[:, 0]

@@ -424,3 +424,35 @@ def test_fused_ragged_step_rejects_misaligned_block():
     with pytest.raises(ValueError, match="multiple of 8"):
         fused_ragged_step(stacked, CFG, prev, pos, sk, sv, ck, cv,
                           block_b=5, interpret=True)
+
+
+def test_fused_sampled_topk1_matches_fused_greedy(setup):
+    """Sampling on the fused path: top_k=1 must reduce to fused greedy,
+    including the raw-distribution confidence accounting."""
+    params, stacked, memory = setup
+    g = greedy_decode_fused(params, stacked, CFG, memory, CFG.max_seq_len,
+                            interpret=True)
+    s = greedy_decode_fused(params, stacked, CFG, memory, CFG.max_seq_len,
+                            interpret=True, rng=jax.random.PRNGKey(5),
+                            temperature=1.9, top_k=1)
+    np.testing.assert_array_equal(np.asarray(s.tokens), np.asarray(g.tokens))
+    np.testing.assert_allclose(np.asarray(s.logprob_sum),
+                               np.asarray(g.logprob_sum), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(s.token_count),
+                                  np.asarray(g.token_count))
+
+
+def test_fused_sampled_seeds_vary_and_v4_rejects(setup):
+    params, stacked, memory = setup
+    outs = []
+    for seed in range(3):
+        s = greedy_decode_fused(params, stacked, CFG, memory,
+                                CFG.max_seq_len, interpret=True,
+                                rng=jax.random.PRNGKey(seed),
+                                temperature=3.0)
+        outs.append(np.asarray(s.tokens))
+    assert any(not np.array_equal(outs[0], o) for o in outs[1:])
+    with pytest.raises(NotImplementedError):
+        greedy_decode_fused(params, stacked, CFG, memory, CFG.max_seq_len,
+                            interpret=True, rng=jax.random.PRNGKey(0),
+                            variant="v4")
