@@ -347,3 +347,28 @@ def test_ema_checkpoint_roundtrip_and_fallbacks(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(r3.ema_params),
                     jax.tree_util.tree_leaves(r3.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ema_on_mesh_sharded_step():
+    """EMA shadow must shard like params and update under a dp x tp mesh."""
+    assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
+    tc = TrainConfig(learning_rate=1e-3, ema_decay=0.9)
+    state, opt = create_train_state(jax.random.PRNGKey(0), TINY, tc)
+    mesh = mesh_lib.make_mesh(data=4, tensor=2)
+    state = state.replace(
+        params=mesh_lib.shard_params(state.params, mesh),
+        ema_params=mesh_lib.shard_params(state.ema_params, mesh),
+        opt_state=opt.init(
+            mesh_lib.shard_params(state.params, mesh)))
+    state = mesh_lib.commit_to_mesh(state, mesh)
+    step = make_train_step(TINY, tc, opt)
+    rng = np.random.default_rng(0)
+    images, captions = _batch(rng, B=8)
+    images, captions = mesh_lib.shard_batch(
+        (jnp.asarray(images), jnp.asarray(captions)), mesh)
+    state, metrics = step(state, images, captions, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    diffs = [float(np.abs(np.asarray(e) - np.asarray(p)).max())
+             for e, p in zip(jax.tree_util.tree_leaves(state.ema_params),
+                             jax.tree_util.tree_leaves(state.params))]
+    assert max(diffs) > 0  # shadow moved away from the raw iterate
