@@ -452,17 +452,26 @@ async def handle_predict_stream(request) -> "web.StreamResponse":
         loop = asyncio.get_running_loop()
         gen = state.engine.predict_stream(image, segment_steps=segment_steps)
         _END = object()
-        while True:
-            event = await loop.run_in_executor(
-                None, lambda: next(gen, _END))
-            if event is _END:
-                break
-            if event.get("done"):
-                event["processing_time"] = time.time() - start
-                event["timestamp"] = _ts()
-                state.prediction_count += 1
-            await resp.write(
-                f"data: {_json.dumps(event)}\n\n".encode())
+        try:
+            while True:
+                event = await loop.run_in_executor(
+                    None, lambda: next(gen, _END))
+                if event is _END:
+                    break
+                if event.get("done"):
+                    event["processing_time"] = time.time() - start
+                    event["timestamp"] = _ts()
+                    state.prediction_count += 1
+                await resp.write(
+                    f"data: {_json.dumps(event)}\n\n".encode())
+        except Exception as exc:  # response already prepared: report in-band
+            logger.exception("streaming decode failed mid-stream")
+            err = {"error": "Prediction failed", "detail": str(exc),
+                   "done": True}
+            try:
+                await resp.write(f"data: {_json.dumps(err)}\n\n".encode())
+            except Exception:
+                pass
         await resp.write_eof()
         return resp
 
