@@ -581,6 +581,7 @@ class ContinuousDecoder:
         self._admit_seg: Dict[int, int] = {}  # slot -> first segment index
         self._pending: List[Tuple[int, jax.Array]] = []
         self._next_id = 0
+        self._kill_jit = None  # built lazily by cancel()
         self._insert_fns: Dict[int, callable] = {}
         self._nsteps_const: Dict[int, jax.Array] = {}
         self._pad_img: Dict[Tuple[int, int], jax.Array] = {}
@@ -690,6 +691,7 @@ class ContinuousDecoder:
         self.segments_run = 0
         self.steps_scheduled = 0
         self.tokens_emitted = 0
+        self.cancelled = 0             # requests aborted via cancel()
         self.occupancy_sum = 0.0       # step-weighted sum of slot occupancy
         self.harvest_blocks = 0        # harvests that had to wait
         self.rows_scheduled = 0        # kernel rows computed (bucketed)
@@ -768,6 +770,50 @@ class ContinuousDecoder:
             dev = jnp.asarray(img)
         self._pending.append((rid, dev))
         return rid
+
+    def cancel(self, rid: int) -> bool:
+        """Abort a request: drop it from the admission queue, or — if it
+        already occupies a KV slot — deactivate the slot's device row so
+        the next segments stop computing it, and free the slot for reuse.
+        Returns True if the request was found (queued or decoding), False
+        if it already finished (its result is delivered or in flight).
+
+        Beyond the reference, whose serving decode was a blocking
+        per-request loop with no way to stop paying for a disconnected
+        client (app/src/im2latex.py:15-57): here a cancelled request's
+        slot is reclaimed immediately and refilled at the next admission.
+
+        Must be called from the scheduler thread (the same owner as
+        step_once); serve/batcher.py's worker loop does this when it sees
+        a waiter's future cancelled by a client disconnect."""
+        for i, (r, _img) in enumerate(self._pending):
+            if r == rid:
+                del self._pending[i]
+                self.cancelled += 1
+                return True
+        slot = next((s for s, r in self._slot_req.items() if r == rid),
+                    None)
+        if slot is None:
+            return False
+        del self._slot_req[slot]
+        self._admit_seg.pop(slot, None)
+        self._pos_ub.pop(slot, None)
+        heapq.heappush(self._free, slot)
+        # Device row: active=False drops it out of segment compute (live =
+        # active & ~finished). Reports from already-dispatched segments
+        # that mention the slot are ignored because it left _slot_req; the
+        # next insert fully resets the row. The mask rides the SAME
+        # sharding as the pool state so mesh-mode segment dispatch keeps
+        # its expected layouts.
+        mask = np.zeros((int(self._small.active.shape[0]),), bool)
+        mask[slot] = True
+        mask_dev = jax.device_put(mask, self._small.active.sharding)
+        if self._kill_jit is None:
+            self._kill_jit = jax.jit(
+                lambda small, m: small._replace(active=small.active & ~m))
+        self._small = self._kill_jit(self._small, mask_dev)
+        self.cancelled += 1
+        return True
 
     @property
     def idle(self) -> bool:
@@ -893,6 +939,7 @@ class ContinuousDecoder:
             "rows_scheduled": self.rows_scheduled,
             "active_slots": len(self._slot_req),
             "pending": len(self._pending),
+            "cancelled": self.cancelled,
             "t_admit_s": round(self.t_admit, 3),
             "t_admit_upload_s": round(self.t_admit_upload, 3),
             "t_admit_insert_s": round(self.t_admit_insert, 3),

@@ -832,4 +832,13 @@ def run_server(model_dir: str = "trained-model", host: str = "0.0.0.0",
     cfg = dataclasses.replace(ServeConfig.from_env(), model_dir=model_dir,
                               host=host, port=port)
     app = create_app(cfg)
-    web.run_app(app, host=cfg.host, port=cfg.port)
+    # handler_cancellation: a client disconnect cancels the handler task,
+    # which cancels the awaited prediction future — the continuous engine
+    # sees it and reclaims the request's KV slot (decode/continuous.py::
+    # ContinuousDecoder.cancel) instead of decoding for nobody. aiohttp
+    # >= 3.9 defaults this OFF; older versions don't take the kwarg.
+    try:
+        web.run_app(app, host=cfg.host, port=cfg.port,
+                    handler_cancellation=True)
+    except TypeError:  # pragma: no cover - aiohttp < 3.9
+        web.run_app(app, host=cfg.host, port=cfg.port)

@@ -219,6 +219,7 @@ class ContinuousServingEngine:
         self.t_step = 0.0
         self.t_other = 0.0
         self.worker_iters = 0
+        self.cancelled = 0  # waiters dropped after client disconnect
 
     async def start(self) -> None:
         if self._thread is None:
@@ -265,8 +266,28 @@ class ContinuousServingEngine:
                     image, fut, loop = self._subq.get_nowait()
                 except tqueue.Empty:
                     break
+                if fut.cancelled():  # client gone before we even admitted
+                    self.cancelled += 1
+                    continue
                 rid = self.decoder.submit(image)
                 self._futures[rid] = (fut, loop)
+            # client disconnects: aiohttp cancels the handler task, which
+            # cancels the awaited future — reclaim the request's KV slot
+            # instead of decoding for nobody (reference comparison: its
+            # per-request loop ran to completion regardless,
+            # app/src/im2latex.py:15-57)
+            if self._futures:
+                gone = [rid for rid, (fut, _) in self._futures.items()
+                        if fut.cancelled()]
+                for rid in gone:
+                    del self._futures[rid]
+                    self.cancelled += 1
+                    try:
+                        cancel = getattr(self.decoder, "cancel", None)
+                        if cancel is not None:
+                            cancel(rid)
+                    except Exception:
+                        logger.exception("request cancel failed")
             if self.decoder.idle:
                 if self._stopping:
                     return
@@ -328,4 +349,5 @@ class ContinuousServingEngine:
         s["worker_step_s"] = round(self.t_step, 3)
         s["worker_other_s"] = round(self.t_other, 3)
         s["worker_iters"] = self.worker_iters
+        s["cancelled_waiters"] = self.cancelled
         return s
