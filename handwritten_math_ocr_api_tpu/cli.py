@@ -291,6 +291,40 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_calibrate(args) -> int:
+    """Fit a confidence calibrator from an eval CSV (eval/calibration.py).
+
+    Input: test_results.csv written by ``evaluate`` (greedy), which carries
+    per-sample confidence + exact_match. Output: calibration.json that the
+    serving layer auto-applies from the model dir. The reference never
+    validated its served confidence (app/src/im2latex.py:50,55)."""
+    import csv as _csv
+
+    from .eval import calibration as calib
+
+    conf, correct = [], []
+    with open(args.results) as f:
+        for row in _csv.DictReader(f):
+            c = row.get("confidence", "")
+            if c in ("", "None", None):
+                continue
+            conf.append(float(c))
+            correct.append(row["exact_match"].strip().lower() == "true")
+    if len(conf) < 10:
+        print(f"need >=10 samples with confidence, got {len(conf)} "
+              f"(run `evaluate` greedy — beam rows carry no confidence)")
+        return 1
+    art = calib.fit(conf, correct, method=args.method, n_bins=args.bins)
+    calib.save(art, args.out)
+    print(f"fit {args.method} on {art['n_samples']} samples: "
+          f"ECE {art['ece_raw']:.4f} -> {art['ece_calibrated']:.4f} "
+          f"({args.bins} bins) -> {args.out}")
+    for r in art["reliability_calibrated"]:
+        print(f"  [{r['bin_lo']:.1f},{r['bin_hi']:.1f}) n={r['count']:<5d} "
+              f"conf={r['mean_confidence']:.3f} acc={r['accuracy']:.3f}")
+    return 0
+
+
 def cmd_serve(args) -> int:
     from .serve.app import run_server
 
@@ -439,6 +473,16 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--use-ema", action="store_true",
                     help="export the EMA shadow weights when present")
     ex.set_defaults(fn=cmd_export)
+
+    ca = sub.add_parser("calibrate",
+                        help="fit a confidence calibrator from eval CSV")
+    ca.add_argument("--results", required=True,
+                    help="test_results.csv from `evaluate` (greedy)")
+    ca.add_argument("--out", default="calibration.json")
+    ca.add_argument("--method", default="platt",
+                    choices=["platt", "isotonic"])
+    ca.add_argument("--bins", type=int, default=10)
+    ca.set_defaults(fn=cmd_calibrate)
 
     sv = sub.add_parser("serve", help="run the serving API")
     sv.add_argument("--model-dir", default="trained-model")

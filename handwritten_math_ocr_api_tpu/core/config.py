@@ -252,6 +252,11 @@ class ServeConfig:
     # Continuous mode multi-chip: shard the slot pool over a data-axis mesh
     # of this many devices (BASELINE config 5's v5e-4 target => 4). 1 = off.
     mesh_data_axis: int = 1
+    # Confidence calibration artifact (eval/calibration.py): "auto" =
+    # apply <model_dir>/calibration.json when present, "off" = raw
+    # reference confidence formula, else an explicit JSON path. The
+    # reference served its confidence uncalibrated (app/src/im2latex.py).
+    calibration: str = "auto"
     # Greedy decode via the fused decoder-layer Pallas megakernel (~2x the
     # XLA step on v5e; see BENCHMARKS.md). bf16 argmax ties can flip rare
     # tokens vs the XLA path, so it is opt-in for serving.
@@ -336,6 +341,8 @@ class ServeConfig:
             mesh_data_axis=int(
                 env.get("SERVING_MESH_DATA", defaults.mesh_data_axis)
             ),
+            calibration=env.get("SERVING_CALIBRATION",
+                                defaults.calibration),
             use_fused_decode=env.get(
                 "SERVING_USE_FUSED",
                 "1" if defaults.use_fused_decode else "0") in

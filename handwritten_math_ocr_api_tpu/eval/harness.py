@@ -15,7 +15,11 @@ Outputs mirror the reference artifacts (src/test_model.py:88-105):
 ``test_results.csv`` (per-sample prediction/gt/exact/cer) and
 ``summary.txt`` (accuracy, avg CER), plus corpus CER/BLEU/edit distance.
 Both greedy and beam decoding are supported (beam was configured but never
-implemented in the reference — src/config.py:50).
+implemented in the reference — src/config.py:50). Beyond the reference,
+greedy runs also record the serving confidence per sample (reference
+formula, app/src/im2latex.py:50,55) and the summary reports its expected
+calibration error — the CSV feeds ``eval/calibration.py`` / the
+``calibrate`` CLI.
 """
 
 from __future__ import annotations
@@ -45,8 +49,19 @@ def evaluate_model(engine: DecodeEngine, loader: Iterable,
         # uint8 straight to the device; the engine normalizes on-chip
         images = batch["image"]
         valid = batch.get("valid", np.ones(len(images), bool))
-        preds = engine.predict_batch(images, beam_size=beam_size)
+        res = engine.decode_tokens(images, beam_size)
+        preds = tokenizer.decode_batch(np.asarray(res.tokens))
         targets = tokenizer.decode_batch(batch["caption"])
+        if beam_size and beam_size > 1:
+            confs = [None] * len(preds)  # beam scores aren't the reference
+            # confidence metric (decode/api.py::predict_single)
+        else:
+            # serving confidence formula (app/src/im2latex.py:50,55) per
+            # sample — recorded so eval CSVs can feed eval/calibration.py
+            lp = np.asarray(res.logprob_sum, np.float64)
+            counts = np.asarray(res.token_count, np.float64)
+            confs = np.where(counts > 0,
+                             np.exp(lp / np.maximum(counts, 1.0)), 0.0)
         for i, (p, t) in enumerate(zip(preds, targets)):
             if not valid[i]:
                 continue
@@ -58,6 +73,8 @@ def evaluate_model(engine: DecodeEngine, loader: Iterable,
                 "exact_match": p.strip() == t.strip(),
                 "cer": dist / len(t) if t else (0.0 if not p else 1.0),
                 "edit_distance": dist,
+                "confidence": (None if confs[i] is None
+                               else float(confs[i])),
             })
             n_images += 1
     elapsed = time.time() - t0
@@ -76,6 +93,14 @@ def evaluate_model(engine: DecodeEngine, loader: Iterable,
         "images_per_sec": n_images / elapsed if elapsed > 0 else 0.0,
         "decode": f"beam-{beam_size}" if beam_size and beam_size > 1 else "greedy",
     }
+    confs = [r["confidence"] for r in records
+             if r.get("confidence") is not None]
+    if confs and len(confs) == len(records):
+        from . import calibration as calib
+
+        summary["mean_confidence"] = float(np.mean(confs))
+        summary["ece"] = calib.expected_calibration_error(
+            confs, [r["exact_match"] for r in records])
     return {"records": records, "summary": summary}
 
 
@@ -99,4 +124,7 @@ def save_results(results: Dict, out_dir: str = "results") -> None:
         f.write(f"Avg edit distance:  {s['edit_distance']:.2f}\n")
         f.write(f"BLEU-4:             {s['bleu']:.4f}\n")
         f.write(f"Throughput:         {s['images_per_sec']:.2f} img/s\n")
+        if "ece" in s:
+            f.write(f"Mean confidence:    {s['mean_confidence']:.4f}\n")
+            f.write(f"ECE (10 bins):      {s['ece']:.4f}\n")
     log.info("wrote %s/{test_results.csv,summary.txt}", out_dir)

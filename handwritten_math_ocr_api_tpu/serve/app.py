@@ -91,6 +91,7 @@ class ServerState:
         self.limiter: Optional[RateLimiter] = None
         self.device: Optional[str] = None
         self.model_load_time: Optional[float] = None
+        self.calibration: Optional[dict] = None
         self.prediction_count = 0
         self.start_time = time.time()
         # per-stage request latency (input read+preprocess vs decode):
@@ -174,6 +175,24 @@ class ServerState:
             self.batcher = BatchingEngine(
                 self.engine, max_batch_size=self.cfg.max_batch_size,
                 batch_timeout_ms=self.cfg.batch_timeout_ms)
+        self.calibration = None
+        if self.cfg.calibration != "off":
+            from ..eval import calibration as calib_lib
+
+            path = (os.path.join(self.cfg.model_dir, "calibration.json")
+                    if self.cfg.calibration == "auto"
+                    else self.cfg.calibration)
+            self.calibration = calib_lib.load(path)
+            if self.calibration is not None:
+                logger.info(
+                    "confidence calibration on (%s, fit ECE %.4f -> %.4f)",
+                    self.calibration["method"],
+                    self.calibration.get("ece_raw", float("nan")),
+                    self.calibration.get("ece_calibrated", float("nan")))
+            elif self.cfg.calibration != "auto":
+                logger.warning("SERVING_CALIBRATION=%s not loadable; "
+                               "serving raw confidence",
+                               self.cfg.calibration)
         self.model_load_time = time.time() - t0
         logger.info("model initialized in %.2fs (vocab %d tokens)",
                     self.model_load_time, len(vocab))
@@ -189,6 +208,15 @@ class ServerState:
                 self.initialize_model()
             except Exception as e:
                 raise ApiError(500, f"Model initialization failed: {e}")
+
+    def calibrate_confidence(self, conf):
+        """Map a raw confidence through the loaded calibration artifact
+        (eval/calibration.py), if any. None (beam) passes through."""
+        if conf is None or self.calibration is None:
+            return conf
+        from ..eval import calibration as calib_lib
+
+        return float(calib_lib.apply(self.calibration, conf))
 
     # -- auth / identity ----------------------------------------------------
 
@@ -418,7 +446,8 @@ async def handle_predict(request) -> "web.Response":
         processing_time = time.time() - start
         state.prediction_count += 1
         resp = PredictionResponse(
-            formula=formula, confidence=confidence,
+            formula=formula,
+            confidence=state.calibrate_confidence(confidence),
             processing_time=processing_time, timestamp=_ts())
         return web.json_response(resp.model_dump())
 
@@ -459,6 +488,9 @@ async def handle_predict_stream(request) -> "web.StreamResponse":
                 if event is _END:
                     break
                 if event.get("done"):
+                    if event.get("confidence") is not None:
+                        event["confidence"] = state.calibrate_confidence(
+                            event["confidence"])
                     event["processing_time"] = time.time() - start
                     event["timestamp"] = _ts()
                     state.prediction_count += 1
@@ -506,8 +538,10 @@ async def handle_predict_batch(request) -> "web.Response":
             try:
                 outs = await state.batcher.predict_many(images)
                 for slot, (formula, conf) in zip(slots, outs):
-                    results[slot] = {"index": slot, "formula": formula,
-                                     "confidence": conf, "success": True}
+                    results[slot] = {
+                        "index": slot, "formula": formula,
+                        "confidence": state.calibrate_confidence(conf),
+                        "success": True}
             except Exception as e:
                 logger.exception("batch decode failed")
                 for slot in slots:
