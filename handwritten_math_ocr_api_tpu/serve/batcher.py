@@ -59,6 +59,7 @@ class BatchingEngine:
         self.batches_run = 0
         self.images_decoded = 0
         self.total_batch_occupancy = 0
+        self.cancelled = 0  # waiters dropped before dispatch (disconnects)
         from ..utils.profiling import StageTimer
 
         self.timer = StageTimer()
@@ -147,7 +148,13 @@ class BatchingEngine:
                     self._queue.put_nowait(None)
                     break
                 batch.append(item)
-            await self._run_batch(loop, batch)
+            # client disconnects (handler_cancellation) cancel the waiter
+            # future — don't burn a device batch row on them
+            live = [p for p in batch if not p.future.cancelled()]
+            self.cancelled += len(batch) - len(live)
+            if not live:
+                continue
+            await self._run_batch(loop, live)
             if self._stopping and self._queue.empty():
                 return
 
@@ -184,6 +191,7 @@ class BatchingEngine:
             "images_decoded": self.images_decoded,
             "avg_batch_size": avg,
             "queue_depth": self._queue.qsize(),
+            "cancelled_waiters": self.cancelled,
             "stages": self.timer.summary(),
         }
 

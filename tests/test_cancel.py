@@ -120,6 +120,40 @@ def test_cancel_sharded_over_mesh(setup):
                       cancel_pending=5)
 
 
+def test_dynamic_batcher_drops_cancelled_waiters(setup):
+    """The dynamic BatchingEngine must not burn device batch rows on
+    waiters whose clients disconnected during the linger window."""
+    from handwritten_math_ocr_api_tpu.serve.batcher import BatchingEngine
+
+    params, mstate, tok = setup
+    rng = np.random.default_rng(7)
+    images = rng.standard_normal((3, 96, 320, 1)).astype(np.float32)
+    want = DecodeEngine(params, mstate, CFG,
+                        tokenizer=tok).predict_with_confidence(images)
+
+    engine = DecodeEngine(params, mstate, CFG, tokenizer=tok)
+    # long linger so the cancel lands before dispatch
+    eng = BatchingEngine(engine, batch_timeout_ms=300.0)
+
+    async def run():
+        await eng.start()
+        tasks = [asyncio.ensure_future(eng.predict(img)) for img in images]
+        await asyncio.sleep(0.05)  # inside the linger window
+        tasks[1].cancel()
+        done = await asyncio.gather(*tasks, return_exceptions=True)
+        assert isinstance(done[1], asyncio.CancelledError)
+        for got, exp in ((done[0], want[0]), (done[2], want[2])):
+            assert got[0] == exp[0]
+            assert abs(got[1] - exp[1]) < 1e-4
+        assert eng.cancelled == 1
+        assert eng.stats["cancelled_waiters"] == 1
+        # the dispatched batch held only the two live rows
+        assert eng.total_batch_occupancy == 2
+        await eng.stop()
+
+    asyncio.run(run())
+
+
 def test_serving_engine_cancel_on_disconnect(setup):
     """A cancelled waiter (client disconnect) must free its slot while the
     other in-flight requests still resolve with correct results."""
