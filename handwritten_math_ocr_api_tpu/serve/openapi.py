@@ -45,7 +45,9 @@ def build_spec(title: str, version: str, description: str) -> Dict:
                 "summary": "Predict LaTeX from one image "
                            "(multipart 'file' or JSON {'image_data': b64}); "
                            "optional ?beam_size=N or sampled decode via "
-                           "?temperature=&top_k=&top_p=&seed=",
+                           "?temperature=&top_k=&top_p=&seed=. confidence "
+                           "is calibrated when the model dir ships "
+                           "calibration.json (SERVING_CALIBRATION)",
                 "parameters": [
                     {"name": "beam_size", "in": "query", "required": False,
                      "schema": {"type": "integer", "minimum": 1,
