@@ -33,6 +33,7 @@ import numpy as np
 
 from ..core.tokenizer import Tokenizer
 from ..decode.api import DecodeEngine
+from ..eval import latex_check
 from ..eval import metrics as metrics_lib
 
 log = logging.getLogger(__name__)
@@ -75,6 +76,7 @@ def evaluate_model(engine: DecodeEngine, loader: Iterable,
                 "edit_distance": dist,
                 "confidence": (None if confs[i] is None
                                else float(confs[i])),
+                "valid_latex": latex_check.check_latex(p)[0],
             })
             n_images += 1
     elapsed = time.time() - t0
@@ -93,6 +95,13 @@ def evaluate_model(engine: DecodeEngine, loader: Iterable,
         "images_per_sec": n_images / elapsed if elapsed > 0 else 0.0,
         "decode": f"beam-{beam_size}" if beam_size and beam_size > 1 else "greedy",
     }
+    if records:
+        # structural validity (eval/latex_check.py): predictions should
+        # match the ground truth's ~1.0; a gap = the decoder emits broken
+        # LaTeX that renderers will reject even at low CER
+        summary["valid_latex"] = float(
+            np.mean([r["valid_latex"] for r in records]))
+        summary["valid_latex_gt"] = latex_check.validity_fraction(tgts)
     confs = [r["confidence"] for r in records
              if r.get("confidence") is not None]
     if confs and len(confs) == len(records):
@@ -124,6 +133,9 @@ def save_results(results: Dict, out_dir: str = "results") -> None:
         f.write(f"Avg edit distance:  {s['edit_distance']:.2f}\n")
         f.write(f"BLEU-4:             {s['bleu']:.4f}\n")
         f.write(f"Throughput:         {s['images_per_sec']:.2f} img/s\n")
+        if "valid_latex" in s:
+            f.write(f"Valid LaTeX:        {s['valid_latex']:.4f} "
+                    f"(ground truth {s['valid_latex_gt']:.4f})\n")
         if "ece" in s:
             f.write(f"Mean confidence:    {s['mean_confidence']:.4f}\n")
             f.write(f"ECE (10 bins):      {s['ece']:.4f}\n")
