@@ -41,6 +41,11 @@ python benchmarks/calibration_evidence.py \
   --save-calibrator /tmp/calibration_r3d.json \
   | tee docs/evidence/${TAG}_calibration.txt
 
+step "reliability diagram -> evidence"
+python benchmarks/plot_reliability.py \
+  --results benchmarks/calibration_results.json \
+  --out docs/evidence/${TAG}_reliability.png
+
 step "export serving artifact with calibrator -> serving_model_r3d"
 python -m handwritten_math_ocr_api_tpu export \
   --checkpoint-dir "$RUN" --model-overrides "$OVR" serving_model_r3d
