@@ -252,6 +252,10 @@ class ServeConfig:
     # Continuous mode multi-chip: shard the slot pool over a data-axis mesh
     # of this many devices (BASELINE config 5's v5e-4 target => 4). 1 = off.
     mesh_data_axis: int = 1
+    # Serving deadline per prediction (seconds; 0 = off). On expiry the
+    # request 504s and its device work is cancelled like a client
+    # disconnect (continuous KV slot reclaimed / batch row dropped).
+    request_timeout_s: float = 0.0
     # Confidence calibration artifact (eval/calibration.py): "auto" =
     # apply <model_dir>/calibration.json when present, "off" = raw
     # reference confidence formula, else an explicit JSON path. The
@@ -343,6 +347,9 @@ class ServeConfig:
             ),
             calibration=env.get("SERVING_CALIBRATION",
                                 defaults.calibration),
+            request_timeout_s=float(
+                env.get("SERVING_REQUEST_TIMEOUT",
+                        defaults.request_timeout_s)),
             use_fused_decode=env.get(
                 "SERVING_USE_FUSED",
                 "1" if defaults.use_fused_decode else "0") in

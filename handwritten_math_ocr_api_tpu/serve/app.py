@@ -40,7 +40,7 @@ from ..core.config import ServeConfig
 from ..core.tokenizer import Tokenizer
 from ..data.preprocess import preprocess_pil
 from ..decode.api import DecodeEngine
-from .batcher import BatcherOverloaded, BatchingEngine
+from .batcher import BatcherOverloaded, BatchingEngine, PredictionTimeout
 from .rate_limiter import (
     ConcurrencyLimitExceeded, ConcurrentRequestTracker, RateLimitConfig,
     RateLimiter, init_rate_limiter,
@@ -170,11 +170,13 @@ class ServerState:
                     np.uint8 if self.cfg.uint8_transfer else np.float32))
             except Exception:
                 logger.warning("continuous warmup failed", exc_info=True)
-            self.batcher = ContinuousServingEngine(decoder)
+            self.batcher = ContinuousServingEngine(
+                decoder, request_timeout_s=self.cfg.request_timeout_s)
         else:
             self.batcher = BatchingEngine(
                 self.engine, max_batch_size=self.cfg.max_batch_size,
-                batch_timeout_ms=self.cfg.batch_timeout_ms)
+                batch_timeout_ms=self.cfg.batch_timeout_ms,
+                request_timeout_s=self.cfg.request_timeout_s)
         self.calibration = None
         if self.cfg.calibration != "off":
             from ..eval import calibration as calib_lib
@@ -696,6 +698,8 @@ async def error_middleware(request, handler):
         return _error_json(429, "Rate limit exceeded", str(e))
     except BatcherOverloaded as e:
         return _error_json(503, "Server overloaded", str(e))
+    except PredictionTimeout as e:
+        return _error_json(504, "Prediction timeout", str(e))
     except web.HTTPException:
         raise
     except Exception as e:  # reference: app/src/main.py:393-405

@@ -32,8 +32,29 @@ from ..decode.api import DecodeEngine
 logger = logging.getLogger(__name__)
 
 
+class PredictionTimeout(Exception):
+    """A request exceeded the configured serving deadline. Raising it
+    cancels the waiter's future, which the engines treat exactly like a
+    client disconnect: the continuous scheduler reclaims the KV slot, the
+    dynamic batcher drops the row before dispatch."""
+
+
 class BatcherOverloaded(Exception):
     pass
+
+
+async def _await_with_deadline(fut, timeout_s: float):
+    """await fut, bounded by the serving deadline when one is set.
+    asyncio.wait_for cancels the future on timeout, so the engines'
+    cancelled-waiter paths reclaim the device resources exactly as for a
+    client disconnect."""
+    if not timeout_s or timeout_s <= 0:
+        return await fut
+    try:
+        return await asyncio.wait_for(fut, timeout=timeout_s)
+    except asyncio.TimeoutError:
+        raise PredictionTimeout(
+            f"prediction exceeded the {timeout_s:g}s serving deadline")
 
 
 class _Pending:
@@ -47,11 +68,13 @@ class _Pending:
 
 class BatchingEngine:
     def __init__(self, engine: DecodeEngine, max_batch_size: int = 64,
-                 batch_timeout_ms: float = 0.0, queue_limit: int = 512):
+                 batch_timeout_ms: float = 0.0, queue_limit: int = 512,
+                 request_timeout_s: float = 0.0):
         self.engine = engine
         self.max_batch_size = max_batch_size
         self.batch_timeout = batch_timeout_ms / 1000.0
         self.queue_limit = queue_limit
+        self.request_timeout = request_timeout_s
         self._queue: asyncio.Queue = asyncio.Queue()
         self._task: Optional[asyncio.Task] = None
         self._stopping = False
@@ -83,7 +106,7 @@ class BatchingEngine:
             raise BatcherOverloaded("prediction queue full")
         fut = asyncio.get_running_loop().create_future()
         await self._queue.put(_Pending(image, fut))
-        return await fut
+        return await _await_with_deadline(fut, self.request_timeout)
 
     async def predict_many(self, images: List[np.ndarray]
                            ) -> List[Tuple[str, float]]:
@@ -214,9 +237,11 @@ class ContinuousServingEngine:
     segment time to ~56 ms at the HTTP level (benchmarks/loadtest.py
     phase timers). A dedicated thread never waits for the loop."""
 
-    def __init__(self, decoder, queue_limit: int = 512):
+    def __init__(self, decoder, queue_limit: int = 512,
+                 request_timeout_s: float = 0.0):
         self.decoder = decoder
         self.queue_limit = queue_limit
+        self.request_timeout = request_timeout_s
         self._subq: "tqueue.Queue" = tqueue.Queue()
         self._futures: dict = {}          # rid -> (future, owning loop)
         self._thread: Optional[threading.Thread] = None
@@ -257,7 +282,7 @@ class ContinuousServingEngine:
         fut = loop.create_future()
         self._subq.put((image, fut, loop))
         self._wake.set()
-        return await fut
+        return await _await_with_deadline(fut, self.request_timeout)
 
     async def predict_many(self, images: List[np.ndarray]
                            ) -> List[Tuple[str, float]]:

@@ -120,6 +120,60 @@ def test_cancel_sharded_over_mesh(setup):
                       cancel_pending=5)
 
 
+def test_request_timeout_cancels_and_504s():
+    """A stuck decode must 504 the waiter and reclaim its resources via
+    the cancelled-future path (SERVING_REQUEST_TIMEOUT)."""
+    from handwritten_math_ocr_api_tpu.serve.batcher import (
+        ContinuousServingEngine, PredictionTimeout,
+    )
+
+    class StuckDecoder:
+        """Accepts submissions but never finishes them."""
+
+        def __init__(self):
+            self.ids = []
+            self.cancels = []
+
+        def submit(self, img):
+            self.ids.append(len(self.ids))
+            return self.ids[-1]
+
+        @property
+        def idle(self):
+            return not self.ids
+
+        def step_once(self):
+            import time as _t
+
+            _t.sleep(0.005)
+            return {}
+
+        def cancel(self, rid):
+            self.cancels.append(rid)
+            self.ids.remove(rid)
+            return True
+
+        @property
+        def stats(self):
+            return {}
+
+    async def run():
+        dec = StuckDecoder()
+        eng = ContinuousServingEngine(dec, request_timeout_s=0.2)
+        await eng.start()
+        with pytest.raises(PredictionTimeout, match="deadline"):
+            await eng.predict(np.zeros((8, 8, 1), np.float32))
+        for _ in range(200):  # the sweep runs on the scheduler thread
+            if dec.cancels:
+                break
+            await asyncio.sleep(0.01)
+        assert dec.cancels == [0]
+        assert eng.cancelled >= 1
+        await eng.stop()
+
+    asyncio.run(run())
+
+
 def test_dynamic_batcher_drops_cancelled_waiters(setup):
     """The dynamic BatchingEngine must not burn device batch rows on
     waiters whose clients disconnected during the linger window."""
