@@ -120,7 +120,8 @@ class BatchingEngine:
             fut = loop.create_future()
             await self._queue.put(_Pending(img, fut))
             futs.append(fut)
-        return list(await asyncio.gather(*futs))
+        return list(await asyncio.gather(
+            *[_await_with_deadline(f, self.request_timeout) for f in futs]))
 
     # -- internals ----------------------------------------------------------
 
