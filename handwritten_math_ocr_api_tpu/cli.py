@@ -138,7 +138,8 @@ def cmd_evaluate(args) -> int:
     engine = DecodeEngine(state.eval_params, state.model_state, mc,
                           DecodeConfig(), tok,
                           use_fused=getattr(args, "use_fused", False),
-                          quantize=getattr(args, "quantize", False))
+                          quantize=getattr(args, "quantize", False),
+                          constrained=getattr(args, "constrained", False))
     loader = get_test_loader(tok, dc, mc)
     results = evaluate_model(engine, loader, tok,
                              beam_size=args.beam_size)
@@ -171,7 +172,8 @@ def cmd_predict(args) -> int:
     state, _meta = load_checkpoint(args.checkpoint_dir, args.checkpoint,
                                    state, params_only=True)
     engine = DecodeEngine(state.eval_params, state.model_state, mc,
-                          DecodeConfig(), tok)
+                          DecodeConfig(), tok,
+                          constrained=getattr(args, "constrained", False))
     img = preprocess_file(args.image, mc)
     sampled = (getattr(args, "temperature", None)
                or getattr(args, "top_k", None)
@@ -396,6 +398,9 @@ def build_parser() -> argparse.ArgumentParser:
     ev.add_argument("--quantize", action="store_true",
                     help="int8 decoder weights (in-kernel dequant with "
                          "--use-fused, ops/quant.py path otherwise)")
+    ev.add_argument("--constrained", action="store_true",
+                    help="pushdown-constrained greedy decode: structurally "
+                         "valid LaTeX by construction (decode/constrain.py)")
     ev.add_argument("--out-dir", default="results")
     ev.set_defaults(fn=cmd_evaluate)
 
@@ -407,6 +412,9 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--checkpoint", default="best_model")
     pr.add_argument("--beam-size", type=int, default=None)
     pr.add_argument("--use-ema", action="store_true")
+    pr.add_argument("--constrained", action="store_true",
+                    help="pushdown-constrained greedy decode (valid LaTeX "
+                         "by construction)")
     pr.add_argument("--temperature", type=float, default=None,
                     help="sampled decode temperature (enables sampling)")
     pr.add_argument("--top-k", type=int, default=None,

@@ -278,6 +278,12 @@ class ServeConfig:
     # bucket sizes, "0" disables; from_env defaults to (1,)). Dataclass
     # default is off so test servers start instantly.
     warmup_batch_sizes: Tuple[int, ...] = ()
+    # Pushdown-constrained greedy decoding (decode/constrain.py): logits
+    # are masked each step so served formulas are structurally valid LaTeX
+    # by construction (balanced braces/\left\right, matched \begin/\end
+    # names, no dangling argument commands). Greedy path only; beam and
+    # sampled requests serve unconstrained.
+    constrained_decode: bool = False
     # Ship uint8 pixels to the device and normalize on-chip instead of
     # transferring float32 (data/preprocess.py:device_normalize — same
     # x/255*2-1 arithmetic, fused into the patch-embed conv by XLA). 4x
@@ -365,6 +371,10 @@ class ServeConfig:
             uint8_transfer=env.get(
                 "SERVING_UINT8_TRANSFER",
                 "1" if defaults.uint8_transfer else "0") in
+            ("1", "true", "True"),
+            constrained_decode=env.get(
+                "SERVING_CONSTRAINED",
+                "1" if defaults.constrained_decode else "0") in
             ("1", "true", "True"),
         )
 

@@ -56,7 +56,8 @@ class DecodeEngine:
                  tokenizer: Optional[Tokenizer] = None,
                  use_pallas: bool = False, mesh=None,
                  quantize: bool = False, use_fused: bool = False,
-                 pallas_encoder_block: bool = False):
+                 pallas_encoder_block: bool = False,
+                 constrained: bool = False):
         """``mesh``: optional jax.sharding.Mesh — params are replicated and
         every decode batch is sharded over the 'data' axis, scaling serving
         across chips (the v5e-4 target; reference scaled with Cloud Run
@@ -70,6 +71,17 @@ class DecodeEngine:
         self.use_pallas = use_pallas
         self.pallas_encoder_block = pallas_encoder_block
         self.mesh = mesh
+        self.constraint = None
+        if constrained:
+            # pushdown-constrained decoding (decode/constrain.py):
+            # structurally valid LaTeX by construction; greedy only
+            if tokenizer is None:
+                raise ValueError(
+                    "constrained decoding needs a tokenizer (its vocab "
+                    "derives the grammar class tables)")
+            from .constrain import build_tables
+
+            self.constraint = build_tables(tokenizer.vocab)
         if use_fused and 1 < cfg.kv_heads < cfg.nhead:
             # the fused kernel supports MHA and MQA (nhead_kv=1) only; a
             # GQA checkpoint degrades to the XLA decode path instead of
@@ -133,6 +145,7 @@ class DecodeEngine:
             upb = self.pallas_encoder_block
             max_len = self.decode_cfg.max_seq_len
             fused = self.use_fused
+            constraint = self.constraint
 
             @jax.jit
             def fn(params, stacked, images):
@@ -147,9 +160,10 @@ class DecodeEngine:
                     from .fused import greedy_decode_fused
 
                     return greedy_decode_fused(params["decoder"], stacked,
-                                               cfg, memory, max_len)
+                                               cfg, memory, max_len,
+                                               constraint=constraint)
                 return greedy_decode(params["decoder"], cfg, memory, max_len,
-                                     use_pallas=up)
+                                     use_pallas=up, constraint=constraint)
 
             self._greedy_fns[batch] = fn
         return self._greedy_fns[batch]

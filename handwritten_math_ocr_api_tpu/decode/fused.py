@@ -77,7 +77,8 @@ def greedy_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
                         variant: str = "v2",
                         t_buckets: tuple = (40, 80, 120),
                         rng=None, temperature: float = 1.0,
-                        top_k: int = 0, top_p: float = 1.0) -> GreedyResult:
+                        top_k: int = 0, top_p: float = 1.0,
+                        constraint=None) -> GreedyResult:
     """Drop-in equivalent of decode.greedy.greedy_decode using the fused
     layer kernel. ``stacked`` from ops.fused_step.build_stacked.
 
@@ -111,6 +112,10 @@ def greedy_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
     if rng is not None and variant not in ("v1", "v2", "v2m"):
         raise NotImplementedError(
             f"sampled fused decode needs XLA-side logits; variant "
+            f"{variant!r} computes argmax in-kernel — use 'v2'")
+    if constraint is not None and variant not in ("v1", "v2", "v2m"):
+        raise NotImplementedError(
+            f"constrained fused decode needs XLA-side logits; variant "
             f"{variant!r} computes argmax in-kernel — use 'v2'")
     if cfg.kv_heads != cfg.nhead and (variant != "v2"
                                       or cfg.kv_heads != 1):
@@ -154,6 +159,13 @@ def greedy_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
     pos_table = decoder_params["pos"]["table"]
     fc_out = decoder_params["fc_out"]
 
+    if constraint is not None:
+        from . import constrain as constrain_mod
+
+        cstate0 = constrain_mod.init_state(B)
+    else:
+        cstate0 = jnp.zeros((B,), jnp.int32)  # placeholder carry
+
     tokens0 = jnp.full((B, T_out), pad_id, jnp.int32)
     state0 = (
         jnp.int32(0),
@@ -162,7 +174,7 @@ def greedy_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
         tokens0,
         jnp.zeros((B,), jnp.float32),
         jnp.zeros((B,), jnp.int32),
-        self_k, self_v,
+        self_k, self_v, cstate0,
     )
 
     def cond(state):
@@ -170,7 +182,7 @@ def greedy_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
         return jnp.logical_and(step < T_out, ~jnp.all(finished))
 
     def body(state, t_active=None):
-        step, prev, finished, tokens, lp_sum, count, sk, sv = state
+        step, prev, finished, tokens, lp_sum, count, sk, sv, cstate = state
         if variant in ("v3", "v4"):
             if variant == "v4":
                 nxt, logp, sk, sv = fused_whole_step(
@@ -194,7 +206,7 @@ def greedy_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
             finished = finished | is_eos
             prev_next = jnp.where(finished, eos_id, nxt)
             return (step + 1, prev_next, finished, tokens, lp_sum, count,
-                    sk, sv)
+                    sk, sv, cstate)
         x_emb = (emb[prev] + pos_table[step]).astype(dtype)   # (B, D)
         if variant in ("v2", "v2m"):
             x, k_new, v_new = fused_decoder_layers_step_v2(
@@ -211,14 +223,18 @@ def greedy_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
                 l_enc_actual=l_enc_actual, interpret=interpret)
         logits = layers.linear(fc_out, x.astype(jnp.float32))  # (B, V)
 
+        sel = logits
+        if constraint is not None:
+            sel = sel + constrain_mod.step_mask(constraint, cstate, step,
+                                                T_out)
         if rng is not None:
             from .sampling import filter_logits
 
-            filtered = filter_logits(logits, temperature, top_k, top_p)
+            filtered = filter_logits(sel, temperature, top_k, top_p)
             nxt = jax.random.categorical(
                 jax.random.fold_in(rng, step), filtered).astype(jnp.int32)
         else:
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            nxt = jnp.argmax(sel, axis=-1).astype(jnp.int32)
         probs = jax.nn.softmax(logits, axis=-1)
         logp = jnp.take_along_axis(jnp.log(probs + 1e-10), nxt[:, None],
                                    axis=-1)[:, 0]
@@ -230,8 +246,10 @@ def greedy_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
                                               (0, step))
         finished = finished | is_eos
         prev_next = jnp.where(finished, eos_id, nxt)
+        if constraint is not None:
+            cstate = constrain_mod.advance(constraint, cstate, prev_next)
         return (step + 1, prev_next, finished, tokens, lp_sum, count,
-                sk, sv)
+                sk, sv, cstate)
 
     if variant == "v2":
         # T-prefix bucketing: at decode step t only cache rows [0, t)
@@ -254,10 +272,10 @@ def greedy_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
                 cond_b,
                 lambda s, _tb=(None if tb >= T_out else tb): body(s, _tb),
                 state)
-        _, _, _, tokens, lp_sum, count, _, _ = state
+        _, _, _, tokens, lp_sum, count = state[:6]
     else:
-        _, _, _, tokens, lp_sum, count, _, _ = jax.lax.while_loop(
-            cond, body, state0)
+        final = jax.lax.while_loop(cond, body, state0)
+        _, _, _, tokens, lp_sum, count = final[:6]
     lengths = jnp.sum(tokens != pad_id, axis=-1)
     return GreedyResult(tokens, lengths, lp_sum, count)
 

@@ -42,11 +42,23 @@ def greedy_decode(
     eos_id: int = EOS_ID,
     pad_id: int = PAD_ID,
     use_pallas: bool = False,
+    constraint=None,
 ) -> GreedyResult:
-    """memory: (B, L_enc, d_model) from the encoder. jit-safe."""
+    """memory: (B, L_enc, d_model) from the encoder. jit-safe.
+
+    ``constraint``: optional ``decode.constrain.ConstraintTables`` — masks
+    each step's logits so the emitted sequence is structurally valid LaTeX
+    by construction (decode/constrain.py). Confidence numerics stay on the
+    raw logits."""
     B = memory.shape[0]
     T = max_len or cfg.max_seq_len
     cache = decoder_mod.init_cache(params, cfg, memory, max_len=T)
+    if constraint is not None:
+        from . import constrain as constrain_mod
+
+        cstate0 = constrain_mod.init_state(B)
+    else:
+        cstate0 = jnp.zeros((B,), jnp.int32)  # placeholder carry
 
     tokens0 = jnp.full((B, T), pad_id, jnp.int32)
     state0 = (
@@ -57,6 +69,7 @@ def greedy_decode(
         jnp.zeros((B,), jnp.float32),                 # logprob sum
         jnp.zeros((B,), jnp.int32),                   # emitted token count
         cache,
+        cstate0,
     )
 
     def cond(state):
@@ -64,10 +77,15 @@ def greedy_decode(
         return jnp.logical_and(step < T, ~jnp.all(finished))
 
     def body(state):
-        step, prev, finished, tokens, lp_sum, count, cache = state
+        step, prev, finished, tokens, lp_sum, count, cache, cstate = state
         logits, cache = decoder_mod.decoder_step(
             params, cfg, prev, step, cache, use_pallas=use_pallas)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if constraint is not None:
+            sel = logits + constrain_mod.step_mask(constraint, cstate,
+                                                   step, T)
+        else:
+            sel = logits
+        nxt = jnp.argmax(sel, axis=-1).astype(jnp.int32)
         # log(softmax + 1e-10), reference confidence numerics
         probs = jax.nn.softmax(logits, axis=-1)
         logp_all = jnp.log(probs + 1e-10)
@@ -83,9 +101,12 @@ def greedy_decode(
         # feed the true argmax (incl. eos) as the next input, matching the
         # reference which appends eos to ys (src/inference.py:18-21)
         prev_next = jnp.where(finished, eos_id, nxt)
-        return (step + 1, prev_next, finished, tokens, lp_sum, count, cache)
+        if constraint is not None:
+            cstate = constrain_mod.advance(constraint, cstate, prev_next)
+        return (step + 1, prev_next, finished, tokens, lp_sum, count, cache,
+                cstate)
 
-    step, _, finished, tokens, lp_sum, count, _ = jax.lax.while_loop(
+    step, _, finished, tokens, lp_sum, count, _, _ = jax.lax.while_loop(
         cond, body, state0)
 
     lengths = jnp.sum(tokens != pad_id, axis=-1)

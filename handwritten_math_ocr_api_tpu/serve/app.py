@@ -131,7 +131,8 @@ class ServerState:
             params, model_state, model_cfg, tokenizer=self.tokenizer,
             use_fused=self.cfg.use_fused_decode,
             quantize=self.cfg.quantize_decode,
-            pallas_encoder_block=self.cfg.pallas_encoder_block)
+            pallas_encoder_block=self.cfg.pallas_encoder_block,
+            constrained=self.cfg.constrained_decode)
         if self.cfg.batching_mode == "continuous":
             from ..decode.continuous import ContinuousDecoder
             from .batcher import ContinuousServingEngine
