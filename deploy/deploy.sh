@@ -60,6 +60,7 @@ WorkingDirectory=/home/%u
 Environment=PORT=8080 MODEL_DIR=/home/%u/trained-model
 Environment=RATE_LIMIT_PER_MINUTE=20 RATE_LIMIT_PER_HOUR=200
 Environment=RATE_LIMIT_PER_DAY=1000 MAX_CONCURRENT_REQUESTS=10
+Environment=SERVING_MAX_REQUESTS=20000
 ExecStart=/usr/bin/python3 -m handwritten_math_ocr_api_tpu serve --model-dir /home/%u/trained-model --port 8080
 Restart=always
 [Install]

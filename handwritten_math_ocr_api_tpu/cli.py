@@ -140,6 +140,10 @@ def cmd_evaluate(args) -> int:
                           use_fused=getattr(args, "use_fused", False),
                           quantize=getattr(args, "quantize", False),
                           constrained=getattr(args, "constrained", False))
+    if (getattr(args, "constrained", False) and args.beam_size
+            and args.beam_size > 1):
+        print("warning: --constrained applies to the greedy path only; "
+              "beam search evaluates UNCONSTRAINED", file=sys.stderr)
     loader = get_test_loader(tok, dc, mc)
     results = evaluate_model(engine, loader, tok,
                              beam_size=args.beam_size)
@@ -178,6 +182,10 @@ def cmd_predict(args) -> int:
     sampled = (getattr(args, "temperature", None)
                or getattr(args, "top_k", None)
                or getattr(args, "top_p", None))
+    if (getattr(args, "constrained", False)
+            and (sampled or (args.beam_size and args.beam_size > 1))):
+        print("warning: --constrained applies to the greedy path only; "
+              "beam/sampled decodes run UNCONSTRAINED", file=sys.stderr)
     if args.beam_size and args.beam_size > 1:
         out = engine.predict_batch(img, beam_size=args.beam_size)[0]
         print("Predicted LaTeX:", out)
@@ -400,7 +408,10 @@ def build_parser() -> argparse.ArgumentParser:
                          "--use-fused, ops/quant.py path otherwise)")
     ev.add_argument("--constrained", action="store_true",
                     help="pushdown-constrained greedy decode: structurally "
-                         "valid LaTeX by construction (decode/constrain.py)")
+                         "valid LaTeX by construction (decode/constrain.py)."
+                         " Greedy only (beam runs unconstrained). Env names"
+                         " are limited to single tokens: \\begin{align*} "
+                         "('align' '*') is unreachable under constraint")
     ev.add_argument("--out-dir", default="results")
     ev.set_defaults(fn=cmd_evaluate)
 
@@ -414,7 +425,10 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--use-ema", action="store_true")
     pr.add_argument("--constrained", action="store_true",
                     help="pushdown-constrained greedy decode (valid LaTeX "
-                         "by construction)")
+                         "by construction). Greedy only — beam/sampling "
+                         "flags run unconstrained (a warning is printed). "
+                         "Multi-token env names (\\begin{align*}) are "
+                         "unreachable under constraint")
     pr.add_argument("--temperature", type=float, default=None,
                     help="sampled decode temperature (enables sampling)")
     pr.add_argument("--top-k", type=int, default=None,

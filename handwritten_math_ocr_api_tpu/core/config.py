@@ -256,6 +256,17 @@ class ServeConfig:
     # request 504s and its device work is cancelled like a client
     # disconnect (continuous KV slot reclaimed / batch row dropped).
     request_timeout_s: float = 0.0
+    # Worker self-recycling (SERVING_MAX_REQUESTS; 0 = off): after this
+    # many prediction requests the worker drains — new predictions get
+    # 503 + Retry-After, in-flight decodes complete (the continuous
+    # scheduler only exits at idle) — then the process exits 0 so the
+    # supervisor (systemd Restart=always / docker restart:
+    # unless-stopped) starts a fresh one. Bounds the remote-runtime RSS
+    # drift measured in BENCHMARKS.md "Serving memory under sustained
+    # load"; the reference leaned on Cloud Run instance recycling
+    # (app/deploy.sh:97-98) and docker restart policy
+    # (app/docker-compose.yml:21) for the same effect.
+    max_requests: int = 0
     # Confidence calibration artifact (eval/calibration.py): "auto" =
     # apply <model_dir>/calibration.json when present, "off" = raw
     # reference confidence formula, else an explicit JSON path. The
@@ -281,8 +292,10 @@ class ServeConfig:
     # Pushdown-constrained greedy decoding (decode/constrain.py): logits
     # are masked each step so served formulas are structurally valid LaTeX
     # by construction (balanced braces/\left\right, matched \begin/\end
-    # names, no dangling argument commands). Greedy path only; beam and
-    # sampled requests serve unconstrained.
+    # names, no dangling argument commands). Applies to the greedy path in
+    # every batching mode (static batched AND continuous slot decode, where
+    # per-slot pushdown state rides the KV-slot pool); beam and sampled
+    # requests serve unconstrained.
     constrained_decode: bool = False
     # Ship uint8 pixels to the device and normalize on-chip instead of
     # transferring float32 (data/preprocess.py:device_normalize — same
@@ -356,6 +369,8 @@ class ServeConfig:
             request_timeout_s=float(
                 env.get("SERVING_REQUEST_TIMEOUT",
                         defaults.request_timeout_s)),
+            max_requests=int(
+                env.get("SERVING_MAX_REQUESTS", defaults.max_requests)),
             use_fused_decode=env.get(
                 "SERVING_USE_FUSED",
                 "1" if defaults.use_fused_decode else "0") in

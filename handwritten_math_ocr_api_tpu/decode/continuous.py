@@ -106,9 +106,32 @@ class SlotState(NamedTuple):
     cache: Dict[str, jax.Array]
 
 
+def _constraint_cache_entries(batch: int) -> Dict[str, jax.Array]:
+    """Per-slot pushdown-constraint state (decode/constrain.py), stored as
+    extra cache-dict leaves so it rides the existing insert/segment/donate
+    plumbing: reset rows on admission, advanced inside the segment loop."""
+    from . import constrain as constrain_mod
+
+    st = constrain_mod.init_state(batch)
+    return {"con_stack": st.stack, "con_ptr": st.ptr, "con_mode": st.mode,
+            "con_needs": st.needs_tok, "con_sup": st.prev_supsub}
+
+
+def _reset_constraint_rows(cache: Dict[str, jax.Array],
+                           new_cache: Dict[str, jax.Array],
+                           slots: jax.Array) -> None:
+    if "con_stack" in cache:
+        new_cache["con_stack"] = cache["con_stack"].at[slots].set(0)
+        new_cache["con_ptr"] = cache["con_ptr"].at[slots].set(0)
+        new_cache["con_mode"] = cache["con_mode"].at[slots].set(0)
+        new_cache["con_needs"] = cache["con_needs"].at[slots].set(False)
+        new_cache["con_sup"] = cache["con_sup"].at[slots].set(False)
+
+
 def init_slot_state(params, cfg: ModelConfig, num_slots: int,
                     scratch_slots: int = 1,
-                    encoder_len: Optional[int] = None
+                    encoder_len: Optional[int] = None,
+                    constrained: bool = False
                     ) -> Tuple[SmallState, Dict[str, jax.Array]]:
     """Slot pool + scratch slot(s) used as the scatter target for padded
     admissions — never active. More than one scratch slot only to round
@@ -128,6 +151,8 @@ def init_slot_state(params, cfg: ModelConfig, num_slots: int,
         cache[f"cross_v_{i}"] = jnp.zeros((S, nh, L, dh), dtype)
         cache[f"self_k_{i}"] = jnp.zeros((S, cfg.kv_heads, T, dh), dtype)
         cache[f"self_v_{i}"] = jnp.zeros((S, cfg.kv_heads, T, dh), dtype)
+    if constrained:
+        cache.update(_constraint_cache_entries(S))
     small = SmallState(
         prev=jnp.full((S,), SOS_ID, jnp.int32),
         pos=jnp.zeros((S,), jnp.int32),
@@ -169,6 +194,7 @@ def insert_requests(params, model_state, cfg: ModelConfig,
     for name, val in cross.items():
         new_cache[name] = cache[name].at[slots].set(
             val.astype(cache[name].dtype))
+    _reset_constraint_rows(cache, new_cache, slots)
     new_small = SmallState(
         prev=small.prev.at[slots].set(SOS_ID),
         pos=small.pos.at[slots].set(0),
@@ -182,13 +208,23 @@ def insert_requests(params, model_state, cfg: ModelConfig,
 
 
 def decode_segment(params, cfg: ModelConfig, small: SmallState,
-                   cache: Dict[str, jax.Array], n_steps: jax.Array
+                   cache: Dict[str, jax.Array], n_steps: jax.Array,
+                   tables=None
                    ) -> Tuple[SmallState, Dict[str, jax.Array]]:
     """Advance every live slot by up to ``n_steps`` greedy tokens (early
     exit when none are live). ``n_steps`` is a traced scalar — one
-    compiled program serves every adaptive segment length."""
+    compiled program serves every adaptive segment length.
+
+    ``tables``: optional ``decode.constrain.ConstraintTables`` — per-slot
+    pushdown state (``con_*`` cache leaves, see
+    :func:`_constraint_cache_entries`) masks each step's logits so every
+    emitted sequence is structurally valid LaTeX by construction, with
+    per-row budgets driven by each slot's own ``pos`` (slots sit at
+    different decode depths). Confidence stays on the RAW logits."""
     dec = params["decoder"]
     max_len = cfg.max_seq_len
+    if tables is not None:
+        from . import constrain as constrain_mod
 
     def live_of(s: SmallState):
         return s.active & ~s.finished
@@ -202,7 +238,23 @@ def decode_segment(params, cfg: ModelConfig, small: SmallState,
         live = live_of(s)
         logits, c = decoder_mod.decoder_step_ragged(
             dec, cfg, s.prev, s.pos, c)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if tables is not None:
+            cst = constrain_mod.ConstraintState(
+                stack=c["con_stack"], ptr=c["con_ptr"], mode=c["con_mode"],
+                needs_tok=c["con_needs"], prev_supsub=c["con_sup"])
+            mask = constrain_mod.step_mask(tables, cst, s.pos[:, None],
+                                           max_len)
+            nxt = jnp.argmax(logits + mask, axis=-1).astype(jnp.int32)
+            # frozen/inactive rows feed <eos> (a no-op) so their state
+            # never drifts; admission resets the rows anyway
+            new_cst = constrain_mod.advance(
+                tables, cst, jnp.where(live, nxt, jnp.int32(EOS_ID)))
+            c["con_stack"], c["con_ptr"] = new_cst.stack, new_cst.ptr
+            c["con_mode"] = new_cst.mode
+            c["con_needs"] = new_cst.needs_tok
+            c["con_sup"] = new_cst.prev_supsub
+        else:
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         probs = jax.nn.softmax(logits, axis=-1)
         logp = jnp.take_along_axis(
             jnp.log(probs + 1e-10), nxt[:, None], axis=-1)[:, 0]
@@ -228,7 +280,8 @@ def decode_segment(params, cfg: ModelConfig, small: SmallState,
 
 
 def init_slot_state_fused(cfg: ModelConfig, pool_size: int,
-                          encoder_len: Optional[int] = None
+                          encoder_len: Optional[int] = None,
+                          constrained: bool = False
                           ) -> Tuple[SmallState, Dict[str, jax.Array]]:
     """Slot pool in the fused megakernel's merged-head layout:
     self caches (L, S, T_pad, kvd) batch-major, cross caches
@@ -250,6 +303,8 @@ def init_slot_state_fused(cfg: ModelConfig, pool_size: int,
         "cross_k": jnp.zeros((L, S, L_enc_pad, cfg.d_model), dtype),
         "cross_v": jnp.zeros((L, S, L_enc_pad, cfg.d_model), dtype),
     }
+    if constrained:
+        cache.update(_constraint_cache_entries(S))
     small = SmallState(
         prev=jnp.full((S,), SOS_ID, jnp.int32),
         pos=jnp.zeros((S,), jnp.int32),
@@ -290,6 +345,7 @@ def insert_requests_fused(params, model_state, cfg: ModelConfig,
         ck.astype(cache["cross_k"].dtype))
     new_cache["cross_v"] = cache["cross_v"].at[:, slots].set(
         cv.astype(cache["cross_v"].dtype))
+    _reset_constraint_rows(cache, new_cache, slots)
     new_small = SmallState(
         prev=small.prev.at[slots].set(SOS_ID),
         pos=small.pos.at[slots].set(0),
@@ -307,7 +363,8 @@ def decode_segment_fused(stacked, cfg: ModelConfig, small: SmallState,
                          l_enc_actual: int, block_b: int = 16,
                          n_chunks: Optional[int] = None,
                          ring_s: int = 0,
-                         t_active: Optional[int] = None
+                         t_active: Optional[int] = None,
+                         tables=None
                          ) -> Tuple[SmallState, Dict[str, jax.Array]]:
     """decode_segment on the whole-step ragged Pallas megakernel
     (ops/fused_step.fused_ragged_step): embedding + 8 layers + head run
@@ -331,6 +388,39 @@ def decode_segment_fused(stacked, cfg: ModelConfig, small: SmallState,
 
     def live_of(s: SmallState):
         return s.active & ~s.finished
+
+    # Constrained mode (``tables``): the kernel surfaces raw logits
+    # (return_logits=True, the beam path's mechanism) and token selection
+    # moves to XLA under the pushdown mask; state lives in ``con_*`` cache
+    # leaves and is carried through the loop. See decode_segment's
+    # docstring for semantics.
+    if tables is not None:
+        from . import constrain as constrain_mod
+
+        def cst_of(c):
+            return constrain_mod.ConstraintState(
+                stack=c["con_stack"], ptr=c["con_ptr"], mode=c["con_mode"],
+                needs_tok=c["con_needs"], prev_supsub=c["con_sup"])
+
+        def cst_out(out_cache, cst):
+            out_cache["con_stack"], out_cache["con_ptr"] = (cst.stack,
+                                                            cst.ptr)
+            out_cache["con_mode"] = cst.mode
+            out_cache["con_needs"] = cst.needs_tok
+            out_cache["con_sup"] = cst.prev_supsub
+
+        def constrained_pick(s, cst, logits):
+            live = live_of(s)
+            lg = logits[:, :tables.vocab_size].astype(jnp.float32)
+            mask = constrain_mod.step_mask(tables, cst, s.pos[:, None],
+                                           max_len)
+            nxt = jnp.argmax(lg + mask, axis=-1).astype(jnp.int32)
+            probs = jax.nn.softmax(lg, axis=-1)
+            logp = jnp.take_along_axis(jnp.log(probs + 1e-10),
+                                       nxt[:, None], axis=-1)[:, 0]
+            new_cst = constrain_mod.advance(
+                tables, cst, jnp.where(live, nxt, jnp.int32(EOS_ID)))
+            return nxt, logp, new_cst
 
     def write_tokens(s, nxt, logp, live):
         is_eos = nxt == EOS_ID
@@ -356,18 +446,27 @@ def decode_segment_fused(stacked, cfg: ModelConfig, small: SmallState,
                                 jnp.int32(ring_s))
 
         def cond_r(carry):
-            i, s, _, _ = carry
+            i, s = carry[0], carry[1]
             return jnp.logical_and(i < n_clamped, jnp.any(live_of(s)))
 
         def body_r(carry):
-            i, s, rk, rv = carry
+            i, s, rk, rv = carry[:4]
             live = live_of(s)
-            nxt, logp, k_rows, v_rows = fused_ragged_step(
-                stacked, cfg, s.prev, s.pos, sk0, sv0,
-                cache["cross_k"], cache["cross_v"], l_enc_actual,
-                block_b=block_b, n_chunks=n_chunks,
-                seg_start=seg0, ring_k=rk, ring_v=rv,
-                t_active=t_active)
+            if tables is None:
+                nxt, logp, k_rows, v_rows = fused_ragged_step(
+                    stacked, cfg, s.prev, s.pos, sk0, sv0,
+                    cache["cross_k"], cache["cross_v"], l_enc_actual,
+                    block_b=block_b, n_chunks=n_chunks,
+                    seg_start=seg0, ring_k=rk, ring_v=rv,
+                    t_active=t_active)
+            else:
+                logits, k_rows, v_rows = fused_ragged_step(
+                    stacked, cfg, s.prev, s.pos, sk0, sv0,
+                    cache["cross_k"], cache["cross_v"], l_enc_actual,
+                    block_b=block_b, n_chunks=n_chunks,
+                    seg_start=seg0, ring_k=rk, ring_v=rv,
+                    t_active=t_active, return_logits=True)
+                nxt, logp, cst = constrained_pick(s, carry[4], logits)
             # zero non-live rows (uncovered-chunk outputs are
             # uninitialized; NaN garbage must never enter the ring)
             live3 = live[None, :, None]
@@ -377,12 +476,15 @@ def decode_segment_fused(stacked, cfg: ModelConfig, small: SmallState,
             rv = jax.lax.dynamic_update_slice(
                 rv, jnp.where(live3, v_rows, 0)[:, :, None, :],
                 (0, 0, i, 0))
-            return (i + 1, write_tokens(s, nxt, logp, live), rk, rv)
+            out = (i + 1, write_tokens(s, nxt, logp, live), rk, rv)
+            return out if tables is None else out + (cst,)
 
         rk0 = jnp.zeros((L, B, ring_s, kvd_), sk0.dtype)
-        _, out_small, rk, rv = jax.lax.while_loop(
-            cond_r, body_r,
-            (jnp.int32(0), small, rk0, jnp.zeros_like(rk0)))
+        carry0 = (jnp.int32(0), small, rk0, jnp.zeros_like(rk0))
+        if tables is not None:
+            carry0 = carry0 + (cst_of(cache),)
+        res = jax.lax.while_loop(cond_r, body_r, carry0)
+        out_small, rk, rv = res[1], res[2], res[3]
         # ONE masked write-back: cache rows [seg0_b, pos_end_b) take the
         # ring rows (live rows advanced exactly one position per step,
         # so ring row j maps to cache position seg0_b + j)
@@ -397,10 +499,12 @@ def decode_segment_fused(stacked, cfg: ModelConfig, small: SmallState,
         out_cache = dict(cache)
         out_cache["self_k"] = sk
         out_cache["self_v"] = sv
+        if tables is not None:
+            cst_out(out_cache, res[4])
         return out_small, out_cache
 
     def cond(carry):
-        i, s, _, _ = carry
+        i, s = carry[0], carry[1]
         return jnp.logical_and(i < n_steps, jnp.any(live_of(s)))
 
     def row_append(c, r, p):        # (T_pad, kvd), (kvd,), scalar
@@ -410,12 +514,20 @@ def decode_segment_fused(stacked, cfg: ModelConfig, small: SmallState,
                       in_axes=(0, 0, None))
 
     def body(carry):
-        i, s, sk, sv = carry
+        i, s, sk, sv = carry[:4]
         live = live_of(s)
-        nxt, logp, k_rows, v_rows = fused_ragged_step(
-            stacked, cfg, s.prev, s.pos, sk, sv,
-            cache["cross_k"], cache["cross_v"], l_enc_actual,
-            block_b=block_b, n_chunks=n_chunks, t_active=t_active)
+        if tables is None:
+            nxt, logp, k_rows, v_rows = fused_ragged_step(
+                stacked, cfg, s.prev, s.pos, sk, sv,
+                cache["cross_k"], cache["cross_v"], l_enc_actual,
+                block_b=block_b, n_chunks=n_chunks, t_active=t_active)
+        else:
+            logits, k_rows, v_rows = fused_ragged_step(
+                stacked, cfg, s.prev, s.pos, sk, sv,
+                cache["cross_k"], cache["cross_v"], l_enc_actual,
+                block_b=block_b, n_chunks=n_chunks, t_active=t_active,
+                return_logits=True)
+            nxt, logp, cst = constrained_pick(s, carry[4], logits)
         # never scatter non-live rows: with bucketed dispatch (n_chunks)
         # the kernel leaves rows of uncovered chunks UNINITIALIZED, and
         # appending that garbage (possibly NaN bit patterns) into a
@@ -425,14 +537,19 @@ def decode_segment_fused(stacked, cfg: ModelConfig, small: SmallState,
         live3 = live[None, :, None]
         sk = append(sk, jnp.where(live3, k_rows, 0), s.pos)
         sv = append(sv, jnp.where(live3, v_rows, 0), s.pos)
-        return (i + 1, write_tokens(s, nxt, logp, live), sk, sv)
+        out = (i + 1, write_tokens(s, nxt, logp, live), sk, sv)
+        return out if tables is None else out + (cst,)
 
-    _, out_small, sk, sv = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), small, cache["self_k"],
-                     cache["self_v"]))
+    carry0 = (jnp.int32(0), small, cache["self_k"], cache["self_v"])
+    if tables is not None:
+        carry0 = carry0 + (cst_of(cache),)
+    res = jax.lax.while_loop(cond, body, carry0)
+    out_small, sk, sv = res[1], res[2], res[3]
     out_cache = dict(cache)
     out_cache["self_k"] = sk
     out_cache["self_v"] = sv
+    if tables is not None:
+        cst_out(out_cache, res[4])
     return out_small, out_cache
 
 
@@ -479,7 +596,8 @@ class ContinuousDecoder:
                  quantize: bool = False,
                  pallas_encoder_block: bool = False,
                  segment_ring: bool = True,
-                 t_buckets: Optional[Tuple[int, ...]] = None):
+                 t_buckets: Optional[Tuple[int, ...]] = None,
+                 constrained: bool = False):
         """``mesh``: optional Mesh — the slot pool shards over the 'data'
         axis (params replicated), scaling continuous serving across chips
         (the v5e-4 target). The pool is padded so (num_slots + scratch)
@@ -521,6 +639,17 @@ class ContinuousDecoder:
         self.use_fused = use_fused
         self.segment_ring = bool(segment_ring) and use_fused
         self.pallas_encoder_block = pallas_encoder_block
+        self._constraint = None
+        if constrained:
+            # pushdown-constrained slot decode: every emitted sequence is
+            # structurally valid LaTeX by construction (decode/constrain.py)
+            if tokenizer is None:
+                raise ValueError("constrained continuous decoding needs a "
+                                 "tokenizer (its vocab derives the "
+                                 "constraint tables)")
+            from .constrain import build_tables
+
+            self._constraint = build_tables(tokenizer.vocab)
         self._l_enc = encoder_len or cfg.encoder_len
         extra = 1
         if mesh is not None:
@@ -537,14 +666,15 @@ class ContinuousDecoder:
             total = -(-(num_slots + 1) // m) * m
             extra = total - num_slots
             self._small, self._cache = init_slot_state_fused(
-                cfg, total, encoder_len=encoder_len)
+                cfg, total, encoder_len=encoder_len,
+                constrained=constrained)
             self._seg_params = build_stacked_full(params["decoder"], cfg)
             if quantize:  # int8 weights, in-kernel dequant (SERVING_QUANTIZE)
                 self._seg_params = quantize_stacked(self._seg_params)
         else:
             self._small, self._cache = init_slot_state(
                 params, cfg, num_slots, scratch_slots=extra,
-                encoder_len=encoder_len)
+                encoder_len=encoder_len, constrained=constrained)
             self._seg_params = params
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -573,8 +703,11 @@ class ContinuousDecoder:
                               + (None,) * (x.ndim - axis - 1)))))
 
             self._small = jax.tree_util.tree_map(_row(0), self._small)
-            self._cache = jax.tree_util.tree_map(_row(cache_row_axis),
-                                                 self._cache)
+            # con_* constraint leaves are (S, ...) row-major even in the
+            # fused (L, S, ...) cache layout
+            self._cache = {
+                k: _row(0 if k.startswith("con_") else cache_row_axis)(v)
+                for k, v in self._cache.items()}
         self._free: List[int] = list(range(num_slots))
         self._slot_req: Dict[int, int] = {}
         self._pos_ub: Dict[int, int] = {}  # slot -> position upper bound
@@ -614,28 +747,33 @@ class ContinuousDecoder:
 
             l_enc = self._l_enc
             row0, row1 = P("data"), P(None, "data")
+            # per-leaf cache specs: fused big caches shard at axis 1,
+            # constraint leaves at axis 0
+            cache_spec = {k: row0 if k.startswith("con_") else row1
+                          for k in self._cache}
 
             ring_s = self.max_segment_steps if self.segment_ring else 0
+            tables = self._constraint
 
             def _seg_local(p, small, cache, n):
                 s2, c2 = decode_segment_fused(
                     p, self.cfg, small, cache, n, l_enc,
-                    block_b=fused_block_b, ring_s=ring_s)
+                    block_b=fused_block_b, ring_s=ring_s, tables=tables)
                 return s2, c2, pack_report(s2)
 
             try:  # jax >= 0.8: jax.shard_map with check_vma
                 sharded = jax.shard_map(
                     _seg_local, mesh=mesh,
-                    in_specs=(P(), row0, row1, P()),
-                    out_specs=(row0, row1, row0),
+                    in_specs=(P(), row0, cache_spec, P()),
+                    out_specs=(row0, cache_spec, row0),
                     check_vma=False)
             except (AttributeError, TypeError):  # pragma: no cover
                 from jax.experimental.shard_map import shard_map
 
                 sharded = shard_map(
                     _seg_local, mesh=mesh,
-                    in_specs=(P(), row0, row1, P()),
-                    out_specs=(row0, row1, row0),
+                    in_specs=(P(), row0, cache_spec, P()),
+                    out_specs=(row0, cache_spec, row0),
                     check_rep=False)
             self._segment_fn = jax.jit(sharded, donate_argnums=(2,))
             self._segment_fns = {None: self._segment_fn}
@@ -645,6 +783,8 @@ class ContinuousDecoder:
             ring_s = self.max_segment_steps if self.segment_ring else 0
             Tmax = cfg.max_seq_len
 
+            tables = self._constraint
+
             def _make_seg(n_chunks, tb):
                 t_active = None if tb >= Tmax else tb
 
@@ -652,7 +792,7 @@ class ContinuousDecoder:
                     s2, c2 = decode_segment_fused(
                         p, self.cfg, small, cache, n, l_enc,
                         block_b=fused_block_b, n_chunks=n_chunks,
-                        ring_s=ring_s, t_active=t_active)
+                        ring_s=ring_s, t_active=t_active, tables=tables)
                     return s2, c2, pack_report(s2)
                 return jax.jit(_seg, donate_argnums=(2,))
 
@@ -682,8 +822,11 @@ class ContinuousDecoder:
                 for nc in self._seg_buckets for tb in self._t_buckets}
             self._segment_fn = self._segment_fns[(nb_full, Tmax)]
         else:
+            tables = self._constraint
+
             def _seg(p, small, cache, n):
-                s2, c2 = decode_segment(p, self.cfg, small, cache, n)
+                s2, c2 = decode_segment(p, self.cfg, small, cache, n,
+                                        tables=tables)
                 return s2, c2, pack_report(s2)
             self._segment_fn = jax.jit(_seg, donate_argnums=(2,))
             self._segment_fns = {None: self._segment_fn}

@@ -94,6 +94,13 @@ class ServerState:
         self.calibration: Optional[dict] = None
         self.prediction_count = 0
         self.start_time = time.time()
+        # worker self-recycling (SERVING_MAX_REQUESTS): see
+        # recycle_middleware. exit_callback is a test seam — production
+        # default raises web.GracefulExit inside the run_app loop.
+        self.draining = False
+        self.recycle_requests = 0   # prediction REQUESTS (batch counts 1)
+        self.inflight_predictions = 0
+        self.exit_callback = None
         # per-stage request latency (input read+preprocess vs decode):
         # surfaced at /metrics as "request_stages" — the reference exposed
         # only whole-request processing_time (app/src/main.py:452,488)
@@ -165,7 +172,8 @@ class ServerState:
                 use_fused=self.cfg.use_fused_decode,
                 quantize=self.cfg.quantize_decode,
                 pallas_encoder_block=self.cfg.pallas_encoder_block,
-                segment_ring=self.cfg.segment_ring)
+                segment_ring=self.cfg.segment_ring,
+                constrained=self.cfg.constrained_decode)
             try:  # pre-compile insert buckets/segment so the first
                 decoder.warmup(image_dtype=(
                     np.uint8 if self.cfg.uint8_transfer else np.float32))
@@ -588,10 +596,14 @@ async def handle_health(request) -> "web.Response":
         "rate_limiter_initialized": state.limiter is not None,
         "model_files_exist": model_files_exist,
         "batcher_running": state.batcher is not None,
+        # a draining worker (SERVING_MAX_REQUESTS recycle) must fail
+        # readiness so load balancers stop routing to it
+        "not_draining": not state.draining,
     }
     healthy = all([checks["model_loaded"], checks["vocab_loaded"],
                    checks["device_available"],
                    checks["rate_limiter_initialized"],
+                   checks["not_draining"],
                    all(model_files_exist.values())])
     resp = HealthResponse(healthy=healthy, checks=checks, timestamp=_ts())
     return web.json_response(resp.model_dump())
@@ -657,6 +669,12 @@ async def handle_metrics(request) -> "web.Response":
         "rate_limiter": limiter_metrics,
         "uptime_seconds": uptime,
     }
+    if state.cfg.max_requests:
+        payload["recycle"] = {
+            "max_requests": state.cfg.max_requests,
+            "requests_served": state.recycle_requests,
+            "draining": state.draining,
+        }
     if state.batcher is not None:
         payload["batching"] = state.batcher.stats
     payload["request_stages"] = state.request_timer.summary()
@@ -688,6 +706,72 @@ async def handle_rate_limit_status(request) -> "web.Response":
 # ---------------------------------------------------------------------------
 # Middlewares
 # ---------------------------------------------------------------------------
+
+_PREDICT_PATHS = ("/predict", "/predict/stream", "/predict/batch")
+
+
+def _default_exit() -> None:  # pragma: no cover - exercised via run_app
+    # GracefulExit(SystemExit) raised from a plain loop callback aborts
+    # run_forever; web.run_app catches it, runs cleanup (the continuous
+    # scheduler thread drains to idle in batcher.stop()), and returns —
+    # the process then exits 0 so systemd Restart=always / docker
+    # restart: unless-stopped starts a fresh worker.
+    raise web.GracefulExit()
+
+
+async def _drain_and_exit(app) -> None:
+    """SERVING_MAX_REQUESTS reached: wait for in-flight predictions, log
+    final counters (the memory limiter's state is process-local and is
+    intentionally reset by a recycle; Redis-backed limits persist), then
+    trigger the graceful exit."""
+    st: ServerState = app["state"]
+    t0 = time.time()
+    grace = max(st.cfg.request_timeout_s, 30.0)
+    while st.inflight_predictions > 0 and time.time() - t0 < grace:
+        await asyncio.sleep(0.05)
+    logger.info(
+        "recycling worker: %d prediction requests served (limit %d), "
+        "%d images, uptime %.1fs, in-flight now %d",
+        st.recycle_requests, st.cfg.max_requests, st.prediction_count,
+        time.time() - st.start_time, st.inflight_predictions)
+    cb = st.exit_callback or _default_exit
+    asyncio.get_running_loop().call_soon(cb)
+
+
+@web.middleware
+async def recycle_middleware(request, handler):
+    """Worker self-recycling guard (SERVING_MAX_REQUESTS, 0 = off): after
+    N prediction requests the worker drains and exits 0 for supervisor
+    restart, bounding the remote-runtime RSS drift (BENCHMARKS.md
+    "Serving memory under sustained load"). During the drain new
+    predictions get 503 + Retry-After (non-prediction routes — health,
+    metrics — keep serving); requests already in flight always complete.
+    Parity-plus for the reference's reliance on Cloud Run instance
+    recycling (app/deploy.sh:97-98) and docker restart policy
+    (app/docker-compose.yml:21)."""
+    st: ServerState = request.app["state"]
+    if not st.cfg.max_requests or not (
+            request.method == "POST" and request.path in _PREDICT_PATHS):
+        return await handler(request)
+    if st.draining:
+        resp = _error_json(
+            503, "Service Unavailable",
+            "worker is recycling (SERVING_MAX_REQUESTS reached); retry")
+        resp.headers["Retry-After"] = "1"
+        return resp
+    st.inflight_predictions += 1
+    try:
+        return await handler(request)
+    finally:
+        st.inflight_predictions -= 1
+        st.recycle_requests += 1
+        if st.recycle_requests >= st.cfg.max_requests and not st.draining:
+            st.draining = True
+            logger.info("SERVING_MAX_REQUESTS=%d reached; draining for "
+                        "recycle", st.cfg.max_requests)
+            asyncio.get_running_loop().create_task(
+                _drain_and_exit(request.app))
+
 
 @web.middleware
 async def error_middleware(request, handler):
@@ -780,7 +864,8 @@ def create_app(cfg: Optional[ServeConfig] = None,
     cfg = cfg or ServeConfig.from_env()
     state = state or ServerState(cfg)
     app = web.Application(
-        middlewares=[error_middleware, trusted_host_middleware,
+        middlewares=[error_middleware, recycle_middleware,
+                     trusted_host_middleware,
                      cors_middleware, rate_limit_middleware,
                      request_id_middleware],
         client_max_size=cfg.max_file_size + 1024 * 1024)

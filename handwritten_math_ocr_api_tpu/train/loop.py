@@ -50,6 +50,19 @@ def _try_mlflow(experiment: Optional[str]):
         return None
 
 
+def _mlflow_log_dir(mlflow, checkpoint_dir: str, name: str,
+                    artifact_path: str) -> None:
+    """Log an orbax checkpoint DIRECTORY as an MLflow artifact tree
+    (reference logged torch .pth files, src/train_mlflow.py:100-109; orbax
+    checkpoints are directories so ``log_artifacts`` is the equivalent).
+    Best-effort: artifact-store failures must never kill training."""
+    path = os.path.join(checkpoint_dir, name)
+    try:
+        mlflow.log_artifacts(path, artifact_path=artifact_path)
+    except Exception as exc:  # pragma: no cover - store-dependent
+        log.warning("mlflow artifact logging failed for %s: %s", path, exc)
+
+
 def _graft_init(state: TrainState, artifact_dir: str) -> TrainState:
     """Graft shape-compatible param subtrees from a serving artifact
     (converted torchvision/reference checkpoint, train.checkpoint format)
@@ -237,9 +250,13 @@ def train_model(
             # ---- checkpointing (src/train.py:64-72) ----
             sched_sd = scheduler.state_dict()
             if (epoch + 1) % tc.checkpoint_every == 0:
+                name = f"checkpoint_epoch_{epoch + 1}"
                 ckpt_lib.save_checkpoint(
-                    tc.checkpoint_dir, f"checkpoint_epoch_{epoch + 1}",
+                    tc.checkpoint_dir, name,
                     state, epoch + 1, metrics["edit_distance"], sched_sd)
+                if mlflow:  # per-epoch ckpt artifact (train_mlflow.py:103)
+                    _mlflow_log_dir(mlflow, tc.checkpoint_dir, name,
+                                    f"checkpoints/{name}")
             if metrics["edit_distance"] < best_edit_dist:
                 best_edit_dist = metrics["edit_distance"]
                 no_improvement = 0
@@ -247,6 +264,11 @@ def train_model(
                     tc.checkpoint_dir, "best_model", state, epoch + 1,
                     best_edit_dist, sched_sd)
                 log.info("new best edit distance: %.2f", best_edit_dist)
+                if mlflow:  # best-model artifact (train_mlflow.py:109's
+                    #         log_model; orbax dir stands in for the
+                    #         framework-specific model flavor)
+                    _mlflow_log_dir(mlflow, tc.checkpoint_dir,
+                                    "best_model", "model")
             else:
                 no_improvement += 1
                 log.info("no improvement %d/%d", no_improvement,

@@ -17,11 +17,20 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(__file__), "..",
-                                   ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite is compile-dominated, so warm runs
+# are far faster.  NOTE: env vars (JAX_COMPILATION_CACHE_DIR) are read at jax
+# import time, and the environment's sitecustomize imports jax before pytest
+# loads this conftest — so `jax.config.update` is the only reliable hook here.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                     ".jax_cache"),
+    ),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

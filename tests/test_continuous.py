@@ -802,3 +802,48 @@ def test_fused_ragged_step_block_b_equivalence(setup):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(outs[16][3], outs[32][3],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_constrained_continuous_valid_and_matches_greedy():
+    """constrained=True threads the pushdown mask through the continuous
+    slot decode (ADVICE r3: it used to be a silent no-op there): with
+    random weights every emitted formula must pass the structural
+    validator, and both segment paths (XLA + fused megakernel) must equal
+    the constrained batch greedy engine token-for-token."""
+    from handwritten_math_ocr_api_tpu.eval.latex_check import check_latex
+
+    struct = ["{", "}", "\\left", "\\right", "\\begin", "\\end", "^", "_",
+              "\\frac", "\\sqrt"]
+    plain = ["(", ")", "+", "a", "x", "1", "matrix", "cases", "\\alpha"]
+    vocab = {"<pad>": 0, "<sos>": 1, "<eos>": 2, "<unk>": 3}
+    for t in struct + plain:
+        vocab[t] = len(vocab)
+    cfg = ModelConfig(
+        d_model=32, nhead=4, dim_feedforward=64, dropout=0.0,
+        num_decoder_layers=2, max_seq_len=16, vocab_size=len(vocab),
+        dtype="float32", swin=CFG.swin)
+    params, mstate = init_model(jax.random.PRNGKey(5), cfg)
+    tok = Tokenizer(vocab)
+    rng = np.random.default_rng(5)
+    imgs = rng.standard_normal((5, 96, 320, 1)).astype(np.float32)
+
+    from handwritten_math_ocr_api_tpu.core.config import DecodeConfig
+
+    # the constraint's token budget depends on max_len, so the engine must
+    # decode with the same horizon the continuous slots use (cfg.max_seq_len)
+    engine = DecodeEngine(params, mstate, cfg, tokenizer=tok,
+                          constrained=True,
+                          decode_cfg=DecodeConfig(max_seq_len=16))
+    want = engine.predict_with_confidence(imgs)
+    for latex, _conf in want:
+        ok, errs = check_latex(latex)
+        assert ok, (latex, errs)
+
+    for use_fused in (False, True):
+        cont = ContinuousDecoder(params, mstate, cfg, tok, num_slots=4,
+                                 segment_steps=3, encode_buckets=(1, 2, 4),
+                                 use_fused=use_fused, constrained=True)
+        got = cont.run_all(list(imgs))
+        for (wl, wc), (gl, gc) in zip(want, got):
+            assert wl == gl, use_fused
+            assert abs(wc - gc) < 1e-4

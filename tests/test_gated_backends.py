@@ -64,6 +64,9 @@ class _FakeMlflow(types.ModuleType):
     def log_artifact(self, path):
         self.artifacts.append(path)
 
+    def log_artifacts(self, path, artifact_path=None):
+        self.artifacts.append((path, artifact_path))
+
     def end_run(self):
         self.run_open = False
         self.calls.append("end_run")
@@ -96,7 +99,7 @@ def test_mlflow_hooks_fire_with_fake_module(tmp_path, monkeypatch):
 
     cfg = Config(model=TINY, data=DataConfig(batch_size=8, num_workers=0),
                  train=TrainConfig(checkpoint_dir=str(tmp_path), epochs=2,
-                                   checkpoint_every=100))
+                                   checkpoint_every=2))
     train_model(cfg, batches(), batches(), tok, mlflow_experiment="exp-x")
 
     assert fake.experiments == ["exp-x"]
@@ -109,9 +112,17 @@ def test_mlflow_hooks_fire_with_fake_module(tmp_path, monkeypatch):
     assert [s for s, _ in fake.metrics_steps] == [1, 2]
     for _, m in fake.metrics_steps:
         assert {"train_loss", "val_loss", "cer", "bleu"} <= set(m)
+    # checkpoint + best-model artifacts logged (train_mlflow.py:100-109):
+    # epoch-1 improvement logs best_model under "model"; epoch-2 periodic
+    # (checkpoint_every=2) logs under "checkpoints/<name>"
+    dirs = [a for a in fake.artifacts if isinstance(a, tuple)]
+    assert any(p.endswith("best_model") and ap == "model"
+               for p, ap in dirs)
+    assert any(p.endswith("checkpoint_epoch_2")
+               and ap == "checkpoints/checkpoint_epoch_2" for p, ap in dirs)
     # training-curve artifact logged (train_mlflow.py:124-141)
-    assert fake.artifacts and fake.artifacts[0].endswith(
-        "training_curves.png")
+    files = [a for a in fake.artifacts if isinstance(a, str)]
+    assert files and files[0].endswith("training_curves.png")
 
 
 def test_mlflow_absent_degrades_silently(tmp_path, monkeypatch):

@@ -647,3 +647,52 @@ def test_predict_stream_sse(model_dir):
         assert r.status == 400
 
     _with_client(_serve_cfg(model_dir), fn)
+
+
+def test_recycle_after_max_requests(model_dir):
+    """SERVING_MAX_REQUESTS self-recycle: the worker serves exactly N
+    prediction requests, then drains — further predictions 503 with
+    Retry-After, /health readiness flips false, counters surface at
+    /metrics, and the exit hook fires only once in-flight work is done
+    (zero dropped requests across the restart)."""
+    exited = []
+
+    async def fn(client):
+        st = client.app["state"]
+        st.exit_callback = lambda: exited.append(True)
+        b64 = base64.b64encode(_png_bytes()).decode()
+        for _ in range(3):
+            r = await client.post("/predict", json={"image_data": b64})
+            assert r.status == 200, await r.text()
+        # drained: new predictions refused; non-prediction routes serve
+        r = await client.post("/predict", json={"image_data": b64})
+        assert r.status == 503
+        body = await r.json()
+        assert "recycling" in body["detail"]
+        assert r.headers.get("Retry-After") == "1"
+        h = await (await client.get("/health")).json()
+        assert h["checks"]["not_draining"] is False and not h["healthy"]
+        m = await (await client.get("/metrics")).json()
+        assert m["recycle"] == {"max_requests": 3, "requests_served": 3,
+                                "draining": True}
+        for _ in range(200):  # the drain task fires the exit callback
+            if exited:
+                break
+            await asyncio.sleep(0.02)
+        assert exited
+
+    _with_client(_serve_cfg(model_dir, max_requests=3), fn)
+    assert exited
+
+
+def test_recycle_disabled_by_default(model_dir):
+    async def fn(client):
+        b64 = base64.b64encode(_png_bytes()).decode()
+        r = await client.post("/predict", json={"image_data": b64})
+        assert r.status == 200
+        st = client.app["state"]
+        assert not st.draining and st.recycle_requests == 0
+        m = await (await client.get("/metrics")).json()
+        assert "recycle" not in m
+
+    _with_client(_serve_cfg(model_dir), fn)
