@@ -317,3 +317,25 @@ def swin_apply(params, images: Array, cfg: SwinConfig, *,
             x = patch_merging(params["merges"][i], x, use_pallas=use_pallas)
     B, H, W, C = x.shape
     return x.reshape(B, H * W, C)
+
+
+def swin_apply_stages(params, images: Array, cfg: SwinConfig):
+    """swin_apply with per-stage activation taps, for parity goldens
+    (tests/fixtures/swin_golden_stages_full.npz): returns a list
+    [patch-embed out, stage-1 out (post-blocks, pre-merge), ...,
+    final-stage out], each (B, h, w, C) NHWC. Deterministic eval only."""
+    taps = []
+    x = patch_embed(params["patch_embed"], images)
+    taps.append(x)
+    ws = cfg.window_size
+    for i, depth in enumerate(cfg.depths):
+        stage = params["stages"][i]
+        for d in range(depth):
+            shift = 0 if d % 2 == 0 else ws // 2
+            x = swin_block(stage["blocks"][d], x, ws, shift,
+                           cfg.num_heads[i], cfg.mlp_ratio,
+                           deterministic=True)
+        taps.append(x)
+        if i < len(cfg.depths) - 1:
+            x = patch_merging(params["merges"][i], x)
+    return taps

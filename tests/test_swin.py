@@ -129,3 +129,97 @@ def test_patch_merging_gather_order():
     normed = (gathered - mean) / np.sqrt(var + 1e-5)
     expected = normed @ np.eye(4 * C, 2 * C)
     np.testing.assert_allclose(np.asarray(out[0, 0, 0]), expected, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Hand-derived ws=7 pins (VERDICT r3 item 5): the two highest-risk static
+# constructs — rel-pos-bias indexing and shift-mask regions — checked at the
+# PRODUCTION window size against literal hand-computed values and an
+# independently-coded reconstruction of the written torchvision algorithm
+# (band functions, not the helper's slice loops), so a shared misreading in
+# the helper and the torch oracle cannot pass silently.
+# ---------------------------------------------------------------------------
+
+def test_relative_position_index_ws7_hand_values():
+    idx = swin.relative_position_index(7)
+    assert idx.shape == (49, 49)
+    assert idx.min() == 0 and idx.max() == 168  # 13*13 - 1
+    # literal hand-computed entries: cell a=(ra,ca) flattens to ra*7+ca,
+    # index = (ra-rb+6)*13 + (ca-cb+6)
+    assert idx[0, 0] == 84        # (0,0)->(0,0): 6*13+6
+    assert idx[0, 48] == 0        # (0,0)->(6,6): 0*13+0
+    assert idx[48, 0] == 168      # (6,6)->(0,0): 12*13+12
+    assert idx[6, 42] == 12       # (0,6)->(6,0): 0*13+12
+    assert idx[42, 6] == 156      # (6,0)->(0,6): 12*13+0
+    assert idx[10, 30] == 46      # (1,3)->(4,2): 3*13+7
+    # every diagonal entry is the center of the table
+    assert np.all(np.diag(idx) == 84)
+    # independent reconstruction from the written formula
+    for a in range(49):
+        for b in range(49):
+            ra, ca = divmod(a, 7)
+            rb, cb = divmod(b, 7)
+            assert idx[a, b] == (ra - rb + 6) * 13 + (ca - cb + 6)
+
+
+def _band(v, size, ws, shift):
+    """Region band per the torchvision algorithm: [0, size-ws) main,
+    [size-ws, size-shift) middle, [size-shift, size) wrapped."""
+    if v < size - ws:
+        return 0
+    if v < size - shift:
+        return 1
+    return 2
+
+
+def test_shift_mask_ws7_production_stage1_hand_regions():
+    """Stage-1 production geometry for 96x320 input: 24x80 tokens padded
+    to 28x84, ws 7 shift 3. Checked against an independently-coded band
+    labeling plus literal hand-computed -100 counts."""
+    pH, pW, ws, sh = 28, 84, 7, 3
+    mask = swin.shift_attention_mask(pH, pW, ws, sh, sh)
+    nwh, nww = pH // ws, pW // ws  # 4 x 12 windows
+    assert mask.shape == (nwh * nww, 49, 49)
+
+    # independent reconstruction: label(r, c) = 3*row_band + col_band
+    for wh in range(nwh):
+        for ww in range(nww):
+            w = wh * nww + ww
+            labels = [
+                3 * _band(wh * ws + i, pH, ws, sh)
+                + _band(ww * ws + j, pW, ws, sh)
+                for i in range(ws) for j in range(ws)
+            ]
+            want = np.where(
+                np.asarray(labels)[None, :] != np.asarray(labels)[:, None],
+                -100.0, 0.0)
+            np.testing.assert_array_equal(mask[w], want), (wh, ww)
+
+    # literal hand-derived counts
+    interior = mask[:3 * nww].reshape(-1, 49, 49)[
+        [wh * nww + ww for wh in range(3) for ww in range(11)]]
+    assert np.all(interior == 0)  # windows fully in the main bands
+    # bottom-right window: 4x4/4x3/3x4/3x3 label blocks ->
+    # 49^2 - (16^2 + 12^2 + 12^2 + 9^2) = 1776 blocked pairs
+    assert int((mask[-1] == -100.0).sum()) == 1776
+    # bottom-row (not last col): 28/21 row split -> 2*28*21 = 1176
+    assert int((mask[3 * nww] == -100.0).sum()) == 1176
+    # last-col (not bottom row): same by symmetry
+    assert int((mask[nww - 1] == -100.0).sum()) == 1176
+
+
+def test_shift_mask_ws7_production_stage4_clamped_hand_regions():
+    """Stage-4 geometry: 3x10 tokens pad to 7x14; the h dim fits one
+    window so the h shift clamps to 0 — rows are a single band and only
+    column bands block. Window 0 is maskless; window 1 splits 4/3 cols:
+    2*28*21 = 1176 blocked pairs."""
+    mask = swin.shift_attention_mask(7, 14, 7, 0, 3)
+    assert mask.shape == (2, 49, 49)
+    assert np.all(mask[0] == 0)
+    labels = [3 * 1 + _band(7 + j, 14, 7, 3) for _i in range(7)
+              for j in range(7)]
+    want = np.where(
+        np.asarray(labels)[None, :] != np.asarray(labels)[:, None],
+        -100.0, 0.0)
+    np.testing.assert_array_equal(mask[1], want)
+    assert int((mask[1] == -100.0).sum()) == 1176

@@ -70,3 +70,29 @@ def test_swin_conversion_matches_torch_oracle_full_size():
     images = jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
     out = swin_apply(params, images, cfg.swin, deterministic=True)
     _assert_close(out, want, "full-size oracle", rel_tol=1e-3)
+
+
+def test_swin_per_stage_activations_match_committed_full_golden():
+    """FULL-production-config per-stage goldens (VERDICT r3 item 5): the
+    converter + JAX trunk must reproduce the committed torch-oracle
+    activations at EVERY stage tap of the flagship swin_t topology, so a
+    numerics regression is localized to the first diverging stage instead
+    of surfacing only at the trunk output. Weights are regenerated from
+    the committed torch seed (the artifact stores activations only)."""
+    torch = pytest.importorskip("torch")
+    from torch_swin_oracle import make_random_swin_state_dict
+
+    from handwritten_math_ocr_api_tpu.models.swin import swin_apply_stages
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "swin_golden_stages_full.npz")
+    data = np.load(path)
+    sd_t = make_random_swin_state_dict(seed=0)
+    cfg = ModelConfig()  # flagship swin_t
+    sd = {k: v.numpy() for k, v in sd_t.items()}
+    params = convert_swin_encoder(sd, cfg)
+    images = jnp.asarray(data["__input__"].transpose(0, 2, 3, 1))
+    taps = swin_apply_stages(params, images, cfg.swin)
+    assert len(taps) == 5  # embed + 4 stages
+    for i, tap in enumerate(taps):
+        _assert_close(tap, data[f"stage_{i}"], f"stage_{i}", rel_tol=1e-3)

@@ -120,17 +120,21 @@ def _patch_merging(x, sd, mp):
 @torch.no_grad()
 def swin_features(sd, images, depths=(2, 2, 6, 2),
                   num_heads=(3, 6, 12, 24), window_size=7,
-                  prefix="encoder.swin.features"):
+                  prefix="encoder.swin.features", return_stages=False):
     """images: (B, 1, H, W) NCHW float -> (B, H/32 * W/32, C_final).
 
     Mirrors the reference's EncoderSwin.forward trunk (features tap, no
-    final norm, row-major flatten)."""
+    final norm, row-major flatten). ``return_stages``: instead return the
+    list [patch-embed out, stage-1 out (post-blocks, pre-merge), ...,
+    final-stage out], each (B, H, W, C) NHWC — the tap points
+    models.swin.swin_apply_stages exposes."""
     f = prefix
     x = F.conv2d(images, sd[f"{f}.0.0.weight"], sd[f"{f}.0.0.bias"],
                  stride=4)
     x = x.permute(0, 2, 3, 1)  # NHWC
     x = F.layer_norm(x, (x.shape[-1],), sd[f"{f}.0.2.weight"],
                      sd[f"{f}.0.2.bias"])
+    taps = [x]
 
     stage_idx = [1, 3, 5, 7]
     merge_idx = [2, 4, 6]
@@ -139,8 +143,11 @@ def swin_features(sd, images, depths=(2, 2, 6, 2),
             shift = 0 if b % 2 == 0 else window_size // 2
             x = _block(x, sd, f"{f}.{stage_idx[si]}.{b}", num_heads[si],
                        window_size, shift)
+        taps.append(x)
         if si < len(depths) - 1:
             x = _patch_merging(x, sd, f"{f}.{merge_idx[si]}")
+    if return_stages:
+        return taps
     B, H, W, C = x.shape
     return x.reshape(B, H * W, C)
 
