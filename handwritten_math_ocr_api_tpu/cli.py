@@ -69,7 +69,7 @@ def cmd_train(args) -> int:
         # infinite-variety streaming corpus: fix the vocab from the grammar
         from .data.synthetic import SyntheticStreamDataset, grammar_vocab
 
-        vocab = grammar_vocab()
+        vocab = grammar_vocab(rich=getattr(args, "stream_hard", False))
         save_vocab(vocab, os.path.join(args.checkpoint_dir, "vocab.json"))
         idx2char = {i: t for t, i in vocab.items()}
     else:
@@ -93,9 +93,18 @@ def cmd_train(args) -> int:
             from .data.strokes import StrokeStreamDataset as StreamDS
         else:
             StreamDS = SyntheticStreamDataset
+        hard = {}
+        if getattr(args, "stream_hard", False):
+            # MathWriting-difficulty regime (VERDICT r3 item 2): extended
+            # symbol inventory, longer/deeper formulas, denser layouts,
+            # heavier ink degradation (stroke renderer only)
+            hard = dict(rich=True, max_tokens=args.stream_max_tokens,
+                        max_terms=8, depth=3)
+            if getattr(args, "stream_renderer", "typeset") == "stroke":
+                hard["degrade"] = args.stream_degrade
         mk = lambda n, seed, freeze: DataLoader(
             StreamDS(tok, n, mc.img_h, mc.img_w,
-                     mc.max_seq_len, seed=seed, freeze=freeze),
+                     mc.max_seq_len, seed=seed, freeze=freeze, **hard),
             cfg.data.batch_size, shuffle=False,
             num_workers=cfg.data.num_workers, drop_remainder=True)
         train_loader = mk(args.synthetic_stream, 0, False)
@@ -372,6 +381,16 @@ def build_parser() -> argparse.ArgumentParser:
                          "LaTeX source) or 'stroke' (handwriting-style "
                          "structural layout, data/strokes.py — the "
                          "MathWriting difficulty regime)")
+    tr.add_argument("--stream-hard", action="store_true",
+                    help="MathWriting-difficulty stream: extended symbol "
+                         "inventory (uppercase/full greek/set ops, ~100 "
+                         "glyph classes), longer/deeper formulas, denser "
+                         "layouts and heavier ink degradation")
+    tr.add_argument("--stream-max-tokens", type=int, default=60,
+                    help="--stream-hard: formula length cap in tokens")
+    tr.add_argument("--stream-degrade", type=float, default=0.6,
+                    help="--stream-hard + stroke renderer: ink degradation "
+                         "strength in [0,1]")
     tr.add_argument("--ema-decay", type=float, default=0.0,
                     help="EMA decay for a shadow copy of the weights "
                          "(0 = off); val metrics and the best artifact "

@@ -227,15 +227,200 @@ def _glyphs() -> Dict[str, Tuple[float, List[Stroke]]]:
     return g
 
 
+def _glyphs_rich() -> Dict[str, Tuple[float, List[Stroke]]]:
+    """Extended inventory for the MathWriting-difficulty regime
+    (synthetic._VARS_RICH & co.): uppercase latin, the remaining greek
+    alphabet + capitals, set/relation operators, brackets, primes.
+    Same coordinate convention as :func:`_glyphs`; capitals occupy the
+    digit band y in [0.08, 1.0]."""
+    g: Dict[str, Tuple[float, List[Stroke]]] = {}
+    # --- uppercase latin (no I/O: confusable with 1/0) ---------------------
+    g["A"] = (0.60, [_line(0.04, 1.0, 0.30, 0.08, 6),
+                     _line(0.30, 0.08, 0.56, 1.0, 6),
+                     _line(0.14, 0.65, 0.46, 0.65, 3)])
+    g["B"] = (0.58, [_line(0.10, 0.08, 0.10, 1.0, 6),
+                     _arc(0.28, 0.31, 0.20, 0.23, -90, 90, 9)
+                     + _arc(0.30, 0.77, 0.23, 0.23, -90, 90, 9)])
+    g["C"] = (0.62, [_arc(0.34, 0.54, 0.28, 0.46, 40, 320, 13)])
+    g["D"] = (0.58, [_line(0.10, 0.08, 0.10, 1.0, 6),
+                     _arc(0.10, 0.54, 0.42, 0.46, -90, 90, 11)])
+    g["E"] = (0.54, [_line(0.48, 0.08, 0.10, 0.08, 3)
+                     + _line(0.10, 0.08, 0.10, 1.0, 6)
+                     + _line(0.10, 1.0, 0.50, 1.0, 3),
+                     _line(0.10, 0.54, 0.40, 0.54, 3)])
+    g["F"] = (0.52, [_line(0.48, 0.08, 0.10, 0.08, 3)
+                     + _line(0.10, 0.08, 0.10, 1.0, 6),
+                     _line(0.10, 0.54, 0.40, 0.54, 3)])
+    g["G"] = (0.64, [_arc(0.34, 0.54, 0.28, 0.46, 30, 330, 13)
+                     + _line(0.62, 0.62, 0.38, 0.62, 3)])
+    g["H"] = (0.60, [_line(0.10, 0.08, 0.10, 1.0, 6),
+                     _line(0.50, 0.08, 0.50, 1.0, 6),
+                     _line(0.10, 0.56, 0.50, 0.56, 3)])
+    g["J"] = (0.56, [_line(0.44, 0.08, 0.44, 0.82, 5)
+                     + _arc(0.28, 0.82, 0.16, 0.18, 0, 150, 7)])
+    g["K"] = (0.58, [_line(0.10, 0.08, 0.10, 1.0, 6),
+                     _line(0.52, 0.08, 0.10, 0.60, 5),
+                     _line(0.24, 0.46, 0.54, 1.0, 5)])
+    g["L"] = (0.50, [_line(0.10, 0.08, 0.10, 1.0, 6)
+                     + _line(0.10, 1.0, 0.48, 1.0, 3)])
+    g["M"] = (0.68, [_line(0.08, 1.0, 0.08, 0.08, 6),
+                     _line(0.08, 0.08, 0.34, 0.72, 5),
+                     _line(0.34, 0.72, 0.60, 0.08, 5),
+                     _line(0.60, 0.08, 0.60, 1.0, 6)])
+    g["N"] = (0.60, [_line(0.08, 1.0, 0.08, 0.08, 6),
+                     _line(0.08, 0.08, 0.52, 1.0, 6),
+                     _line(0.52, 1.0, 0.52, 0.08, 6)])
+    g["P"] = (0.56, [_line(0.10, 0.08, 0.10, 1.0, 6),
+                     _arc(0.28, 0.33, 0.22, 0.25, -90, 90, 9)])
+    g["Q"] = (0.62, [_arc(0.30, 0.54, 0.25, 0.46, -90, 270, 16),
+                     _line(0.38, 0.76, 0.58, 1.04, 4)])
+    g["R"] = (0.58, [_line(0.10, 0.08, 0.10, 1.0, 6),
+                     _arc(0.28, 0.33, 0.22, 0.25, -90, 90, 9),
+                     _line(0.30, 0.58, 0.54, 1.0, 5)])
+    g["S"] = (0.56, [_arc(0.30, 0.31, 0.20, 0.21, 40, 235, 9)
+                     + _arc(0.28, 0.77, 0.22, 0.25, -125, 70, 10)])
+    g["T"] = (0.56, [_line(0.04, 0.08, 0.52, 0.08, 3),
+                     _line(0.28, 0.08, 0.28, 1.0, 6)])
+    g["U"] = (0.60, [_line(0.08, 0.08, 0.08, 0.68, 4)
+                     + _arc(0.30, 0.68, 0.22, 0.31, 180, 360, 10)
+                     + _line(0.52, 0.68, 0.52, 0.08, 4)])
+    g["V"] = (0.58, [_line(0.04, 0.08, 0.29, 1.0, 6),
+                     _line(0.29, 1.0, 0.54, 0.08, 6)])
+    g["W"] = (0.84, [_line(0.04, 0.08, 0.22, 1.0, 5),
+                     _line(0.22, 1.0, 0.41, 0.40, 5),
+                     _line(0.41, 0.40, 0.60, 1.0, 5),
+                     _line(0.60, 1.0, 0.78, 0.08, 5)])
+    g["X"] = (0.58, [_line(0.04, 0.08, 0.54, 1.0, 6),
+                     _line(0.54, 0.08, 0.04, 1.0, 6)])
+    g["Y"] = (0.56, [_line(0.04, 0.08, 0.28, 0.54, 4),
+                     _line(0.52, 0.08, 0.28, 0.54, 4),
+                     _line(0.28, 0.54, 0.28, 1.0, 4)])
+    g["Z"] = (0.56, [_line(0.06, 0.08, 0.50, 0.08, 3)
+                     + _line(0.50, 0.08, 0.06, 1.0, 6)
+                     + _line(0.06, 1.0, 0.52, 1.0, 3)])
+    # --- remaining greek lowercase ----------------------------------------
+    g["\\delta"] = (0.58, [_line(0.46, 0.10, 0.26, 0.50, 4)
+                           + _arc(0.28, 0.74, 0.22, 0.24, -90, 270, 14)])
+    g["\\epsilon"] = (0.52, [_arc(0.30, 0.58, 0.20, 0.14, 60, 300, 9),
+                             _arc(0.30, 0.86, 0.20, 0.14, 60, 300, 9)])
+    g["\\eta"] = (0.60, [_line(0.10, _XH, 0.10, 1.0, 4),
+                         _arc(0.30, 0.70, 0.20, 0.25, 180, 0, 9)
+                         + _line(0.50, 0.70, 0.50, 1.42, 5)])
+    g["\\kappa"] = (0.54, [_line(0.10, _XH, 0.10, 1.0, 4),
+                           _line(0.46, _XH, 0.10, 0.74, 4),
+                           _line(0.20, 0.66, 0.48, 1.0, 4)])
+    g["\\nu"] = (0.54, [_line(0.08, _XH, 0.24, 1.0, 5),
+                        _arc(0.24, 0.80, 0.24, 0.22, 120, 10, 7)])
+    g["\\rho"] = (0.58, [_line(0.105, 0.72, 0.105, 1.45, 5),
+                         _arc(0.32, _MID, 0.22, (1.0 - _XH) / 2,
+                              115, -115, 13)])
+    g["\\tau"] = (0.50, [_line(0.04, _XH, 0.44, _XH, 3),
+                         _line(0.24, _XH, 0.24, 0.92, 4)
+                         + _arc(0.33, 0.92, 0.09, 0.08, 180, 90, 4)])
+    g["\\chi"] = (0.56, [_line(0.04, _XH, 0.52, 1.42, 6),
+                         _line(0.52, _XH, 0.04, 1.42, 6)])
+    g["\\psi"] = (0.62, [_line(0.31, 0.30, 0.31, 1.42, 6),
+                         _line(0.10, _XH, 0.10, 0.72, 3)
+                         + _arc(0.31, 0.72, 0.21, 0.26, 180, 360, 9)
+                         + _line(0.52, 0.72, 0.52, _XH, 3)])
+    g["\\xi"] = (0.50, [_arc(0.28, 0.28, 0.16, 0.17, -80, 160, 8)
+                        + _arc(0.26, 0.62, 0.17, 0.16, -100, 140, 8)
+                        + _arc(0.28, 0.98, 0.18, 0.18, -120, 90, 8)])
+    g["\\zeta"] = (0.50, [_arc(0.28, 0.24, 0.15, 0.15, -90, 150, 7)
+                          + _line(0.20, 0.34, 0.42, 0.92, 5)
+                          + _arc(0.28, 1.02, 0.16, 0.14, -30, 120, 6)])
+    # --- greek capitals ----------------------------------------------------
+    g["\\Delta"] = (0.62, [_line(0.31, 0.08, 0.04, 1.0, 6),
+                           _line(0.31, 0.08, 0.58, 1.0, 6),
+                           _line(0.04, 1.0, 0.58, 1.0, 3)])
+    g["\\Gamma"] = (0.50, [_line(0.48, 0.08, 0.10, 0.08, 3)
+                           + _line(0.10, 0.08, 0.10, 1.0, 6)])
+    g["\\Omega"] = (0.64, [_line(0.06, 1.0, 0.20, 1.0, 2)
+                           + _line(0.20, 1.0, 0.14, 0.78, 2)
+                           + _arc(0.32, 0.48, 0.24, 0.40, 140, -320, 14)
+                           + _line(0.50, 0.78, 0.44, 1.0, 2)
+                           + _line(0.44, 1.0, 0.58, 1.0, 2)])
+    g["\\Phi"] = (0.60, [_arc(0.30, 0.54, 0.24, 0.32, -90, 270, 13),
+                         _line(0.30, 0.08, 0.30, 1.0, 6)])
+    g["\\Psi"] = (0.62, [_line(0.31, 0.08, 0.31, 1.0, 6),
+                         _line(0.08, 0.14, 0.08, 0.44, 3)
+                         + _arc(0.31, 0.44, 0.23, 0.26, 180, 360, 9)
+                         + _line(0.54, 0.44, 0.54, 0.14, 3)])
+    g["\\Theta"] = (0.60, [_arc(0.30, 0.54, 0.24, 0.46, -90, 270, 16),
+                           _line(0.16, 0.54, 0.44, 0.54, 3)])
+    g["\\Lambda"] = (0.60, [_line(0.30, 0.08, 0.04, 1.0, 6),
+                            _line(0.30, 0.08, 0.56, 1.0, 6)])
+    g["\\Sigma"] = (0.56, [_line(0.50, 0.08, 0.08, 0.08, 3)
+                           + _line(0.08, 0.08, 0.34, 0.54, 4)
+                           + _line(0.34, 0.54, 0.08, 1.0, 4)
+                           + _line(0.08, 1.0, 0.52, 1.0, 3)])
+    g["\\Pi"] = (0.58, [_line(0.06, 0.08, 0.52, 0.08, 3),
+                        _line(0.12, 0.08, 0.12, 1.0, 6),
+                        _line(0.46, 0.08, 0.46, 1.0, 6)])
+    # --- misc symbols ------------------------------------------------------
+    g["\\infty"] = (0.62, [_arc(0.18, 0.62, 0.14, 0.12, -90, 270, 10)
+                           + _arc(0.44, 0.62, 0.14, 0.12, 90, 450, 10)])
+    g["\\partial"] = (0.58, [_arc(0.28, 0.74, 0.22, 0.24, -60, 270, 13)
+                             + _arc(0.32, 0.32, 0.18, 0.18, 160, 10, 8)])
+    g["\\ell"] = (0.48, [_line(0.10, 1.0, 0.30, 0.40, 4)
+                         + _arc(0.26, 0.30, 0.10, 0.12, 30, 300, 8)
+                         + _line(0.20, 0.42, 0.38, 0.96, 4)])
+    # --- operators (op band around the math axis y ~ 0.62) -----------------
+    g["\\div"] = (0.56, [_line(0.06, 0.62, 0.50, 0.62, 3),
+                         _dot(0.28, 0.42), _dot(0.28, 0.82)])
+    _tilde = lambda y: (_arc(0.17, y + 0.05, 0.12, 0.08, 180, 300, 6)
+                        + _arc(0.41, y - 0.05, 0.12, 0.08, 120, 0, 6))
+    g["\\sim"] = (0.58, [_tilde(0.62)])
+    g["\\approx"] = (0.58, [_tilde(0.50), _tilde(0.74)])
+    g["\\propto"] = (0.60, [_arc(0.24, 0.62, 0.18, 0.17, -40, 220, 11)
+                            + _line(0.38, 0.50, 0.56, 0.44, 3),
+                            _line(0.38, 0.74, 0.56, 0.80, 3)])
+    g["\\in"] = (0.58, [_arc(0.32, 0.62, 0.24, 0.26, 90, 270, 9),
+                        _line(0.32, 0.62, 0.54, 0.62, 3),
+                        _line(0.32, 0.36, 0.54, 0.36, 3),
+                        _line(0.32, 0.88, 0.54, 0.88, 3)])
+    g["\\subset"] = (0.58, [_arc(0.34, 0.62, 0.24, 0.24, 90, 270, 10)])
+    g["\\cup"] = (0.56, [_line(0.08, 0.36, 0.08, 0.68, 3)
+                         + _arc(0.28, 0.68, 0.20, 0.22, 180, 360, 9)
+                         + _line(0.48, 0.68, 0.48, 0.36, 3)])
+    g["\\cap"] = (0.56, [_line(0.08, 0.88, 0.08, 0.56, 3)
+                         + _arc(0.28, 0.56, 0.20, 0.22, 180, 0, 9)
+                         + _line(0.48, 0.56, 0.48, 0.88, 3)])
+    g["<"] = (0.52, [_line(0.46, 0.36, 0.08, 0.62, 4)
+                     + _line(0.08, 0.62, 0.46, 0.88, 4)])
+    g[">"] = (0.52, [_line(0.06, 0.36, 0.44, 0.62, 4)
+                     + _line(0.44, 0.62, 0.06, 0.88, 4)])
+    g["\\equiv"] = (0.60, [_line(0.06, 0.42, 0.54, 0.42, 3),
+                           _line(0.06, 0.62, 0.54, 0.62, 3),
+                           _line(0.06, 0.82, 0.54, 0.82, 3)])
+    g["\\circ"] = (0.50, [_arc(0.25, 0.58, 0.13, 0.13, -90, 270, 10)])
+    # --- brackets / punctuation -------------------------------------------
+    g["|"] = (0.24, [_line(0.12, 0.06, 0.12, 1.06, 6)])
+    g["["] = (0.30, [_line(0.26, 0.06, 0.12, 0.06, 2)
+                     + _line(0.12, 0.06, 0.12, 1.06, 6)
+                     + _line(0.12, 1.06, 0.26, 1.06, 2)])
+    g["]"] = (0.30, [_line(0.04, 0.06, 0.18, 0.06, 2)
+                     + _line(0.18, 0.06, 0.18, 1.06, 6)
+                     + _line(0.18, 1.06, 0.04, 1.06, 2)])
+    g["'"] = (0.22, [_line(0.14, 0.16, 0.08, 0.40, 3)])
+    # --- \prod: large operator, Pi-shaped (drawn big by the layout) --------
+    g["\\prod"] = (0.66, [_line(0.04, 0.10, 0.62, 0.10, 3),
+                          _line(0.12, 0.10, 0.12, 1.0, 6),
+                          _line(0.54, 0.10, 0.54, 1.0, 6)])
+    return g
+
+
 GLYPHS = _glyphs()
+GLYPHS.update(_glyphs_rich())
 
 # tokens rendered as letter sequences (handwritten function names)
 _WORD_TOKENS = {"\\sin": "sin", "\\cos": "cos", "\\tan": "tan",
-                "\\log": "log"}
+                "\\log": "log", "\\ln": "ln", "\\exp": "exp",
+                "\\max": "max", "\\min": "min"}
 # glyphs whose ink spans the full height band (digits, operators drawn in
 # the template's own band) — everything else is lowercase-body metrics
 DESCENDERS = {"g", "j", "p", "q", "y", "\\beta", "\\gamma", "\\mu",
-              "\\phi"}
+              "\\phi", "\\eta", "\\rho", "\\chi", "\\psi", "\\zeta"}
 
 
 # ---------------------------------------------------------------------------
@@ -311,11 +496,14 @@ class _Parser:
     """Tokens -> layout boxes, for the structured_formula grammar."""
 
     def __init__(self, tokens: List[str], rng: random.Random,
-                 jitter: float):
+                 jitter: float, gap_scale: float = 1.0):
         self.toks = tokens
         self.i = 0
         self.rng = rng
         self.jitter = jitter
+        # < 1.0: denser, possibly touching/overlapping glyphs (the
+        # MathWriting-difficulty regime's crowded-handwriting knob)
+        self.gap_scale = gap_scale
 
     def _peek(self) -> Optional[str]:
         return self.toks[self.i] if self.i < len(self.toks) else None
@@ -334,7 +522,8 @@ class _Parser:
                 boxes.append(self._item(size))
             if self._peek() == "}":
                 self._next()
-            return _hcat(boxes, 0.12 * size) if boxes else _Box([], 0, 0, 0)
+            return (_hcat(boxes, 0.12 * size * self.gap_scale)
+                    if boxes else _Box([], 0, 0, 0))
         return self._item(size)
 
     def _scripts(self, base: _Box, size: float, over_under: bool) -> _Box:
@@ -423,14 +612,18 @@ class _Parser:
             return self._scripts(
                 _Box(strokes, tick_w + body.w + 0.16 * size,
                      top, body.desc + 0.05 * size), size, False)
-        if tok in ("\\sum", "\\int"):
-            big = 1.55 if tok == "\\sum" else 1.75
+        if tok in ("\\sum", "\\int", "\\prod"):
+            big = 1.75 if tok == "\\int" else 1.55
             base = _glyph_box(tok, big * size, rng, jit)
             # recenter the tall glyph on the math axis
             shift_y = 0.28 * size
             base = _Box(_shift(base, 0.0, shift_y), base.w,
                         base.asc + shift_y, base.desc + shift_y)
-            return self._scripts(base, size, over_under=(tok == "\\sum"))
+            return self._scripts(base, size, over_under=(tok != "\\int"))
+        if tok == "\\lim":  # word glyphs with under-script limits
+            boxes = [_glyph_box(c, size, rng, jit) for c in "lim"]
+            return self._scripts(_hcat(boxes, 0.05 * size), size,
+                                 over_under=True)
         if tok in _WORD_TOKENS:
             boxes = [_glyph_box(c, size, rng, jit)
                      for c in _WORD_TOKENS[tok]]
@@ -448,15 +641,16 @@ class _Parser:
                 self._next()
                 continue
             boxes.append(self._item(size))
-        gap = 0.16 * size
+        gap = 0.16 * size * self.gap_scale
         return _hcat(boxes, gap)
 
 
 def formula_strokes(formula: str, rng: random.Random,
-                    jitter: float = 1.0) -> List[np.ndarray]:
+                    jitter: float = 1.0,
+                    gap_scale: float = 1.0) -> List[np.ndarray]:
     """Lay out ``formula`` (space-separated LaTeX tokens) structurally and
     return jittered strokes in layout coordinates."""
-    box = _Parser(formula.split(), rng, jitter).parse(1.0)
+    box = _Parser(formula.split(), rng, jitter, gap_scale).parse(1.0)
     return box.strokes
 
 
@@ -490,12 +684,25 @@ def _handwrite(strokes: List[np.ndarray], rng: random.Random,
 
 def render_stroke_image(formula: str, rng: np.random.Generator,
                         img_h: int = 96, img_w: int = 320,
-                        jitter: float = 1.0) -> np.ndarray:
+                        jitter: float = 1.0,
+                        degrade: float = 0.0) -> np.ndarray:
     """Handwriting-style render of ``formula``: structural layout, jittered
     polyline glyphs, InkML rasterization path, paper/ink contrast noise.
-    Returns uint8 (img_h, img_w), dark ink on light paper."""
+    Returns uint8 (img_h, img_w), dark ink on light paper.
+
+    ``degrade`` in [0, 1]: the MathWriting-difficulty ink-degradation
+    knob — denser layout (random gap shrink down to touching glyphs),
+    occasional dropped strokes (pen skips), box blur (scanner/camera
+    softness), and stronger sensor noise / contrast collapse."""
     prng = random.Random(int(rng.integers(0, 2 ** 63)))
-    strokes = formula_strokes(formula, prng, jitter)
+    gap_scale = 1.0
+    if degrade > 0:
+        gap_scale = 1.0 - degrade * prng.uniform(0.2, 0.7)
+    strokes = formula_strokes(formula, prng, jitter, gap_scale=gap_scale)
+    if degrade > 0 and len(strokes) > 6 and prng.random() < 0.5 * degrade:
+        # pen skips: drop 1-2 random strokes
+        for _ in range(prng.randint(1, 2)):
+            strokes.pop(prng.randrange(len(strokes)))
     strokes = _handwrite(strokes, prng, jitter)
     ink = Ink(strokes=strokes, label=formula)
     thickness = int(rng.integers(1, 4))
@@ -508,7 +715,18 @@ def render_stroke_image(formula: str, rng: np.random.Generator,
     ink_level = int(rng.integers(0, 50))
     arr = np.asarray(img, np.float32) / 255.0
     arr = ink_level + arr * (bg - ink_level)
-    arr += rng.normal(0.0, float(rng.uniform(1.0, 6.0)), arr.shape)
+    if degrade > 0:
+        if rng.random() < 0.7 * degrade:  # contrast collapse (faint ink)
+            mid = arr.mean()
+            arr = mid + (arr - mid) * float(rng.uniform(0.45, 0.9))
+        if rng.random() < 0.6 * degrade:  # camera/scanner softness
+            k = 3
+            pad = np.pad(arr, k // 2, mode="edge")
+            sl = sum(pad[i:i + arr.shape[0], j:j + arr.shape[1]]
+                     for i in range(k) for j in range(k))
+            arr = sl / (k * k)
+    noise_hi = 6.0 + 8.0 * degrade
+    arr += rng.normal(0.0, float(rng.uniform(1.0, noise_hi)), arr.shape)
     return np.clip(arr, 0, 255).astype(np.uint8)
 
 
@@ -517,12 +735,12 @@ def render_stroke_image(formula: str, rng: np.random.Generator,
 # ---------------------------------------------------------------------------
 
 
-def stroke_vocab() -> dict:
+def stroke_vocab(rich: bool = False) -> dict:
     """Token inventory (identical to synthetic.grammar_vocab: the stroke
     renderer consumes the same structured_formula grammar)."""
     from .synthetic import grammar_vocab
 
-    return grammar_vocab()
+    return grammar_vocab(rich=rich)
 
 
 class StrokeStreamDataset:
@@ -535,16 +753,20 @@ class StrokeStreamDataset:
     def __init__(self, tokenizer, samples_per_epoch: int, img_h: int = 96,
                  img_w: int = 320, max_seq_len: int = 150, seed: int = 0,
                  max_tokens: int = 28, freeze: bool = False,
-                 jitter: float = 1.0):
+                 jitter: float = 1.0, rich: bool = False,
+                 max_terms: int = 5, depth: int = 2,
+                 degrade: float = 0.0):
         from .synthetic import SyntheticStreamDataset
 
         self._inner = SyntheticStreamDataset(
             tokenizer, samples_per_epoch, img_h, img_w, max_seq_len,
-            seed=seed, max_tokens=max_tokens, freeze=freeze)
+            seed=seed, max_tokens=max_tokens, freeze=freeze, rich=rich,
+            max_terms=max_terms, depth=depth)
         self.tokenizer = tokenizer
         self.img_h, self.img_w = img_h, img_w
         self.max_seq_len = max_seq_len
         self.jitter = jitter
+        self.degrade = degrade
 
     def set_epoch(self, epoch: int) -> None:
         self._inner.set_epoch(epoch)
@@ -560,7 +782,8 @@ class StrokeStreamDataset:
         nrng = np.random.default_rng(
             self._inner._sample_key(idx) ^ 0x33CC33CC)
         img = render_stroke_image(formula, nrng, self.img_h, self.img_w,
-                                  jitter=self.jitter)
+                                  jitter=self.jitter,
+                                  degrade=self.degrade)
         ids = self.tokenizer.encode(formula, max_len=self.max_seq_len)
         length = min(len(self.tokenizer.encode(formula)), self.max_seq_len)
         return img, np.asarray(ids, np.int32), length
@@ -569,9 +792,15 @@ class StrokeStreamDataset:
 def make_stroke_corpus(root: str, n_train: int = 20000, n_val: int = 1000,
                        n_test: int = 1000, img_h: int = 96,
                        img_w: int = 320, seed: int = 0,
-                       jitter: float = 1.0) -> str:
+                       jitter: float = 1.0, rich: bool = False,
+                       max_tokens: int = 28, max_terms: int = 5,
+                       depth: int = 2, degrade: float = 0.0) -> str:
     """Materialized handwriting-style corpus in the reference data contract
-    ({split}_formulas/*.png + {split}_labels.csv; data/README.md)."""
+    ({split}_formulas/*.png + {split}_labels.csv; data/README.md).
+
+    ``rich``/``max_tokens``/``max_terms``/``depth``/``degrade``: the
+    MathWriting-difficulty regime (see structured_formula and
+    render_stroke_image)."""
     import os
 
     import cv2
@@ -585,8 +814,9 @@ def make_stroke_corpus(root: str, n_train: int = 20000, n_val: int = 1000,
 
     def fresh_formula() -> str:
         while True:
-            f = structured_formula(prng)
-            if len(f.split()) > 28 or f in seen:
+            f = structured_formula(prng, max_terms=max_terms, depth=depth,
+                                   rich=rich)
+            if len(f.split()) > max_tokens or f in seen:
                 continue
             seen.add(f)
             return f
@@ -601,7 +831,8 @@ def make_stroke_corpus(root: str, n_train: int = 20000, n_val: int = 1000,
             name = f"{split}_{i:06d}.png"
             cv2.imwrite(os.path.join(img_dir, name),
                         render_stroke_image(formula, nrng, img_h, img_w,
-                                            jitter=jitter))
+                                            jitter=jitter,
+                                            degrade=degrade))
             rows.append({"image_filename": name, "latex_label": formula})
         pd.DataFrame(rows).to_csv(
             os.path.join(root, f"{split}_labels.csv"), index=False)

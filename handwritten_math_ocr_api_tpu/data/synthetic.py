@@ -176,22 +176,49 @@ _FUNCS = [r"\sin", r"\cos", r"\tan", r"\log"]
 _BINOPS = ["+", "+", "+", "-", "-", "=", r"\cdot", r"\times", r"\pm",
            r"\leq", r"\geq", r"\neq", r"\to"]
 
+# Extended ("rich") pools: calibrate the stand-in corpus toward
+# MathWriting's symbol breadth (hundreds of glyphs across many writers,
+# /root/reference/README.md:55-61) — uppercase latin, the rest of the
+# lowercase greek alphabet plus capitals, set/relation operators, and
+# structural forms (\prod, \lim, |...|, [...], primes) that the base
+# grammar lacks. Used when ``structured_formula(..., rich=True)``.
+_VARS_RICH = _VARS + list("ABCDEFGHJKLMNPQRSTUVWXYZ") + [
+    r"\delta", r"\epsilon", r"\eta", r"\kappa", r"\nu", r"\rho",
+    r"\tau", r"\chi", r"\psi", r"\xi", r"\zeta",
+    r"\Delta", r"\Gamma", r"\Omega", r"\Phi", r"\Psi", r"\Theta",
+    r"\Lambda", r"\Sigma", r"\Pi",
+    r"\infty", r"\partial", r"\ell",
+]
+_FUNCS_RICH = _FUNCS + [r"\ln", r"\exp", r"\max", r"\min"]
+_BINOPS_RICH = _BINOPS + [
+    r"\div", r"\approx", r"\sim", r"\propto", r"\in", r"\subset",
+    r"\cup", r"\cap", "<", ">", r"\equiv", r"\circ",
+]
+
 
 def structured_formula(rng: random.Random, max_terms: int = 5,
-                       depth: int = 2) -> str:
+                       depth: int = 2, rich: bool = False) -> str:
     """Sample from a small weighted grammar of realistic math expressions
     (polynomial terms, fractions, roots, trig, sums/integrals). Unlike
     :func:`rich_formula` (i.i.d. random tokens), productions share global
     statistics across samples, so a seq2seq model's language-model component
     *generalizes* between splits — mirroring real MathWriting label
-    structure — and validation loss tracks train loss."""
+    structure — and validation loss tracks train loss.
+
+    ``rich``: the MathWriting-difficulty regime (VERDICT r3 item 2) —
+    extended symbol pools (uppercase latin, full greek, set/relation
+    operators) and extra structural productions (\\prod, \\lim with a
+    limit subscript, absolute-value bars, bracket groups, primes).
+    Combine with larger ``max_terms``/``depth`` for longer formulas."""
+    vars_, funcs, binops = ((_VARS_RICH, _FUNCS_RICH, _BINOPS_RICH)
+                           if rich else (_VARS, _FUNCS, _BINOPS))
 
     def number() -> List[str]:
         return [str(rng.randint(0, 9)) for _ in range(
             1 if rng.random() < 0.8 else 2)]
 
     def var() -> List[str]:
-        return [rng.choice(_VARS)]
+        return [rng.choice(vars_)]
 
     def atom(d: int) -> List[str]:
         r = rng.random()
@@ -205,12 +232,21 @@ def structured_formula(rng: random.Random, max_terms: int = 5,
         if r < 0.70 and d > 0:
             return [r"\sqrt", "{", *expr(1, d - 1), "}"]
         if r < 0.78:
-            return [rng.choice(_FUNCS), "(", *var(), ")"]
+            return [rng.choice(funcs), "(", *var(), ")"]
         if r < 0.84 and d > 0:
-            return [r"\sum", "_", "{", *var(), "=", *number(), "}",
+            op = r"\prod" if rich and rng.random() < 0.3 else r"\sum"
+            return [op, "_", "{", *var(), "=", *number(), "}",
                     "^", "{", *number(), "}", *term(d - 1)]
         if r < 0.88 and d > 0:
             return [r"\int", *term(d - 1), *var()]
+        if rich and r < 0.91 and d > 0:
+            lim_to = [r"\infty"] if rng.random() < 0.5 else number()
+            return [r"\lim", "_", "{", *var(), r"\to", *lim_to, "}",
+                    *term(d - 1)]
+        if rich and r < 0.94 and d > 0:
+            return ["|", *expr(1, d - 1), "|"]
+        if rich and r < 0.97 and d > 0:
+            return ["[", *expr(2, d - 1), "]"]
         return var()
 
     def term(d: int) -> List[str]:
@@ -224,12 +260,14 @@ def structured_formula(rng: random.Random, max_terms: int = 5,
                                        else number()), "}"]
         if r < 0.46:  # coefficient
             return [*number(), *base]
+        if rich and r < 0.51:  # prime mark
+            return [*base, "'"]
         return base
 
     def expr(n_terms: int, d: int) -> List[str]:
         out = term(d)
         for _ in range(n_terms - 1):
-            out += [rng.choice(_BINOPS)] + term(d)
+            out += [rng.choice(binops)] + term(d)
         return out
 
     return " ".join(expr(rng.randint(1, max_terms), depth))
@@ -317,11 +355,16 @@ def make_corpus(root: str, n_train: int = 20000, n_val: int = 1000,
     return root
 
 
-def grammar_vocab() -> dict:
+def grammar_vocab(rich: bool = False) -> dict:
     """Full token inventory of :func:`structured_formula`, in the
     tokenizer's vocab convention (specials first, then sorted tokens) —
-    lets streaming training fix the vocab without a materialized corpus."""
-    tokens = set(_VARS) | set(_FUNCS) | set(_BINOPS)
+    lets streaming training fix the vocab without a materialized corpus.
+    ``rich``: the extended MathWriting-difficulty inventory."""
+    if rich:
+        tokens = set(_VARS_RICH) | set(_FUNCS_RICH) | set(_BINOPS_RICH)
+        tokens |= {r"\prod", r"\lim", "|", "[", "]", "'"}
+    else:
+        tokens = set(_VARS) | set(_FUNCS) | set(_BINOPS)
     tokens |= {str(d) for d in range(10)}
     tokens |= {"{", "}", "^", "_", "(", ")", r"\frac", r"\sqrt", r"\sum",
                r"\int"}
@@ -346,7 +389,8 @@ class SyntheticStreamDataset:
 
     def __init__(self, tokenizer, samples_per_epoch: int, img_h: int = 96,
                  img_w: int = 320, max_seq_len: int = 150, seed: int = 0,
-                 max_tokens: int = 28, freeze: bool = False):
+                 max_tokens: int = 28, freeze: bool = False,
+                 rich: bool = False, max_terms: int = 5, depth: int = 2):
         self.tokenizer = tokenizer
         self.n = samples_per_epoch
         self.img_h, self.img_w = img_h, img_w
@@ -354,6 +398,9 @@ class SyntheticStreamDataset:
         self.seed = seed
         self.max_tokens = max_tokens
         self.freeze = freeze
+        self.rich = rich
+        self.max_terms = max_terms
+        self.depth = depth
         self._epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -377,7 +424,8 @@ class SyntheticStreamDataset:
     def formula_at(self, idx: int) -> str:
         prng = random.Random(self._sample_key(idx))
         while True:
-            f = structured_formula(prng)
+            f = structured_formula(prng, max_terms=self.max_terms,
+                                   depth=self.depth, rich=self.rich)
             if len(f.split()) <= self.max_tokens:
                 return f
 

@@ -129,3 +129,80 @@ def test_special_glyphs_have_ink(tok):
     f = {r"\sqrt": r"\sqrt { x }"}.get(tok, tok)
     strokes = formula_strokes(f, prng, jitter=0.0)
     assert sum(len(s) for s in strokes) >= 4
+
+
+# ---------------------------------------------------------------------------
+# MathWriting-difficulty ("rich") regime (VERDICT r3 item 2)
+# ---------------------------------------------------------------------------
+
+def test_every_rich_grammar_token_renderable():
+    """The extended inventory (uppercase, full greek, set ops, brackets,
+    primes, \\prod, \\lim) must also be fully renderable."""
+    structural = {"{", "}", "^", "_", r"\frac", r"\sqrt", r"\lim"}
+    for tok in grammar_vocab(rich=True):
+        if tok.startswith("<"):
+            continue
+        assert (tok in GLYPHS or tok in _WORD_TOKENS
+                or tok in structural), tok
+
+
+def test_rich_vocab_strictly_larger():
+    base, rich = grammar_vocab(), grammar_vocab(rich=True)
+    assert set(base) <= set(rich)
+    assert len(rich) >= len(base) + 60  # ~MathWriting symbol breadth
+
+
+def test_rich_parser_handles_any_sample_and_renders_ink():
+    rng = random.Random(3)
+    nrng = np.random.default_rng(3)
+    for _ in range(200):
+        f = structured_formula(rng, max_terms=8, depth=3, rich=True)
+        strokes = formula_strokes(f, rng)
+        assert strokes, f
+        img = render_stroke_image(f, nrng, degrade=0.6)
+        assert img.shape == (96, 320)
+        # ink present even under degradation (contrast collapse makes it
+        # faint by design, but it must stay well separated from paper)
+        assert int(img.min()) < int(img.max()) - 60, f
+
+
+def test_rich_formulas_are_longer_and_use_extended_tokens():
+    rng = random.Random(11)
+    base_v = set(grammar_vocab())
+    toks = []
+    for _ in range(300):
+        toks += structured_formula(rng, max_terms=8, depth=3,
+                                   rich=True).split()
+    extended_used = {t for t in toks if t not in base_v}
+    assert len(extended_used) >= 25, sorted(extended_used)
+    # length distribution reaches well past the base cap of 28
+    rng2 = random.Random(12)
+    lens = [len(structured_formula(rng2, max_terms=8, depth=3,
+                                   rich=True).split())
+            for _ in range(300)]
+    assert max(lens) > 60
+    assert np.mean(lens) > 18
+
+
+def test_degrade_increases_difficulty_signals():
+    """degrade > 0 must actually change the pixels (denser layout, blur,
+    noise) while keeping the render deterministic per rng state."""
+    f = r"\frac { a } { b } + \sqrt { x ^ { 2 } } = \Delta"
+    img_a = render_stroke_image(f, np.random.default_rng(5), degrade=0.0)
+    img_b = render_stroke_image(f, np.random.default_rng(5), degrade=1.0)
+    assert img_a.shape == img_b.shape
+    assert not np.array_equal(img_a, img_b)
+    img_b2 = render_stroke_image(f, np.random.default_rng(5), degrade=1.0)
+    np.testing.assert_array_equal(img_b, img_b2)
+
+
+def test_rich_stream_dataset_roundtrip():
+    from handwritten_math_ocr_api_tpu.core.tokenizer import Tokenizer
+
+    tok = Tokenizer(stroke_vocab(rich=True))
+    ds = StrokeStreamDataset(tok, 8, max_tokens=60, rich=True,
+                             max_terms=8, depth=3, degrade=0.5)
+    img, ids, length = ds[0]
+    assert img.shape == (96, 320) and ids.dtype == np.int32
+    # no <unk> in the encoding: the rich vocab covers the rich grammar
+    assert 3 not in ids[:length + 1]
