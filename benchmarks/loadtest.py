@@ -66,6 +66,30 @@ def _make_tiny_artifact(path: str):
     return path
 
 
+def _make_worstcase_artifact(path: str):
+    """Flagship-architecture random weights with <eos> suppressed: every
+    request decodes the full 150-step cap — the scheduler-stress workload
+    the engine-level sweeps use (sweep_continuous.py), at the HTTP surface."""
+    import jax
+    import jax.numpy as jnp
+
+    from handwritten_math_ocr_api_tpu.core.config import EOS_ID, ModelConfig
+    from handwritten_math_ocr_api_tpu.models.model import init_model
+    from handwritten_math_ocr_api_tpu.train.checkpoint import (
+        save_params_for_serving,
+    )
+
+    cfg = ModelConfig()
+    params, _ = init_model(jax.random.PRNGKey(0), cfg)
+    params["decoder"]["fc_out"]["b"] = (
+        params["decoder"]["fc_out"]["b"].at[EOS_ID].set(jnp.float32(-1e9)))
+    vocab = {"<pad>": 0, "<sos>": 1, "<eos>": 2, "<unk>": 3}
+    for i in range(4, cfg.vocab_size):
+        vocab[f"t{i}"] = i
+    save_params_for_serving(path, params, vocab, cfg)
+    return path
+
+
 async def run(args) -> dict:
     import dataclasses
 
@@ -85,6 +109,8 @@ async def run(args) -> dict:
         overrides["num_slots"] = args.slots
     if args.pipeline_depth:
         overrides["pipeline_depth"] = args.pipeline_depth
+    if args.harvest_threads:
+        overrides["harvest_threads"] = args.harvest_threads
     if args.cpu_mesh:
         overrides["mesh_data_axis"] = args.cpu_mesh
     cfg = dataclasses.replace(ServeConfig.from_env(), **overrides)
@@ -147,6 +173,9 @@ def main() -> None:
     ap.add_argument("--tiny", action="store_true",
                     help="serve a tiny random-weight model (no artifact "
                          "needed; CPU-friendly)")
+    ap.add_argument("--worst", action="store_true",
+                    help="serve a flagship-architecture random model with "
+                         "<eos> suppressed: worst-case 150-step decodes")
     ap.add_argument("--clients", type=int, default=16)
     ap.add_argument("--requests", type=int, default=64)
     ap.add_argument("--mode", default="dynamic",
@@ -157,6 +186,9 @@ def main() -> None:
                     help="continuous-mode slot pool size (0 = config)")
     ap.add_argument("--pipeline-depth", type=int, default=0,
                     help="continuous-mode in-flight segments (0 = config)")
+    ap.add_argument("--harvest-threads", type=int, default=0,
+                    help="continuous-mode report-fetch threads (0 = "
+                         "config default: one per pipeline slot)")
     ap.add_argument("--cpu-mesh", type=int, default=0, metavar="N",
                     help="run on an N-device virtual CPU mesh "
                          "(SERVING_MESH_DATA=N): validates the multi-chip "
@@ -175,6 +207,11 @@ def main() -> None:
         import tempfile
 
         args.model_dir = _make_tiny_artifact(
+            os.path.join(tempfile.mkdtemp(), "trained-model"))
+    elif args.worst:
+        import tempfile
+
+        args.model_dir = _make_worstcase_artifact(
             os.path.join(tempfile.mkdtemp(), "trained-model"))
     print(json.dumps(asyncio.run(run(args))))
 

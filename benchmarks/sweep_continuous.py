@@ -35,6 +35,9 @@ def main() -> None:
                     help="fused kernel batch-chunk rows (pool pads to it)")
     ap.add_argument("--no-ring", action="store_true",
                     help="disable the segment ring buffer (A/B arm)")
+    ap.add_argument("--harvest-threads", type=int, default=0,
+                    help="report-fetch threads (0 = pipeline depth; 1 = "
+                         "round-3 serialized-fetch behavior, the A arm)")
     ap.add_argument("--out", default="sweep_continuous_results.json")
     args = ap.parse_args()
 
@@ -68,7 +71,8 @@ def main() -> None:
                                  segment_steps=seg, pipeline_depth=depth,
                                  use_fused=args.fused,
                                  fused_block_b=args.block_b,
-                                 segment_ring=not args.no_ring)
+                                 segment_ring=not args.no_ring,
+                                 harvest_threads=args.harvest_threads)
         cont.warmup()  # compile insert buckets + segment + scalars
         t0 = time.perf_counter()
         cont.run_all(images)
@@ -76,6 +80,7 @@ def main() -> None:
         st = cont.stats
         row = {
             "slots": slots, "segment_steps": seg, "pipeline_depth": depth,
+            "harvest_threads": cont.harvest_threads,
             "fused": args.fused, "block_b": args.block_b,
             "segment_ring": cont.segment_ring,
             "img_per_s": round(args.requests / dt, 2),

@@ -244,6 +244,12 @@ class ServeConfig:
     # blocks on the oldest report — hides dispatch/tunnel latency
     # (decode/continuous.py pipelined scheduler).
     pipeline_depth: int = 4
+    # Continuous mode: report-fetch threads (0 = 1). The fetcher batches
+    # every queued report into ONE device_get (one fixed RTT per batch);
+    # >1 threads were measured counterproductive on the tunnel transport
+    # (parallel transfer RPCs contend) — the knob exists for transports
+    # that overlap transfers well.
+    harvest_threads: int = 0
     # Continuous+fused mode: segment ring buffer — fresh K/V rows ride a
     # small in-loop carry and the big cache takes one write-back per
     # segment instead of a full-cache scatter per step (~45% of segment
@@ -353,6 +359,9 @@ class ServeConfig:
             pipeline_depth=int(
                 env.get("SERVING_PIPELINE_DEPTH", defaults.pipeline_depth)
             ),
+            harvest_threads=int(
+                env.get("SERVING_HARVEST_THREADS",
+                        defaults.harvest_threads)),
             segment_ring=env.get(
                 "SERVING_SEGMENT_RING",
                 "1" if defaults.segment_ring else "0") in

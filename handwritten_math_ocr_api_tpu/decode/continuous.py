@@ -597,7 +597,8 @@ class ContinuousDecoder:
                  pallas_encoder_block: bool = False,
                  segment_ring: bool = True,
                  t_buckets: Optional[Tuple[int, ...]] = None,
-                 constrained: bool = False):
+                 constrained: bool = False,
+                 harvest_threads: int = 0):
         """``mesh``: optional Mesh — the slot pool shards over the 'data'
         axis (params replicated), scaling continuous serving across chips
         (the v5e-4 target). The pool is padded so (num_slots + scratch)
@@ -616,7 +617,12 @@ class ContinuousDecoder:
         ``segment_ring``: fused path only — fresh K/V rows ride a small
         in-loop ring buffer and the big cache is written back once per
         segment instead of once per step (the per-step scatter was ~45%
-        of segment time; see decode_segment_fused)."""
+        of segment time; see decode_segment_fused).
+
+        ``harvest_threads``: concurrent report fetchers (0 = one per
+        pipeline slot). Each report fetch pays a fixed device->host RTT;
+        overlapping fetches was the round-4 fix for the
+        harvest-serialization idle time at the HTTP surface."""
         self.params = params
         self.model_state = model_state
         self.cfg = cfg
@@ -722,7 +728,25 @@ class ContinuousDecoder:
         self._inflight = 0                 # dispatched, not yet processed
         self._fetch_q: "queue.Queue" = queue.Queue()
         self._ready_q: "queue.Queue" = queue.Queue()
-        self._harvester: Optional[threading.Thread] = None
+        # Harvest: each report fetch pays a fixed device->host RTT
+        # (~25 ms through the tunnel) REGARDLESS of payload size, and that
+        # serialization was the dominant idle source at the HTTP surface
+        # (t_harvest_wait ~70% of wall, loadtest_continuous_fused_http_
+        # r3c.json) — the segment rate caps at 1/RTT. Fix (round 4): the
+        # harvester drains its queue and fetches ALL pending reports in
+        # ONE jax.device_get (measured 8 reports in 28 ms vs 200 ms
+        # fetched one-by-one), so the drain rate self-balances: a backlog
+        # makes batches bigger, not slower. Concurrent fetch THREADS were
+        # measured counterproductive on this tunnel (engine 150 -> 56-120
+        # img/s at 4 threads: parallel transfer RPCs contend and stall
+        # dispatch), so the default stays one thread; the pool knob
+        # remains for transports that overlap transfers well.
+        # Out-of-order landing is safe either way: _process_report's
+        # admission-generation guard (_admit_seg[s] <= seg_idx) drops any
+        # report older than a slot's (re-)admission, and _stale_before
+        # compares seg indices directly.
+        self.harvest_threads = harvest_threads or 1
+        self._harvesters: List[threading.Thread] = []
         self._seg_counter = 0
         self._stale_before = 0  # reports from segments < this are dropped
         # (set by fail_reset: in-flight fetches from before a fault must
@@ -1077,6 +1101,7 @@ class ContinuousDecoder:
                                / (self.num_slots * total_steps)
                                if self.segments_run else 0.0),
             "pipeline_depth": self.pipeline_depth,
+            "harvest_threads": self.harvest_threads,
             "in_flight": self._inflight,
             "harvest_blocks": self.harvest_blocks,
             "rows_scheduled": self.rows_scheduled,
@@ -1245,33 +1270,54 @@ class ContinuousDecoder:
             self._admit_seg[slot] = self._seg_counter + 1
 
     def _ensure_harvester(self) -> None:
-        if self._harvester is None or not self._harvester.is_alive():
-            self._harvester = threading.Thread(
+        self._harvesters = [t for t in self._harvesters if t.is_alive()]
+        while len(self._harvesters) < self.harvest_threads:
+            t = threading.Thread(
                 target=self._harvest_loop, daemon=True,
-                name="continuous-harvester")
-            self._harvester.start()
+                name=f"continuous-harvester-{len(self._harvesters)}")
+            t.start()
+            self._harvesters.append(t)
 
     def _harvest_loop(self) -> None:
-        """Background fetcher: blocks on each segment report's device
-        completion and lands it as numpy, in dispatch order (the
-        admission-generation guard relies on ordered processing)."""
+        """Background fetcher: drains every queued report and lands them
+        with ONE batched device_get per wakeup (a fetch costs one fixed
+        RTT regardless of how many arrays ride it — see __init__), so a
+        fetch backlog amortizes instead of serializing."""
+        import os
+
+        no_batch = os.environ.get("MATHOCR_HARVEST_NO_BATCH") == "1"
         while True:
             item = self._fetch_q.get()
             if item is None:
                 return
+            items = [item]
+            while not no_batch:  # drain: batch everything already queued
+                try:
+                    nxt = self._fetch_q.get_nowait()
+                except queue.Empty:
+                    break
+                if nxt is None:  # close() sentinel: finish batch, exit
+                    self._fetch_q.put(None)
+                    break
+                items.append(nxt)
             try:
-                rep = unpack_report(np.asarray(item.report))
-                self._ready_q.put((item.seg_idx, rep, None))
+                reps = jax.device_get([it.report for it in items])
+                for it, rep in zip(items, reps):
+                    self._ready_q.put(
+                        (it.seg_idx, unpack_report(np.asarray(rep)), None))
             except Exception as e:  # pragma: no cover - device failure
-                self._ready_q.put((item.seg_idx, None, e))
+                for it in items:
+                    self._ready_q.put((it.seg_idx, None, e))
 
     def close(self) -> None:
-        """Stop the harvester thread (idempotent; engines are otherwise
-        shut down with the process — the thread is a daemon)."""
-        if self._harvester is not None and self._harvester.is_alive():
+        """Stop the harvester threads (idempotent; engines are otherwise
+        shut down with the process — the threads are daemons)."""
+        live = [t for t in self._harvesters if t.is_alive()]
+        for _ in live:
             self._fetch_q.put(None)
-            self._harvester.join(timeout=5)
-        self._harvester = None
+        for t in live:
+            t.join(timeout=5)
+        self._harvesters = []
 
     def _process_report(self, seg_idx: int, rep: Dict[str, np.ndarray]
                         ) -> Dict[int, Tuple[str, float]]:

@@ -173,7 +173,8 @@ class ServerState:
                 quantize=self.cfg.quantize_decode,
                 pallas_encoder_block=self.cfg.pallas_encoder_block,
                 segment_ring=self.cfg.segment_ring,
-                constrained=self.cfg.constrained_decode)
+                constrained=self.cfg.constrained_decode,
+                harvest_threads=self.cfg.harvest_threads)
             try:  # pre-compile insert buckets/segment so the first
                 decoder.warmup(image_dtype=(
                     np.uint8 if self.cfg.uint8_transfer else np.float32))

@@ -49,6 +49,7 @@ def _vocab(cfg):
     return vocab
 
 
+@pytest.mark.slow
 def test_fused_quantize_beam_is_int8():
     """ADVICE #1: with use_fused+quantize, beam decode must see int8
     decoder weights. Since round 3 beam rides the fused path itself

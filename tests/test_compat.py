@@ -194,6 +194,7 @@ def _fake_swin_sd(cfg: SwinConfig):
     return sd
 
 
+@pytest.mark.slow
 def test_swin_conversion_structure_and_forward():
     cfg = ModelConfig(dtype="float32")
     sd = _fake_swin_sd(cfg.swin)

@@ -296,6 +296,7 @@ def test_fused_bucketed_dispatch_matches(setup):
     assert cont.rows_scheduled == cont.steps_scheduled * 16
 
 
+@pytest.mark.slow
 def test_fused_continuous_quantized_matches_engine(setup):
     """quantize=True streams int8 weights into the ragged kernel with
     in-kernel dequant; results must equal the dynamic-path fused+int8
@@ -527,6 +528,7 @@ def test_fused_ring_segment_matches_plain_exact(setup):
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_fused_t_bucketed_segments_match(setup):
     """T-prefix bucketed segment dispatch (multiple compiled T buckets,
     host-tracked position upper bounds) must equal the XLA engine under
@@ -664,11 +666,8 @@ def test_segment_error_carries_partial_results(setup):
     cont = ContinuousDecoder(params, mstate, CFG, tok, num_slots=2,
                              segment_steps=CFG.max_seq_len,
                              encode_buckets=(1,), use_fused=True)
-    # gate the harvester so report landing order is fully deterministic
-    gate = threading.Event()
-    blocker = threading.Thread(target=gate.wait, daemon=True)
-    blocker.start()
-    cont._harvester = blocker  # _ensure_harvester sees it alive
+    # suppress real harvesters so report landing order is deterministic
+    cont.harvest_threads = 0
     rid = cont.submit(img)
     first = cont.step_once()  # admit + dispatch; nothing can land yet
     assert first == {}
@@ -679,10 +678,6 @@ def test_segment_error_carries_partial_results(setup):
                        unpack_report(np.asarray(item.report)), None))
     cont._ready_q.put((item.seg_idx + 97, None, RuntimeError("boom")))
     cont._inflight += 1
-    gate.set()  # real harvester may now take over for later segments
-    blocker.join()  # _ensure_harvester must see it DEAD, else the next
-    # step_once's forced harvest waits forever on a fetch queue no real
-    # harvester is servicing (is_alive() stays true briefly after set())
     with pytest.raises(ContinuousSegmentError) as ei:
         cont.step_once()
     assert rid in ei.value.partial_results  # the finished decode survives
@@ -804,6 +799,7 @@ def test_fused_ragged_step_block_b_equivalence(setup):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_constrained_continuous_valid_and_matches_greedy():
     """constrained=True threads the pushdown mask through the continuous
     slot decode (ADVICE r3: it used to be a silent no-op there): with

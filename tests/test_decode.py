@@ -48,6 +48,7 @@ def naive_greedy(params, cfg, memory, max_len):
     return ys[:, 1:]  # drop sos
 
 
+@pytest.mark.slow
 def test_greedy_matches_naive_prefix_decode(setup):
     params, memory = setup
     res = greedy_decode(params, CFG, memory, CFG.max_seq_len)
@@ -89,6 +90,7 @@ def test_beam1_equals_greedy(setup):
     np.testing.assert_array_equal(np.asarray(g.tokens), np.asarray(b.tokens))
 
 
+@pytest.mark.slow
 def test_beam_score_dominates_greedy(setup):
     params, memory = setup
     g = greedy_decode(params, CFG, memory, CFG.max_seq_len)
@@ -168,6 +170,7 @@ def test_confidence_matches_reference_formula(setup):
     assert int(res.token_count[b]) == n_non_eos
 
 
+@pytest.mark.slow
 def test_beam_indirect_equals_reorder(setup):
     """Ancestry-indirection beam (no per-step cache reorder) must produce
     identical tokens/scores/lengths to the reorder implementation."""
@@ -256,6 +259,7 @@ def test_sampling_seeds_vary_output(setup):
         "high-temperature sampling produced identical outputs for all seeds"
 
 
+@pytest.mark.slow
 def test_engine_sampling_surfaces():
     from handwritten_math_ocr_api_tpu.core.config import SwinConfig
     from handwritten_math_ocr_api_tpu.models.model import init_model
@@ -288,6 +292,7 @@ def test_engine_sampling_surfaces():
 
 # ---- streaming (decode/streaming.py) ---------------------------------------
 
+@pytest.mark.slow
 def test_stream_segments_match_greedy(setup):
     """Concatenated segment tokens + accounting must equal the one-shot
     greedy while-loop decode, for segment lengths that do and don't divide
@@ -317,6 +322,7 @@ def test_stream_segments_match_greedy(setup):
                                       np.asarray(g.token_count))
 
 
+@pytest.mark.slow
 def test_engine_predict_stream_matches_predict_single():
     from handwritten_math_ocr_api_tpu.core.config import SwinConfig
     from handwritten_math_ocr_api_tpu.models.model import init_model

@@ -93,6 +93,7 @@ def test_decoder_matches_torch():
     np.testing.assert_allclose(np.asarray(ours), theirs, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_kv_cache_step_equals_full_forward():
     key = jax.random.PRNGKey(0)
     params = dec.init_decoder_params(key, CFG)

@@ -18,6 +18,9 @@ TINY_OVERRIDES = json.dumps({
 })
 
 
+pytestmark = pytest.mark.slow  # compile-heavy
+
+
 @pytest.fixture(scope="module")
 def workdir(tmp_path_factory):
     return str(tmp_path_factory.mktemp("e2e"))

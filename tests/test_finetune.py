@@ -31,6 +31,9 @@ TINY = ModelConfig(
 )
 
 
+pytestmark = pytest.mark.slow  # compile-heavy
+
+
 def _fake_torchvision_sd(cfg: SwinConfig, in_channels: int = 3):
     """Raw torchvision swin_t naming (no 'encoder.swin.' prefix), RGB
     patch embed — what an ImageNet .pth actually contains."""

@@ -150,6 +150,7 @@ def test_build_stacked_full_padding():
     assert st["pos_emb"].shape[0] % 8 == 0
 
 
+@pytest.mark.slow
 def test_engine_use_fused_matches_default(setup):
     from handwritten_math_ocr_api_tpu.core.config import (
         DecodeConfig, SwinConfig,
@@ -312,6 +313,7 @@ def test_fused_beam_mqa_matches_jnp_beam():
                                   np.asarray(want.tokens))
 
 
+@pytest.mark.slow
 def test_fused_beam_padded_rows(setup):
     """B*K=35 rows pad to 40 (block 8): dead rows must never leak into
     the beam state (tokens identical to the XLA path)."""
@@ -349,6 +351,7 @@ def test_fused_beam_quantized_runs(setup):
     assert np.isfinite(np.asarray(got.scores)).all()
 
 
+@pytest.mark.slow
 def test_engine_fused_beam_matches_default_beam(setup):
     """DecodeEngine(use_fused=True).decode_tokens(beam_size=k) ≡ the
     default engine's beam tokens (full engine path incl. encoder)."""

@@ -72,6 +72,7 @@ class _FakeMlflow(types.ModuleType):
         self.calls.append("end_run")
 
 
+@pytest.mark.slow
 def test_mlflow_hooks_fire_with_fake_module(tmp_path, monkeypatch):
     fake = _FakeMlflow()
     monkeypatch.setitem(sys.modules, "mlflow", fake)

@@ -27,6 +27,9 @@ from handwritten_math_ocr_api_tpu.train.step import (
 )
 
 
+pytestmark = pytest.mark.slow  # compile-heavy
+
+
 @pytest.mark.slow
 def test_pipeline_learns_to_read(tmp_path):
     root = str(tmp_path)

@@ -84,6 +84,7 @@ def test_greedy_decode_runs_mqa():
     assert np.isfinite(np.asarray(res.logprob_sum)).all()
 
 
+@pytest.mark.slow
 def test_train_step_learns_mqa():
     """A few optimization steps reduce loss on a fixed tiny batch."""
     from handwritten_math_ocr_api_tpu.core.config import TrainConfig

@@ -1,6 +1,8 @@
 """Pallas kernel equivalence tests (interpret mode on CPU): each kernel
 must match its jnp reference implementation bit-for-bit-ish."""
 
+import pytest
+
 import numpy as np
 
 import jax
@@ -94,6 +96,7 @@ def test_window_attention_core_matches_jnp():
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_window_attention_in_swin_block():
     """Full swin encoder with use_pallas must match the jnp path."""
     cfg = SwinConfig(embed_dim=8, depths=(1, 1), num_heads=(2, 2),

@@ -23,6 +23,9 @@ CFG = ModelConfig(
 )
 
 
+pytestmark = pytest.mark.slow  # compile-heavy
+
+
 def _tok():
     vocab = {"<pad>": 0, "<sos>": 1, "<eos>": 2, "<unk>": 3}
     for i in range(4, CFG.vocab_size):

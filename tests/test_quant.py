@@ -1,6 +1,8 @@
 """int8 weight-only quantization tests: exactness of the dequant identity,
 closeness of quantized decode, and engine integration."""
 
+import pytest
+
 import numpy as np
 
 import jax
@@ -50,6 +52,7 @@ def test_dequant_commutes_with_matmul():
                                rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_quantized_decoder_logits_close():
     params = dec.init_decoder_params(jax.random.PRNGKey(0), CFG)
     qparams = quantize_decoder_params(params)
@@ -80,6 +83,7 @@ def test_quantized_greedy_decode_runs():
     assert agree > 0.8
 
 
+@pytest.mark.slow
 def test_engine_quantize_flag():
     params, state = init_model(jax.random.PRNGKey(0), CFG)
     vocab = {"<pad>": 0, "<sos>": 1, "<eos>": 2, "<unk>": 3}

@@ -228,6 +228,7 @@ def test_predict_invalid_inputs(model_dir):
     _with_client(_serve_cfg(model_dir), fn)
 
 
+@pytest.mark.slow
 def test_predict_batch_mixed(model_dir):
     async def fn(client):
         good = base64.b64encode(_png_bytes()).decode()
@@ -311,6 +312,7 @@ def test_model_info_metrics_and_rl_status(model_dir):
     _with_client(_serve_cfg(model_dir), fn)
 
 
+@pytest.mark.slow
 def test_batcher_coalesces_concurrent_requests(model_dir):
     async def fn(client):
         b64 = base64.b64encode(_png_bytes()).decode()
@@ -333,6 +335,7 @@ def test_batcher_coalesces_concurrent_requests(model_dir):
     _with_client(_serve_cfg(model_dir), fn)
 
 
+@pytest.mark.slow
 def test_predict_with_beam(model_dir):
     async def fn(client):
         b64 = base64.b64encode(_png_bytes()).decode()
@@ -349,6 +352,7 @@ def test_predict_with_beam(model_dir):
     _with_client(_serve_cfg(model_dir), fn)
 
 
+@pytest.mark.slow
 def test_continuous_mode_serving(model_dir):
     """Full HTTP path with the continuous batching engine."""
     async def fn(client):
@@ -375,6 +379,7 @@ def test_continuous_mode_serving(model_dir):
                             num_slots=4, segment_steps=4), fn)
 
 
+@pytest.mark.slow
 def test_continuous_mode_serving_meshed_64slots(model_dir):
     """BASELINE config 5 end-to-end: continuous engine with a 64-row slot
     pool sharded over an 8-device ('data',) mesh (virtual CPU devices via
@@ -573,6 +578,7 @@ def test_batcher_timeout_linger_coalesces():
     asyncio.run(run())
 
 
+@pytest.mark.slow
 def test_predict_sampling_params(model_dir):
     """Beyond-reference sampled decode on /predict: temperature/top_k/top_p/
     seed query params (decode/sampling.py). top_k=1 must equal greedy."""
@@ -609,6 +615,7 @@ def test_predict_sampling_params(model_dir):
     _with_client(_serve_cfg(model_dir), fn)
 
 
+@pytest.mark.slow
 def test_predict_stream_sse(model_dir):
     """SSE streaming endpoint: token events then a final done event whose
     formula/confidence match the plain /predict path."""

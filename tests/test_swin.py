@@ -1,6 +1,8 @@
 """Swin encoder component tests: static index/mask construction vs brute
 force, shape pipeline for the 96x320 input, and invariance properties."""
 
+import pytest
+
 import numpy as np
 
 import jax
@@ -60,6 +62,7 @@ def test_swin_output_shape_96x320():
     assert out.shape == (1, 30, 768)
 
 
+@pytest.mark.slow
 def test_full_model_forward_shapes_all_encoders():
     for enc in ["swin_t", "resnet18", "res18trans"]:
         cfg = ModelConfig(
@@ -93,6 +96,7 @@ def test_shifted_window_attention_differs_from_unshifted():
     assert not np.allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_flagship_param_count():
     """~34.4M params at vocab 544: torchvision swin_t trunk (27.5M; the
     reference's published 37.45M additionally counts the *unused* ImageNet
@@ -110,6 +114,7 @@ def test_flagship_param_count():
     assert 6e6 < count_params(params["decoder"]) < 7e6
 
 
+@pytest.mark.slow
 def test_patch_merging_gather_order():
     """2x2 gather must be [ee, oe, eo, oo] over (H, W) — torchvision order."""
     C = 4

@@ -15,6 +15,9 @@ from handwritten_math_ocr_api_tpu.ops.swin_block import (
 )
 
 
+pytestmark = pytest.mark.slow  # compile-heavy
+
+
 def _mk(dim, heads, ws, key=0):
     return _block_init(jax.random.PRNGKey(key), dim, heads, ws, 4.0)
 

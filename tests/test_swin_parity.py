@@ -44,6 +44,7 @@ def _assert_close(got, want, label, rel_tol=2e-4):
         f"{label}: max abs err {max_err:.3e} vs scale {scale:.3e}")
 
 
+@pytest.mark.slow
 def test_swin_conversion_matches_committed_golden():
     data = np.load(FIXTURE)
     sd = {k: data[k] for k in data.files if not k.startswith("__")}
@@ -55,6 +56,7 @@ def test_swin_conversion_matches_committed_golden():
     _assert_close(out, data["__output__"], "golden")
 
 
+@pytest.mark.slow
 def test_swin_conversion_matches_torch_oracle_full_size():
     torch = pytest.importorskip("torch")
     from torch_swin_oracle import make_random_swin_state_dict, swin_features
@@ -72,6 +74,7 @@ def test_swin_conversion_matches_torch_oracle_full_size():
     _assert_close(out, want, "full-size oracle", rel_tol=1e-3)
 
 
+@pytest.mark.slow
 def test_swin_per_stage_activations_match_committed_full_golden():
     """FULL-production-config per-stage goldens (VERDICT r3 item 5): the
     converter + JAX trunk must reproduce the committed torch-oracle

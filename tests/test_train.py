@@ -54,6 +54,7 @@ def _batch(rng, B=4, cfg=TINY):
     return jnp.asarray(images), jnp.asarray(captions)
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss():
     tc = TrainConfig(learning_rate=1e-3)
     state, opt = create_train_state(jax.random.PRNGKey(0), TINY, tc)
@@ -69,6 +70,7 @@ def test_train_step_reduces_loss():
     assert int(state.step) == 8
 
 
+@pytest.mark.slow
 def test_remat_gradients_match():
     """jax.checkpoint'd encoder must yield identical loss and gradients."""
     import jax.numpy as jnp
@@ -90,6 +92,7 @@ def test_remat_gradients_match():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_uint8_inputs_normalized_on_device():
     """Loader-style uint8 batches must be normalized (and augmented) on
     device; eval on uint8 must equal eval on the pre-normalized floats."""
@@ -195,6 +198,7 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow
 def test_sharded_step_matches_single_device():
     """dp=4 x tp=2 mesh step must produce the same loss/params as 1 device."""
     assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
@@ -278,6 +282,7 @@ def test_checkpoint_params_only_across_optimizer_chains(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_ema_shadow_tracks_update_rule():
     """EMA shadow must follow e <- d*e + (1-d)*p with the bias-corrected
     ramp d = min(decay, (1+t)/(10+t)) applied after each optimizer step."""
@@ -313,6 +318,7 @@ def test_ema_shadow_tracks_update_rule():
         np.testing.assert_array_equal(np.asarray(e), np.asarray(p))
 
 
+@pytest.mark.slow
 def test_ema_checkpoint_roundtrip_and_fallbacks(tmp_path):
     from handwritten_math_ocr_api_tpu.train import checkpoint as ck
 
@@ -349,6 +355,7 @@ def test_ema_checkpoint_roundtrip_and_fallbacks(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_ema_on_mesh_sharded_step():
     """EMA shadow must shard like params and update under a dp x tp mesh."""
     assert len(jax.devices()) == 8, "conftest must force 8 CPU devices"
