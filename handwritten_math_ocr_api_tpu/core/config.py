@@ -244,11 +244,11 @@ class ServeConfig:
     # blocks on the oldest report — hides dispatch/tunnel latency
     # (decode/continuous.py pipelined scheduler).
     pipeline_depth: int = 4
-    # Continuous mode: report-fetch threads (0 = 1). The fetcher batches
-    # every queued report into ONE device_get (one fixed RTT per batch);
-    # >1 threads were measured counterproductive on the tunnel transport
-    # (parallel transfer RPCs contend) — the knob exists for transports
-    # that overlap transfers well.
+    # Continuous mode: report-fetch threads (0 = 1, the measured-best
+    # arm). >1 threads and drain-and-batch fetching were both A/B-refuted
+    # on the tunnel transport (decode/continuous.py __init__); the knob
+    # (and MATHOCR_HARVEST_BATCH=1) exist for transports whose transfers
+    # overlap execution.
     harvest_threads: int = 0
     # Continuous+fused mode: segment ring buffer — fresh K/V rows ride a
     # small in-loop carry and the big cache takes one write-back per

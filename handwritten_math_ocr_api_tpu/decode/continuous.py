@@ -729,22 +729,22 @@ class ContinuousDecoder:
         self._fetch_q: "queue.Queue" = queue.Queue()
         self._ready_q: "queue.Queue" = queue.Queue()
         # Harvest: each report fetch pays a fixed device->host RTT
-        # (~25 ms through the tunnel) REGARDLESS of payload size, and that
-        # serialization was the dominant idle source at the HTTP surface
-        # (t_harvest_wait ~70% of wall, loadtest_continuous_fused_http_
-        # r3c.json) — the segment rate caps at 1/RTT. Fix (round 4): the
-        # harvester drains its queue and fetches ALL pending reports in
-        # ONE jax.device_get (measured 8 reports in 28 ms vs 200 ms
-        # fetched one-by-one), so the drain rate self-balances: a backlog
-        # makes batches bigger, not slower. Concurrent fetch THREADS were
-        # measured counterproductive on this tunnel (engine 150 -> 56-120
-        # img/s at 4 threads: parallel transfer RPCs contend and stall
-        # dispatch), so the default stays one thread; the pool knob
-        # remains for transports that overlap transfers well.
-        # Out-of-order landing is safe either way: _process_report's
-        # admission-generation guard (_admit_seg[s] <= seg_idx) drops any
-        # report older than a slot's (re-)admission, and _stale_before
-        # compares seg indices directly.
+        # (~25 ms through the tunnel) regardless of payload size. Round 4
+        # A/B/A'd two RTT-hiding schemes and REFUTED both on this
+        # transport (BENCHMARKS.md "Harvest-path close-out"):
+        #   - N fetch threads: parallel transfer RPCs contend and stall
+        #     dispatch (engine 150 -> 56-120 img/s at 4 threads);
+        #   - batched jax.device_get of all queued reports (one RTT per
+        #     batch when arrays are READY — 8 in 28 ms vs 200 ms serial)
+        #     couples the oldest report's landing to the NEWEST in-flight
+        #     segment's completion and stalls the loop (HTTP 194 -> 74
+        #     rps). Opt back in via MATHOCR_HARVEST_BATCH=1 for
+        #     transports whose transfers overlap execution.
+        # Default: ONE thread, one report per fetch (the measured-best
+        # arm). Out-of-order landing is safe regardless:
+        # _process_report's admission-generation guard
+        # (_admit_seg[s] <= seg_idx) drops any report older than a slot's
+        # (re-)admission, and _stale_before compares seg indices.
         self.harvest_threads = harvest_threads or 1
         self._harvesters: List[threading.Thread] = []
         self._seg_counter = 0
@@ -1279,19 +1279,19 @@ class ContinuousDecoder:
             self._harvesters.append(t)
 
     def _harvest_loop(self) -> None:
-        """Background fetcher: drains every queued report and lands them
-        with ONE batched device_get per wakeup (a fetch costs one fixed
-        RTT regardless of how many arrays ride it — see __init__), so a
-        fetch backlog amortizes instead of serializing."""
+        """Background fetcher: lands one report per device fetch (the
+        measured-best arm on the tunnel transport — see __init__ for the
+        refuted batching/threading A/Bs; MATHOCR_HARVEST_BATCH=1 re-enables
+        drain-and-batch for transports that overlap transfers)."""
         import os
 
-        no_batch = os.environ.get("MATHOCR_HARVEST_NO_BATCH") == "1"
+        batch = os.environ.get("MATHOCR_HARVEST_BATCH") == "1"
         while True:
             item = self._fetch_q.get()
             if item is None:
                 return
             items = [item]
-            while not no_batch:  # drain: batch everything already queued
+            while batch:  # drain: batch everything already queued
                 try:
                     nxt = self._fetch_q.get_nowait()
                 except queue.Empty:
