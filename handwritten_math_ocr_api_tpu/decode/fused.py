@@ -363,7 +363,12 @@ def beam_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
 
     def reorder(x, beam_idx):
         """x: (L, R, ...) — gather the first B*K rows by beam_idx (B, K);
-        padded dead rows stay in place."""
+        padded dead rows stay in place. XLA-gather formulation, kept as
+        the A/B arm and the tokens-array path (tiny) — the K/V caches go
+        through the Pallas block-DMA gather below (ops/beam_reorder.py):
+        this take_along_axis lowering measured ~11% of HBM peak and was
+        ~78% of the whole beam step at the full T extent
+        (benchmarks/probe_beam_split_results.json)."""
         trail = x.shape[2:]
         real = x[:, :BK].reshape(L, B, K, *trail)
         idx = beam_idx.reshape(1, B, K, *([1] * len(trail)))
@@ -372,6 +377,19 @@ def beam_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
         if R > BK:
             real = jnp.concatenate([real, x[:, BK:]], axis=1)
         return real
+
+    dead_src = jnp.arange(BK, R, dtype=jnp.int32)
+
+    def reorder_caches(sk, sv, beam_idx, t_ext):
+        """Parent-gather both caches over [0, t_ext) via the Pallas
+        block-DMA kernel; rows >= BK (tile padding) map to themselves."""
+        from ..ops.beam_reorder import beam_cache_gather
+
+        src = (jnp.arange(B, dtype=jnp.int32)[:, None] * K
+               + beam_idx).reshape(BK)
+        if R > BK:
+            src = jnp.concatenate([src, dead_src])
+        return beam_cache_gather(sk, sv, src, t_ext, interpret=interpret)
 
     def cond(state):
         step, _, _, finished, *_ = state
@@ -415,13 +433,13 @@ def beam_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
             # reorder only the live [0, t_active) prefix: rows beyond
             # the current position are still all-zero (never written),
             # so the parent gather is the identity there
-            sk = jax.lax.dynamic_update_slice(
-                sk, reorder(sk[:, :, :t_active], beam_idx), (0, 0, 0, 0))
-            sv = jax.lax.dynamic_update_slice(
-                sv, reorder(sv[:, :, :t_active], beam_idx), (0, 0, 0, 0))
+            gk, gv = reorder_caches(sk, sv, beam_idx, t_active)
+            sk = jax.lax.dynamic_update_slice(sk, gk, (0, 0, 0, 0))
+            sv = jax.lax.dynamic_update_slice(sv, gv, (0, 0, 0, 0))
         else:
-            sk = reorder(sk, beam_idx)
-            sv = reorder(sv, beam_idx)
+            # full extent: gather the whole (tile-padded) T dim so the
+            # carry shape is preserved
+            sk, sv = reorder_caches(sk, sv, beam_idx, sk.shape[2])
 
         prev_real = jnp.where(
             finished, eos_id,

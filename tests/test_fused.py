@@ -459,3 +459,25 @@ def test_fused_sampled_seeds_vary_and_v4_rejects(setup):
         greedy_decode_fused(params, stacked, CFG, memory, CFG.max_seq_len,
                             interpret=True, rng=jax.random.PRNGKey(0),
                             variant="v4")
+
+
+def test_beam_cache_gather_kernel_matches_numpy():
+    """ops/beam_reorder.py: the Pallas block-DMA parent gather must equal
+    the take_along_axis formulation for arbitrary source maps, prefix
+    extents, and dead-row identity mappings."""
+    from handwritten_math_ocr_api_tpu.ops.beam_reorder import (
+        beam_cache_gather,
+    )
+
+    rng = np.random.default_rng(9)
+    L, R, T, kvd = 3, 24, 32, 64
+    sk = jnp.asarray(rng.standard_normal((L, R, T, kvd)), jnp.float32)
+    sv = jnp.asarray(rng.standard_normal((L, R, T, kvd)), jnp.float32)
+    src = np.concatenate([rng.integers(0, 20, (20,)),
+                          np.arange(20, 24)]).astype(np.int32)
+    for t_ext in (16, 32):
+        gk, gv = beam_cache_gather(sk, sv, jnp.asarray(src), t_ext)
+        np.testing.assert_array_equal(
+            np.asarray(gk), np.asarray(sk)[:, src, :t_ext])
+        np.testing.assert_array_equal(
+            np.asarray(gv), np.asarray(sv)[:, src, :t_ext])
