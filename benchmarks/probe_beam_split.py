@@ -188,6 +188,35 @@ def main() -> None:
 
     dt_reorder_mm = timed(reorder_mm_chain, sk, sv, beam_idx)
 
+    # b3) Pallas block-DMA gather (ops/beam_reorder.py) — the adopted arm
+    from handwritten_math_ocr_api_tpu.ops.beam_reorder import (
+        beam_cache_gather,
+    )
+
+    src0 = (jnp.arange(B, dtype=jnp.int32)[:, None] * K
+            + beam_idx).reshape(BK)
+    if R > BK:
+        src0 = jnp.concatenate([src0,
+                                jnp.arange(BK, R, dtype=jnp.int32)])
+
+    @jax.jit
+    def reorder_pl_chain(sk, sv, src):
+        def body(i, c):
+            sk, sv, src = c
+            if t_active is not None and t_active < T:
+                gk, gv = beam_cache_gather(sk, sv, src, t_active)
+                sk = jax.lax.dynamic_update_slice(sk, gk, (0, 0, 0, 0))
+                sv = jax.lax.dynamic_update_slice(sv, gv, (0, 0, 0, 0))
+            else:
+                sk, sv = beam_cache_gather(sk, sv, src, T)
+            src = (src + 1) % R
+            return (sk, sv, src)
+        sk, sv, _ = jax.lax.fori_loop(0, S, body, (sk, sv, src0))
+        return sk[0, 0, 0, 0].astype(jnp.float32) + sv[0, 0, 0, 0].astype(
+            jnp.float32)
+
+    dt_reorder_pl = timed(reorder_pl_chain, sk, sv, src0)
+
     # c) ranking/bookkeeping alone, chained
     logits0 = jax.random.normal(ks[7], (R, V)).astype(jnp.float32)
     tokens0 = jnp.zeros((B, K, T), jnp.int32)
@@ -219,6 +248,7 @@ def main() -> None:
         "ms_kernel": round(dt_kernel * 1e3, 3),
         "ms_reorder": round(dt_reorder * 1e3, 3),
         "ms_reorder_mm": round(dt_reorder_mm * 1e3, 3),
+        "ms_reorder_pallas": round(dt_reorder_pl * 1e3, 3),
         "ms_rank": round(dt_rank * 1e3, 3),
         "ms_sum_abc": round((dt_kernel + dt_reorder + dt_rank) * 1e3, 3),
         "reorder_bytes_mb": round(

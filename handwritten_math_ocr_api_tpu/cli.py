@@ -234,13 +234,22 @@ def cmd_make_synthetic(args) -> int:
 
 
 def cmd_make_corpus(args) -> int:
+    kw = {}
     if getattr(args, "renderer", "typeset") == "stroke":
         from .data.strokes import make_stroke_corpus as mk
+
+        if getattr(args, "hard", False):
+            # MathWriting-difficulty regime (matches train --stream-hard)
+            kw = dict(rich=True, max_tokens=args.max_tokens, max_terms=8,
+                      depth=3, degrade=args.degrade)
     else:
         from .data.synthetic import make_corpus as mk
 
+        if getattr(args, "hard", False):
+            raise SystemExit("--hard requires --renderer stroke")
+
     mk(args.data_root, n_train=args.train, n_val=args.val,
-       n_test=args.test, seed=args.seed)
+       n_test=args.test, seed=args.seed, **kw)
     print(f"learnable corpus ({args.train}/{args.val}/{args.test}, "
           f"{getattr(args, 'renderer', 'typeset')}) -> {args.data_root}")
     return 0
@@ -483,6 +492,15 @@ def build_parser() -> argparse.ArgumentParser:
                     choices=["typeset", "stroke"],
                     help="'stroke' = handwriting-style structural renders "
                          "(data/strokes.py)")
+    mc.add_argument("--hard", action="store_true",
+                    help="stroke renderer: MathWriting-difficulty regime "
+                         "(extended inventory, longer formulas, denser "
+                         "layouts, ink degradation; matches train "
+                         "--stream-hard)")
+    mc.add_argument("--max-tokens", type=int, default=60,
+                    help="--hard: formula length cap")
+    mc.add_argument("--degrade", type=float, default=0.6,
+                    help="--hard: ink degradation strength in [0,1]")
     mc.set_defaults(fn=cmd_make_corpus)
 
     cv = sub.add_parser("convert-checkpoint",
