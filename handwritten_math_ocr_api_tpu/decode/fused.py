@@ -382,7 +382,14 @@ def beam_decode_fused(decoder_params, stacked, cfg: ModelConfig, memory,
 
     def reorder_caches(sk, sv, beam_idx, t_ext):
         """Parent-gather both caches over [0, t_ext) via the Pallas
-        block-DMA kernel; rows >= BK (tile padding) map to themselves."""
+        block-DMA kernel; rows >= BK (tile padding) map to themselves.
+        MATHOCR_BEAM_REORDER=gather selects the XLA take_along_axis arm
+        (A/B escape; 3.0x slower at the full T extent)."""
+        import os
+
+        if os.environ.get("MATHOCR_BEAM_REORDER") == "gather":
+            return (reorder(sk[:, :, :t_ext], beam_idx),
+                    reorder(sv[:, :, :t_ext], beam_idx))
         from ..ops.beam_reorder import beam_cache_gather
 
         src = (jnp.arange(B, dtype=jnp.int32)[:, None] * K
