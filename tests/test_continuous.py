@@ -678,6 +678,9 @@ def test_segment_error_carries_partial_results(setup):
                        unpack_report(np.asarray(item.report)), None))
     cont._ready_q.put((item.seg_idx + 97, None, RuntimeError("boom")))
     cont._inflight += 1
+    # the next tick dispatches another segment: let a REAL harvester
+    # spawn for it, or the forced-harvest wait would block forever
+    cont.harvest_threads = 1
     with pytest.raises(ContinuousSegmentError) as ei:
         cont.step_once()
     assert rid in ei.value.partial_results  # the finished decode survives
