@@ -13,6 +13,8 @@ import json
 import os
 from typing import Dict, Optional, Tuple
 
+import jax
+import jax.numpy as jnp
 import orbax.checkpoint as ocp
 
 from .step import TrainState
@@ -93,7 +95,17 @@ def load_checkpoint(directory: str, name: str, template: TrainState,
         restored = ckptr.restore(path, item=target, restore_args=rargs)
     ema = template.ema_params
     if want_ema:
-        ema = restored["ema_params"] if has_ema else restored["params"]
+        if has_ema:
+            ema = restored["ema_params"]
+        else:
+            # pre-EMA checkpoint: seed the shadow from the restored params
+            # — as a COPY, never an alias. Aliased leaves share device
+            # buffers with params, and the donating jitted train step then
+            # frees the same buffer through both names (TPU runtime
+            # INVALID_ARGUMENT on next use; found resuming a non-EMA
+            # checkpoint with --ema-decay in round 4).
+            ema = jax.tree_util.tree_map(
+                lambda x: jnp.array(x, copy=True), restored["params"])
     state = template.replace(
         params=restored["params"],
         opt_state=(template.opt_state if params_only

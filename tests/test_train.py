@@ -379,3 +379,45 @@ def test_ema_on_mesh_sharded_step():
              for e, p in zip(jax.tree_util.tree_leaves(state.ema_params),
                              jax.tree_util.tree_leaves(state.params))]
     assert max(diffs) > 0  # shadow moved away from the raw iterate
+
+
+def test_pre_ema_resume_does_not_alias_params_and_shadow():
+    """Resuming a NON-EMA checkpoint with EMA enabled seeds the shadow
+    from the restored params — as a COPY. An aliased tree shares device
+    buffers, and the donating train step then frees the same buffer via
+    both names (TPU INVALID_ARGUMENT; found in round 4). The resumed
+    state must also survive a real train step."""
+    import dataclasses
+    import tempfile
+
+    from handwritten_math_ocr_api_tpu.train import checkpoint as ckpt_lib
+    from handwritten_math_ocr_api_tpu.train.step import (
+        create_train_state, make_train_step,
+    )
+
+    cfg = TINY
+    tc_plain = TrainConfig(ema_decay=0.0, warmup_steps=10)
+    tc_ema = dataclasses.replace(tc_plain, ema_decay=0.999)
+    state, _ = create_train_state(jax.random.PRNGKey(0), cfg, tc_plain)
+    with tempfile.TemporaryDirectory() as d:
+        ckpt_lib.save_checkpoint(d, "ck", state, 1, 1.0)
+        template, optimizer = create_train_state(
+            jax.random.PRNGKey(1), cfg, tc_ema)
+        assert template.ema_params is not None
+        restored, _ = ckpt_lib.load_checkpoint(d, "ck", template)
+    p_leaves = jax.tree_util.tree_leaves(restored.params)
+    e_leaves = jax.tree_util.tree_leaves(restored.ema_params)
+    for p, e in zip(p_leaves, e_leaves):
+        assert p is not e, "EMA shadow aliases params after resume"
+        np.testing.assert_array_equal(np.asarray(p), np.asarray(e))
+    # a real (donating) step runs from the resumed state
+    step = make_train_step(cfg, tc_ema, optimizer)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.standard_normal((2, 96, 320, 1)).astype(np.float32))
+    caps = jnp.asarray(
+        rng.integers(4, cfg.vocab_size, (2, cfg.max_seq_len)),
+        jnp.int32)
+    new_state, metrics = step(restored, images, caps,
+                              jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
