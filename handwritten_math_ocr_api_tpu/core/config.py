@@ -262,6 +262,11 @@ class ServeConfig:
     # request 504s and its device work is cancelled like a client
     # disconnect (continuous KV slot reclaimed / batch row dropped).
     request_timeout_s: float = 0.0
+    # Recycle drain grace (seconds): how long _drain_and_exit waits for
+    # in-flight predictions before exiting anyway. Defaults to the larger
+    # of 120 s and 2x the request deadline so slow predictions are not
+    # killed mid-response by the 30 s floor the deadline default implied.
+    drain_timeout_s: float = 120.0
     # Worker self-recycling (SERVING_MAX_REQUESTS; 0 = off): after this
     # many prediction requests the worker drains — new predictions get
     # 503 + Retry-After, in-flight decodes complete (the continuous
@@ -378,6 +383,9 @@ class ServeConfig:
             request_timeout_s=float(
                 env.get("SERVING_REQUEST_TIMEOUT",
                         defaults.request_timeout_s)),
+            drain_timeout_s=float(
+                env.get("SERVING_DRAIN_TIMEOUT",
+                        defaults.drain_timeout_s)),
             max_requests=int(
                 env.get("SERVING_MAX_REQUESTS", defaults.max_requests)),
             use_fused_decode=env.get(

@@ -244,7 +244,10 @@ def decode_segment(params, cfg: ModelConfig, small: SmallState,
                 needs_tok=c["con_needs"], prev_supsub=c["con_sup"])
             mask = constrain_mod.step_mask(tables, cst, s.pos[:, None],
                                            max_len)
-            nxt = jnp.argmax(logits + mask, axis=-1).astype(jnp.int32)
+            # slice to the table vocab first (mirrors constrained_pick):
+            # the head vocab may exceed the tokenizer-derived table size
+            nxt = jnp.argmax(logits[:, :tables.vocab_size] + mask,
+                             axis=-1).astype(jnp.int32)
             # frozen/inactive rows feed <eos> (a no-op) so their state
             # never drifts; admission resets the rows anyway
             new_cst = constrain_mod.advance(
@@ -619,10 +622,10 @@ class ContinuousDecoder:
         segment instead of once per step (the per-step scatter was ~45%
         of segment time; see decode_segment_fused).
 
-        ``harvest_threads``: concurrent report fetchers (0 = one per
-        pipeline slot). Each report fetch pays a fixed device->host RTT;
-        overlapping fetches was the round-4 fix for the
-        harvest-serialization idle time at the HTTP surface."""
+        ``harvest_threads``: concurrent report fetchers (0 = 1, the
+        measured-best arm on the tunnel transport; values <1 clamp to
+        1). Each report fetch pays a fixed device->host RTT; more
+        threads only help transports whose transfers overlap execution."""
         self.params = params
         self.model_state = model_state
         self.cfg = cfg
@@ -745,7 +748,7 @@ class ContinuousDecoder:
         # _process_report's admission-generation guard
         # (_admit_seg[s] <= seg_idx) drops any report older than a slot's
         # (re-)admission, and _stale_before compares seg indices.
-        self.harvest_threads = harvest_threads or 1
+        self.harvest_threads = max(1, harvest_threads)
         self._harvesters: List[threading.Thread] = []
         self._seg_counter = 0
         self._stale_before = 0  # reports from segments < this are dropped

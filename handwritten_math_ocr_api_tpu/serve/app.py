@@ -727,7 +727,7 @@ async def _drain_and_exit(app) -> None:
     trigger the graceful exit."""
     st: ServerState = app["state"]
     t0 = time.time()
-    grace = max(st.cfg.request_timeout_s, 30.0)
+    grace = max(st.cfg.drain_timeout_s, 2.0 * st.cfg.request_timeout_s)
     while st.inflight_predictions > 0 and time.time() - t0 < grace:
         await asyncio.sleep(0.05)
     logger.info(
@@ -736,7 +736,9 @@ async def _drain_and_exit(app) -> None:
         st.recycle_requests, st.cfg.max_requests, st.prediction_count,
         time.time() - st.start_time, st.inflight_predictions)
     cb = st.exit_callback or _default_exit
-    asyncio.get_running_loop().call_soon(cb)
+    # small delay (not call_soon) so the last in-flight response's write
+    # is flushed before GracefulExit tears the loop down
+    asyncio.get_running_loop().call_later(0.5, cb)
 
 
 @web.middleware
