@@ -69,9 +69,23 @@ def cmd_train(args) -> int:
         # infinite-variety streaming corpus: fix the vocab from the grammar
         from .data.synthetic import SyntheticStreamDataset, grammar_vocab
 
-        vocab = grammar_vocab(rich=getattr(args, "stream_hard", False))
-        save_vocab(vocab, os.path.join(args.checkpoint_dir, "vocab.json"))
-        idx2char = {i: t for t, i in vocab.items()}
+        vpath = os.path.join(args.checkpoint_dir, "vocab.json")
+        gvocab = grammar_vocab(rich=getattr(args, "stream_hard", False),
+                               envs=getattr(args, "stream_envs", False))
+        if args.resume_from and os.path.exists(vpath):
+            # fine-tune: keep the checkpoint's token ids stable (an
+            # extend-vocab artifact appends new tokens after the old
+            # ids, which a fresh grammar_vocab would re-sort)
+            vocab, idx2char = load_vocab(vpath)
+            missing = sorted(set(gvocab) - set(vocab))
+            if missing:
+                print(f"warning: stream grammar emits tokens absent from "
+                      f"the checkpoint vocab (will encode as <unk>): "
+                      f"{missing}; run extend-vocab first", file=sys.stderr)
+        else:
+            vocab = gvocab
+            save_vocab(vocab, vpath)
+            idx2char = {i: t for t, i in vocab.items()}
     else:
         vocab, idx2char = load_vocab(
             os.path.join(args.checkpoint_dir, "vocab.json"))
@@ -102,6 +116,8 @@ def cmd_train(args) -> int:
                         max_terms=8, depth=3)
             if getattr(args, "stream_renderer", "typeset") == "stroke":
                 hard["degrade"] = args.stream_degrade
+        if getattr(args, "stream_envs", False):
+            hard["envs"] = True
         mk = lambda n, seed, freeze: DataLoader(
             StreamDS(tok, n, mc.img_h, mc.img_w,
                      mc.max_seq_len, seed=seed, freeze=freeze, **hard),
@@ -242,16 +258,38 @@ def cmd_make_corpus(args) -> int:
             # MathWriting-difficulty regime (matches train --stream-hard)
             kw = dict(rich=True, max_tokens=args.max_tokens, max_terms=8,
                       depth=3, degrade=args.degrade)
+        if getattr(args, "envs", False):
+            kw["envs"] = True
     else:
         from .data.synthetic import make_corpus as mk
 
         if getattr(args, "hard", False):
             raise SystemExit("--hard requires --renderer stroke")
+        if getattr(args, "envs", False):
+            raise SystemExit("--envs requires --renderer stroke")
 
     mk(args.data_root, n_train=args.train, n_val=args.val,
        n_test=args.test, seed=args.seed, **kw)
     print(f"learnable corpus ({args.train}/{args.val}/{args.test}, "
           f"{getattr(args, 'renderer', 'typeset')}) -> {args.data_root}")
+    return 0
+
+
+def cmd_extend_vocab(args) -> int:
+    """Append tokens to a checkpoint's vocab and resize its decoder head
+    (train/vocab_extend.py) so an env-less model can be fine-tuned on an
+    env-bearing stream (--stream-envs) without a from-scratch retrain."""
+    from .core.tokenizer import load_vocab
+    from .train.vocab_extend import extend_checkpoint
+
+    vocab, _ = load_vocab(os.path.join(args.checkpoint_dir, "vocab.json"))
+    mc = _model_config(args, len(vocab))
+    tokens = args.tokens.split(",") if args.tokens else None
+    path, added = extend_checkpoint(args.checkpoint_dir, args.checkpoint,
+                                    args.out_dir, mc, new_tokens=tokens,
+                                    seed=args.seed)
+    print(f"extended checkpoint -> {path} (+{len(added)} tokens: "
+          f"{' '.join(added)})")
     return 0
 
 
@@ -397,6 +435,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "layouts and heavier ink degradation")
     tr.add_argument("--stream-max-tokens", type=int, default=60,
                     help="--stream-hard: formula length cap in tokens")
+    tr.add_argument("--stream-envs", action="store_true",
+                    help="stream 2-D LaTeX environments (\\begin{matrix|"
+                         "pmatrix|bmatrix|vmatrix|cases} grids, ~14%% of "
+                         "formulas); fine-tuning an env-less checkpoint "
+                         "needs extend-vocab first")
     tr.add_argument("--stream-degrade", type=float, default=0.6,
                     help="--stream-hard + stroke renderer: ink degradation "
                          "strength in [0,1]")
@@ -501,7 +544,26 @@ def build_parser() -> argparse.ArgumentParser:
                     help="--hard: formula length cap")
     mc.add_argument("--degrade", type=float, default=0.6,
                     help="--hard: ink degradation strength in [0,1]")
+    mc.add_argument("--envs", action="store_true",
+                    help="include 2-D environment formulas (stroke "
+                         "renderer only)")
     mc.set_defaults(fn=cmd_make_corpus)
+
+    xv = sub.add_parser("extend-vocab",
+                        help="append tokens to a checkpoint's vocab and "
+                             "resize its decoder head for fine-tuning")
+    xv.add_argument("--checkpoint-dir", required=True)
+    xv.add_argument("--checkpoint", default="best_model")
+    xv.add_argument("--out-dir", required=True)
+    xv.add_argument("--encoder", default="swin_t",
+                    choices=["swin_t", "resnet18", "res18trans"])
+    xv.add_argument("--model-overrides", default=None,
+                    help="JSON ModelConfig overrides of the SOURCE model")
+    xv.add_argument("--tokens", default=None,
+                    help="comma-separated tokens to add (default: the 2-D "
+                         "environment inventory, data.synthetic.ENV_TOKENS)")
+    xv.add_argument("--seed", type=int, default=0)
+    xv.set_defaults(fn=cmd_extend_vocab)
 
     cv = sub.add_parser("convert-checkpoint",
                         help="convert a reference PyTorch .pth to a "

@@ -572,9 +572,168 @@ class _Parser:
             w = max(w, base.w + pad + sub.w)
         return _Box(strokes, w, asc, desc)
 
+    def _read_env_name(self) -> str:
+        """Consume ``{ name }`` after a ``\\begin``/``\\end`` (tolerant of
+        malformed input: missing braces/name render as empty)."""
+        name = ""
+        if self._peek() == "{":
+            self._next()
+            if self._peek() not in ("}", None):
+                name = self._next()
+            if self._peek() == "}":
+                self._next()
+        return name
+
+    def _environment(self, size: float) -> _Box:
+        """``\\begin{name} cells… \\end{name}`` -> 2-D grid layout.
+
+        Cells are split on ``&`` (columns) and on the two-token ``\\ \\``
+        row break the grammar emits for a LaTeX ``\\\\``; each cell is an
+        independent sub-layout at 0.82 em. Columns are centred in their
+        max width, rows stacked baseline-to-baseline, the whole block
+        centred on the math axis, and the environment name picks the
+        surrounding delimiters (pmatrix parens, bmatrix brackets,
+        vmatrix bars, cases a left curly brace)."""
+        name = self._read_env_name()
+        inner = 0.82 * size
+        rows: List[List[_Box]] = []
+        cells: List[_Box] = []
+        cur: List[_Box] = []
+
+        def flush_cell() -> None:
+            cells.append(_hcat(cur, 0.12 * inner * self.gap_scale)
+                         if cur else _Box([], 0.3 * inner, 0, 0))
+            cur.clear()
+
+        def flush_row() -> None:
+            flush_cell()
+            rows.append(list(cells))
+            cells.clear()
+
+        while True:
+            t = self._peek()
+            if t is None:
+                break
+            if t == "\\end":
+                self._next()
+                self._read_env_name()
+                break
+            if t == "&":
+                self._next()
+                flush_cell()
+                continue
+            if (t == "\\" and self.i + 1 < len(self.toks)
+                    and self.toks[self.i + 1] == "\\"):
+                self._next()
+                self._next()
+                flush_row()
+                continue
+            cur.append(self._item(inner))
+        flush_row()
+
+        ncol = max(len(r) for r in rows)
+        colw = [max((r[c].w if c < len(r) else 0.0) for r in rows)
+                for c in range(ncol)]
+        row_asc = [min([b.asc for b in r] + [-0.70 * inner]) for r in rows]
+        row_desc = [max([b.desc for b in r] + [0.15 * inner]) for r in rows]
+        rgap = 0.40 * inner * self.gap_scale
+        cgap = 0.60 * inner * self.gap_scale
+        total_h = (sum(d - a for a, d in zip(row_asc, row_desc))
+                   + rgap * (len(rows) - 1))
+        width = sum(colw) + cgap * (ncol - 1)
+        top = -0.35 * size - total_h / 2  # centre on the math axis
+        strokes: List[np.ndarray] = []
+        y = top
+        rng = self.rng
+        for r, asc, desc in zip(rows, row_asc, row_desc):
+            base_y = y - asc
+            x = 0.0
+            for c in range(ncol):
+                if c < len(r):
+                    b = r[c]
+                    dx = x + (colw[c] - b.w) / 2 + rng.gauss(
+                        0, 0.03 * inner)
+                    strokes += _shift(b, dx, base_y
+                                      + rng.gauss(0, 0.04 * inner))
+                x += colw[c] + cgap
+            y = base_y + desc + rgap
+        body = _Box(strokes, width, top, top + total_h)
+        return self._delimit(body, name, size)
+
+    def _delimit(self, body: _Box, name: str, size: float) -> _Box:
+        """Wrap an environment body in its delimiters (hand-drawn tall
+        strokes scaled to the block height)."""
+        if name not in ("pmatrix", "bmatrix", "vmatrix", "cases"):
+            return body
+        pad = 0.15 * size
+        top = body.asc - 0.10 * size
+        bot = body.desc + 0.10 * size
+        h = bot - top
+        cy = (top + bot) / 2.0
+
+        def paren(x0: float, sign: float) -> List[Stroke]:
+            # tall arc; sign +1 bulges left of x0 ("("), -1 right (")")
+            return [_arc(x0, cy, sign * 0.11 * h, h / 2, 90, 270, 10)]
+
+        def bracket(x0: float, sign: float) -> List[Stroke]:
+            tick = sign * 0.14 * size
+            return [_line(x0 + tick, top, x0, top, 3)
+                    + _line(x0, top, x0, bot, 8)
+                    + _line(x0, bot, x0 + tick, bot, 3)]
+
+        def bar(x0: float) -> List[Stroke]:
+            return [_line(x0, top, x0, bot, 8)]
+
+        def brace(x0: float) -> List[Stroke]:
+            # left curly brace: two shallow arcs meeting at a centre nub
+            w = 0.16 * size
+            return [_line(x0 + w, top, x0 + w * 0.3, top + h * 0.12, 4)
+                    + _line(x0 + w * 0.3, top + h * 0.12, x0 + w * 0.3,
+                            cy - h * 0.10, 5)
+                    + _line(x0 + w * 0.3, cy - h * 0.10, x0, cy, 3)
+                    + _line(x0, cy, x0 + w * 0.3, cy + h * 0.10, 3)
+                    + _line(x0 + w * 0.3, cy + h * 0.10, x0 + w * 0.3,
+                            bot - h * 0.12, 5)
+                    + _line(x0 + w * 0.3, bot - h * 0.12, x0 + w, bot, 4)]
+
+        dw = 0.22 * size
+        strokes: List[np.ndarray] = []
+        if name == "pmatrix":
+            left = paren(dw * 0.7, 1.0)
+            right = paren(dw * 0.3, -1.0)
+        elif name == "bmatrix":
+            left = bracket(dw * 0.5, 1.0)
+            right = bracket(dw * 0.5, -1.0)
+        elif name == "vmatrix":
+            left, right = bar(dw * 0.5), bar(dw * 0.5)
+        else:  # cases: left brace only
+            left, right = brace(dw * 0.2), None
+        jrng = np.random.default_rng(self.rng.getrandbits(32))
+
+        def ink(segs: List[Stroke], dx: float) -> List[np.ndarray]:
+            out = []
+            for seg in segs:
+                pts = np.asarray(seg, np.float32)
+                pts = pts + jrng.normal(0, 0.01 * size,
+                                        pts.shape).astype(np.float32)
+                pts[:, 0] += dx
+                out.append(pts)
+            return out
+
+        strokes += ink(left, 0.0)
+        strokes += _shift(body, dw + pad, 0.0)
+        w = dw + pad + body.w
+        if right is not None:
+            w += pad
+            strokes += ink(right, w)
+            w += dw
+        return _Box(strokes, w, top, bot)
+
     def _item(self, size: float) -> _Box:
         tok = self._next()
         rng, jit = self.rng, self.jitter
+        if tok == "\\begin":
+            return self._scripts(self._environment(size), size, False)
         if tok == "\\frac":
             num = self._group(0.82 * size)
             den = self._group(0.82 * size)
@@ -735,12 +894,12 @@ def render_stroke_image(formula: str, rng: np.random.Generator,
 # ---------------------------------------------------------------------------
 
 
-def stroke_vocab(rich: bool = False) -> dict:
+def stroke_vocab(rich: bool = False, envs: bool = False) -> dict:
     """Token inventory (identical to synthetic.grammar_vocab: the stroke
     renderer consumes the same structured_formula grammar)."""
     from .synthetic import grammar_vocab
 
-    return grammar_vocab(rich=rich)
+    return grammar_vocab(rich=rich, envs=envs)
 
 
 class StrokeStreamDataset:
@@ -755,13 +914,13 @@ class StrokeStreamDataset:
                  max_tokens: int = 28, freeze: bool = False,
                  jitter: float = 1.0, rich: bool = False,
                  max_terms: int = 5, depth: int = 2,
-                 degrade: float = 0.0):
+                 degrade: float = 0.0, envs: bool = False):
         from .synthetic import SyntheticStreamDataset
 
         self._inner = SyntheticStreamDataset(
             tokenizer, samples_per_epoch, img_h, img_w, max_seq_len,
             seed=seed, max_tokens=max_tokens, freeze=freeze, rich=rich,
-            max_terms=max_terms, depth=depth)
+            max_terms=max_terms, depth=depth, envs=envs)
         self.tokenizer = tokenizer
         self.img_h, self.img_w = img_h, img_w
         self.max_seq_len = max_seq_len
@@ -794,7 +953,8 @@ def make_stroke_corpus(root: str, n_train: int = 20000, n_val: int = 1000,
                        img_w: int = 320, seed: int = 0,
                        jitter: float = 1.0, rich: bool = False,
                        max_tokens: int = 28, max_terms: int = 5,
-                       depth: int = 2, degrade: float = 0.0) -> str:
+                       depth: int = 2, degrade: float = 0.0,
+                       envs: bool = False) -> str:
     """Materialized handwriting-style corpus in the reference data contract
     ({split}_formulas/*.png + {split}_labels.csv; data/README.md).
 
@@ -815,7 +975,7 @@ def make_stroke_corpus(root: str, n_train: int = 20000, n_val: int = 1000,
     def fresh_formula() -> str:
         while True:
             f = structured_formula(prng, max_terms=max_terms, depth=depth,
-                                   rich=rich)
+                                   rich=rich, envs=envs)
             if len(f.split()) > max_tokens or f in seen:
                 continue
             seen.add(f)

@@ -197,7 +197,8 @@ _BINOPS_RICH = _BINOPS + [
 
 
 def structured_formula(rng: random.Random, max_terms: int = 5,
-                       depth: int = 2, rich: bool = False) -> str:
+                       depth: int = 2, rich: bool = False,
+                       envs: bool = False) -> str:
     """Sample from a small weighted grammar of realistic math expressions
     (polynomial terms, fractions, roots, trig, sums/integrals). Unlike
     :func:`rich_formula` (i.i.d. random tokens), productions share global
@@ -209,7 +210,16 @@ def structured_formula(rng: random.Random, max_terms: int = 5,
     extended symbol pools (uppercase latin, full greek, set/relation
     operators) and extra structural productions (\\prod, \\lim with a
     limit subscript, absolute-value bars, bracket groups, primes).
-    Combine with larger ``max_terms``/``depth`` for longer formulas."""
+    Combine with larger ``max_terms``/``depth`` for longer formulas.
+
+    ``envs``: additionally produce 2-D LaTeX environments
+    (``\\begin{matrix|pmatrix|bmatrix|vmatrix|cases} … \\end{…}`` with
+    ``&`` column and ``\\\\`` row separators) — the construct real
+    MathWriting contains and the reference tokenizer explicitly handles
+    (reference: src/utils.py:96-99, app/src/utils.py:22-27). Row breaks
+    are emitted as two ``\\`` tokens, exactly what the reference token
+    regex produces for a ``\\\\`` source, so label strings round-trip
+    the tokenizer verbatim."""
     vars_, funcs, binops = ((_VARS_RICH, _FUNCS_RICH, _BINOPS_RICH)
                            if rich else (_VARS, _FUNCS, _BINOPS))
 
@@ -220,8 +230,40 @@ def structured_formula(rng: random.Random, max_terms: int = 5,
     def var() -> List[str]:
         return [rng.choice(vars_)]
 
+    def cell() -> List[str]:
+        # tiny env-cell expressions: 1-4 tokens so a 2-D block stays
+        # within the stream length cap
+        r = rng.random()
+        if r < 0.35:
+            return var()
+        if r < 0.55:
+            return number()
+        if r < 0.70:
+            return [*var(), rng.choice(binops), *var()]
+        if r < 0.85:
+            return [*var(), "^", "{", str(rng.choice([2, 2, 3])), "}"]
+        return ["-", *var()]
+
+    def env_atom() -> List[str]:
+        name = rng.choice(["matrix", "pmatrix", "bmatrix", "vmatrix",
+                           "cases"])
+        n_rows = rng.randint(2, 3)
+        n_cols = 2 if name == "cases" else rng.randint(1, 3)
+        out = [r"\begin", "{", name, "}"]
+        for r_i in range(n_rows):
+            if r_i:
+                out += ["\\", "\\"]  # the token pair '\\' tokenizes to
+            for c_i in range(n_cols):
+                if c_i:
+                    out.append("&")
+                out += cell()
+        out += [r"\end", "{", name, "}"]
+        return out
+
     def atom(d: int) -> List[str]:
         r = rng.random()
+        if envs and r >= 0.955 and d > 0:
+            return env_atom()
         if r < 0.40:
             return var()
         if r < 0.55:
@@ -355,16 +397,23 @@ def make_corpus(root: str, n_train: int = 20000, n_val: int = 1000,
     return root
 
 
-def grammar_vocab(rich: bool = False) -> dict:
+ENV_TOKENS = (r"\begin", r"\end", "&", "\\", "matrix", "pmatrix",
+              "bmatrix", "vmatrix", "cases")
+
+
+def grammar_vocab(rich: bool = False, envs: bool = False) -> dict:
     """Full token inventory of :func:`structured_formula`, in the
     tokenizer's vocab convention (specials first, then sorted tokens) —
     lets streaming training fix the vocab without a materialized corpus.
-    ``rich``: the extended MathWriting-difficulty inventory."""
+    ``rich``: the extended MathWriting-difficulty inventory. ``envs``:
+    include the 2-D environment tokens (ENV_TOKENS)."""
     if rich:
         tokens = set(_VARS_RICH) | set(_FUNCS_RICH) | set(_BINOPS_RICH)
         tokens |= {r"\prod", r"\lim", "|", "[", "]", "'"}
     else:
         tokens = set(_VARS) | set(_FUNCS) | set(_BINOPS)
+    if envs:
+        tokens |= set(ENV_TOKENS)
     tokens |= {str(d) for d in range(10)}
     tokens |= {"{", "}", "^", "_", "(", ")", r"\frac", r"\sqrt", r"\sum",
                r"\int"}
@@ -390,7 +439,8 @@ class SyntheticStreamDataset:
     def __init__(self, tokenizer, samples_per_epoch: int, img_h: int = 96,
                  img_w: int = 320, max_seq_len: int = 150, seed: int = 0,
                  max_tokens: int = 28, freeze: bool = False,
-                 rich: bool = False, max_terms: int = 5, depth: int = 2):
+                 rich: bool = False, max_terms: int = 5, depth: int = 2,
+                 envs: bool = False):
         self.tokenizer = tokenizer
         self.n = samples_per_epoch
         self.img_h, self.img_w = img_h, img_w
@@ -401,6 +451,7 @@ class SyntheticStreamDataset:
         self.rich = rich
         self.max_terms = max_terms
         self.depth = depth
+        self.envs = envs
         self._epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -425,7 +476,8 @@ class SyntheticStreamDataset:
         prng = random.Random(self._sample_key(idx))
         while True:
             f = structured_formula(prng, max_terms=self.max_terms,
-                                   depth=self.depth, rich=self.rich)
+                                   depth=self.depth, rich=self.rich,
+                                   envs=self.envs)
             if len(f.split()) <= self.max_tokens:
                 return f
 
