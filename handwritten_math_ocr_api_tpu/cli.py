@@ -118,6 +118,11 @@ def cmd_train(args) -> int:
                 hard["degrade"] = args.stream_degrade
         if getattr(args, "stream_envs", False):
             hard["envs"] = True
+        if getattr(args, "stream_native_render", False):
+            if getattr(args, "stream_renderer", "typeset") != "stroke":
+                raise SystemExit("--stream-native-render requires "
+                                 "--stream-renderer stroke")
+            hard["native"] = True
         mk = lambda n, seed, freeze: DataLoader(
             StreamDS(tok, n, mc.img_h, mc.img_w,
                      mc.max_seq_len, seed=seed, freeze=freeze, **hard),
@@ -435,6 +440,11 @@ def build_parser() -> argparse.ArgumentParser:
                          "layouts and heavier ink degradation")
     tr.add_argument("--stream-max-tokens", type=int, default=60,
                     help="--stream-hard: formula length cap in tokens")
+    tr.add_argument("--stream-native-render", action="store_true",
+                    help="stroke renderer: use the C++ display-list "
+                         "backend (native/src/stroke_render.cpp, ~6x "
+                         "faster on a 1-CPU host; same distribution, "
+                         "different RNG stream)")
     tr.add_argument("--stream-envs", action="store_true",
                     help="stream 2-D LaTeX environments (\\begin{matrix|"
                          "pmatrix|bmatrix|vmatrix|cases} grids, ~14%% of "

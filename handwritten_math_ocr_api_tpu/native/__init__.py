@@ -57,6 +57,17 @@ def _load():
         ctypes.c_size_t, ctypes.c_void_p, ctypes.c_int]
     lib.mathocr_edit_distance_batch.restype = None
     lib.mathocr_version.restype = ctypes.c_char_p
+    lib.mathocr_register_glyphs.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64]
+    lib.mathocr_register_glyphs.restype = ctypes.c_int
+    lib.mathocr_num_glyphs.restype = ctypes.c_int64
+    lib.mathocr_render_formula.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p, ctypes.c_uint64,
+        ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64]
+    lib.mathocr_render_formula.restype = ctypes.c_int
     _LIB = lib
     return lib
 
@@ -118,6 +129,52 @@ def tokenize(formula: str, max_bytes: int = 1 << 16) -> List[str]:
     if n == 0:
         return []
     return buf.value.decode("utf-8").split(_SEP)
+
+
+def register_glyphs(pts: np.ndarray, stroke_off: np.ndarray,
+                    glyph_off: np.ndarray) -> int:
+    """Register flattened glyph templates (once per process). ``pts``
+    float32 (P, 2); ``stroke_off`` int64 (S+1,) point offsets;
+    ``glyph_off`` int64 (G+1,) stroke offsets. Returns glyph count."""
+    lib = _load()
+    pts = np.ascontiguousarray(pts, np.float32)
+    stroke_off = np.ascontiguousarray(stroke_off, np.int64)
+    glyph_off = np.ascontiguousarray(glyph_off, np.int64)
+    rc = lib.mathocr_register_glyphs(
+        pts.ctypes.data, stroke_off.ctypes.data, glyph_off.ctypes.data,
+        len(stroke_off) - 1, len(glyph_off) - 1)
+    if rc != 0:
+        raise RuntimeError("mathocr_register_glyphs failed")
+    return int(lib.mathocr_num_glyphs())
+
+
+def render_formula(g_ids: np.ndarray, g_aff: np.ndarray,
+                   g_seed: np.ndarray, g_width: np.ndarray,
+                   in_pts: np.ndarray, in_off: np.ndarray,
+                   drop_idx: np.ndarray, params: np.ndarray,
+                   noise_seed: int, img_h: int, img_w: int) -> np.ndarray:
+    """Render one display list to a uint8 (img_h, img_w) image (see
+    native/src/stroke_render.cpp for the argument contract)."""
+    lib = _load()
+    g_ids = np.ascontiguousarray(g_ids, np.int32)
+    g_aff = np.ascontiguousarray(g_aff, np.float64)
+    g_seed = np.ascontiguousarray(g_seed, np.uint64)
+    g_width = np.ascontiguousarray(g_width, np.float64)
+    in_pts = np.ascontiguousarray(in_pts, np.float32)
+    in_off = np.ascontiguousarray(in_off, np.int64)
+    drop_idx = np.ascontiguousarray(drop_idx, np.int64)
+    params = np.ascontiguousarray(params, np.float64)
+    out = np.empty((img_h, img_w), np.uint8)
+    rc = lib.mathocr_render_formula(
+        g_ids.ctypes.data, g_aff.ctypes.data, g_seed.ctypes.data,
+        g_width.ctypes.data, len(g_ids), in_pts.ctypes.data,
+        in_off.ctypes.data, len(in_off) - 1, drop_idx.ctypes.data,
+        len(drop_idx), params.ctypes.data,
+        ctypes.c_uint64(noise_seed & (2 ** 64 - 1)), out.ctypes.data,
+        img_h, img_w)
+    if rc != 0:
+        raise RuntimeError(f"mathocr_render_formula rc={rc}")
+    return out
 
 
 def assemble_batch(images: Sequence[np.ndarray],

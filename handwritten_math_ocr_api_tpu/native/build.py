@@ -12,19 +12,21 @@ import subprocess
 import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-SRC = os.path.join(HERE, "src", "mathocr_native.cpp")
+SRCS = [os.path.join(HERE, "src", "mathocr_native.cpp"),
+        os.path.join(HERE, "src", "stroke_render.cpp")]
 OUT = os.path.join(HERE, "libmathocr_native.so")
 
 
 def build(force: bool = False, quiet: bool = False) -> str:
     if not force and os.path.exists(OUT) and \
-            os.path.getmtime(OUT) >= os.path.getmtime(SRC):
+            os.path.getmtime(OUT) >= max(os.path.getmtime(s)
+                                         for s in SRCS):
         if not quiet:
             print(f"up to date: {OUT}")
         return OUT
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
-        "-Wall", "-Wextra", SRC, "-o", OUT,
+        "-Wall", "-Wextra", *SRCS, "-o", OUT,
     ]
     if not quiet:
         print(" ".join(cmd))
