@@ -278,6 +278,13 @@ class ServeConfig:
     # (app/deploy.sh:97-98) and docker restart policy
     # (app/docker-compose.yml:21) for the same effect.
     max_requests: int = 0
+    # Continuous-batching admission path (SERVING_ADMISSION): "host" =
+    # segment-boundary batched inserts (default); "device" = staged
+    # cross-K/V pulled by RUNNING segments via an in-loop io_callback —
+    # removes admission staleness (decode/continuous.py). Correctness
+    # mode on tunnel transports (each pull pays the RTT); its perf claim
+    # targets directly-attached TPUs. XLA path, unsharded pool only.
+    admission: str = "host"
     # Confidence calibration artifact (eval/calibration.py): "auto" =
     # apply <model_dir>/calibration.json when present, "off" = raw
     # reference confidence formula, else an explicit JSON path. The
@@ -380,6 +387,7 @@ class ServeConfig:
             ),
             calibration=env.get("SERVING_CALIBRATION",
                                 defaults.calibration),
+            admission=env.get("SERVING_ADMISSION", defaults.admission),
             request_timeout_s=float(
                 env.get("SERVING_REQUEST_TIMEOUT",
                         defaults.request_timeout_s)),

@@ -63,6 +63,10 @@ from .api import EMPTY_RESULT_FALLBACK, pick_bucket
 
 logger = logging.getLogger(__name__)
 
+# device-admission sentinel: slot staged but not yet pulled by a running
+# segment — no report may harvest it (see _process_report's guard)
+_NOT_PULLED = 10 ** 18
+
 
 class ContinuousSegmentError(RuntimeError):
     """A segment report carried a device error, but other reports in the
@@ -209,7 +213,7 @@ def insert_requests(params, model_state, cfg: ModelConfig,
 
 def decode_segment(params, cfg: ModelConfig, small: SmallState,
                    cache: Dict[str, jax.Array], n_steps: jax.Array,
-                   tables=None
+                   tables=None, pull=None, seg_idx=None
                    ) -> Tuple[SmallState, Dict[str, jax.Array]]:
     """Advance every live slot by up to ``n_steps`` greedy tokens (early
     exit when none are live). ``n_steps`` is a traced scalar — one
@@ -220,21 +224,89 @@ def decode_segment(params, cfg: ModelConfig, small: SmallState,
     :func:`_constraint_cache_entries`) masks each step's logits so every
     emitted sequence is structurally valid LaTeX by construction, with
     per-row budgets driven by each slot's own ``pos`` (slots sit at
-    different decode depths). Confidence stays on the RAW logits."""
+    different decode depths). Confidence stays on the RAW logits.
+
+    ``pull``: optional host callback for DEVICE-SIDE ADMISSION
+    (SERVING_ADMISSION=device): each step starts with an
+    ``io_callback`` asking the host for one staged admission
+    ``(admit, slot, cross_k (L, nh, L_enc, dh), cross_v)``; when
+    ``admit`` the slot's cross-K/V rows and per-slot state are reset
+    in-loop, so a request staged AFTER this segment was dispatched still
+    joins it mid-flight — removing the segment-boundary admission
+    staleness of the host path (the structural fix named in
+    BENCHMARKS.md "HTTP-level config 5 close-out"; replaces the serving
+    admission semantics of reference app/src/main.py:546-570 at scale).
+    ``seg_idx`` (traced scalar) is passed to the callback so the host
+    can record exactly which segment admitted the request. With ``pull``
+    the loop cannot early-exit on an all-idle pool (admissions may
+    arrive mid-loop)."""
     dec = params["decoder"]
     max_len = cfg.max_seq_len
     if tables is not None:
         from . import constrain as constrain_mod
+    if pull is not None:
+        from jax.experimental import io_callback
+
+        n_layers = cfg.num_decoder_layers
+        ck0 = cache[f"cross_k_{0}"]
+        kv_shape = (n_layers,) + ck0.shape[1:]
+        pull_shapes = (jax.ShapeDtypeStruct((), jnp.int32),   # admit
+                       jax.ShapeDtypeStruct((), jnp.int32),   # slot
+                       jax.ShapeDtypeStruct(kv_shape, ck0.dtype),
+                       jax.ShapeDtypeStruct(kv_shape, ck0.dtype))
 
     def live_of(s: SmallState):
         return s.active & ~s.finished
 
     def cond(carry):
         i, s, _ = carry
+        if pull is not None:
+            # no early exit: a device-pulled admission can light up an
+            # all-idle pool mid-segment
+            return i < n_steps
         return jnp.logical_and(i < n_steps, jnp.any(live_of(s)))
+
+    def admit_pull(i, s, c):
+        # operand includes the step counter: unordered io_callbacks with
+        # IDENTICAL operands may be deduplicated by XLA, which would
+        # replay one admission every step and wipe its decode progress
+        admit, slot, ck, cv = io_callback(
+            pull, pull_shapes, seg_idx, i,
+            ordered=False)  # pulls are independent pops; any order works
+        do = admit > 0
+        for li in range(n_layers):
+            for name, val in ((f"cross_k_{li}", ck[li]),
+                              (f"cross_v_{li}", cv[li])):
+                c[name] = c[name].at[slot].set(
+                    jnp.where(do, val.astype(c[name].dtype),
+                              c[name][slot]))
+        if "con_stack" in c:
+            z32 = jnp.int32(0)
+            c["con_stack"] = c["con_stack"].at[slot].set(
+                jnp.where(do, z32, c["con_stack"][slot]))
+            for nm, zv in (("con_ptr", z32), ("con_mode", z32),
+                           ("con_needs", False), ("con_sup", False)):
+                c[nm] = c[nm].at[slot].set(jnp.where(do, zv, c[nm][slot]))
+        s = SmallState(
+            prev=s.prev.at[slot].set(
+                jnp.where(do, jnp.int32(SOS_ID), s.prev[slot])),
+            pos=s.pos.at[slot].set(jnp.where(do, 0, s.pos[slot])),
+            active=s.active.at[slot].set(do | s.active[slot]),
+            finished=s.finished.at[slot].set(
+                jnp.where(do, False, s.finished[slot])),
+            tokens=s.tokens.at[slot].set(
+                jnp.where(do, jnp.full((max_len,), PAD_ID, jnp.int32),
+                          s.tokens[slot])),
+            lp_sum=s.lp_sum.at[slot].set(
+                jnp.where(do, 0.0, s.lp_sum[slot])),
+            count=s.count.at[slot].set(jnp.where(do, 0, s.count[slot])),
+        )
+        return s, c
 
     def body(carry):
         i, s, c = carry
+        if pull is not None:
+            s, c = admit_pull(i, s, c)
         live = live_of(s)
         logits, c = decoder_mod.decoder_step_ragged(
             dec, cfg, s.prev, s.pos, c)
@@ -601,7 +673,8 @@ class ContinuousDecoder:
                  segment_ring: bool = True,
                  t_buckets: Optional[Tuple[int, ...]] = None,
                  constrained: bool = False,
-                 harvest_threads: int = 0):
+                 harvest_threads: int = 0,
+                 admission: str = "host"):
         """``mesh``: optional Mesh — the slot pool shards over the 'data'
         axis (params replicated), scaling continuous serving across chips
         (the v5e-4 target). The pool is padded so (num_slots + scratch)
@@ -625,7 +698,31 @@ class ContinuousDecoder:
         ``harvest_threads``: concurrent report fetchers (0 = 1, the
         measured-best arm on the tunnel transport; values <1 clamp to
         1). Each report fetch pays a fixed device->host RTT; more
-        threads only help transports whose transfers overlap execution."""
+        threads only help transports whose transfers overlap execution.
+
+        ``admission``: 'host' (default) batches admissions at segment
+        boundaries (insert_requests); 'device' stages encoded cross-K/V
+        on the host and lets the RUNNING segment pull them mid-flight
+        via an in-loop io_callback (decode_segment ``pull``) — the
+        device-side admission pull that removes segment-boundary
+        staleness (BENCHMARKS.md config-5 close-out). Correctness mode
+        on this tunnel transport: every in-loop callback pays the ~30 ms
+        RTT the pipeline exists to hide, so its PERF claim waits for
+        directly-attached TPUs; XLA (non-fused) single-mesh path only."""
+        if admission not in ("host", "device"):
+            raise ValueError(f"admission must be host|device: {admission}")
+        if admission == "device":
+            if use_fused:
+                logger.warning("device admission needs the XLA segment "
+                               "path (io_callback inside the fused "
+                               "megakernel is unsupported); disabling "
+                               "fused decode")
+                use_fused = False
+            if mesh is not None:
+                raise ValueError("admission='device' does not compose "
+                                 "with a sharded slot pool yet; use the "
+                                 "host admission path on meshes")
+        self.admission = admission
         self.params = params
         self.model_state = model_state
         self.cfg = cfg
@@ -848,6 +945,29 @@ class ContinuousDecoder:
                 (nc, tb): _make_seg(nc, tb)
                 for nc in self._seg_buckets for tb in self._t_buckets}
             self._segment_fn = self._segment_fns[(nb_full, Tmax)]
+        elif admission == "device":
+            tables = self._constraint
+            self._staged: deque = deque()  # (rid, slot, ck_np, cv_np)
+            S_total = int(self._small.prev.shape[0])
+            self._scratch_idx = S_total - 1
+            nh, dh = cfg.nhead, cfg.head_dim
+            kv_dt = self._cache["cross_k_0"].dtype
+            self._zero_kv = np.zeros(
+                (cfg.num_decoder_layers, nh, self._l_enc, dh),
+                jnp.dtype(kv_dt))
+            self._stage_jit = None  # built on first staging
+            pull = self._device_pull
+
+            def _seg(p, small, cache, n_seg):
+                # n_seg: (2,) int32 (n_steps, seg_idx) — one upload per
+                # dispatch (seg_idx changes every segment, so the cached
+                # nsteps-constant trick doesn't apply here)
+                s2, c2 = decode_segment(p, self.cfg, small, cache,
+                                        n_seg[0], tables=tables,
+                                        pull=pull, seg_idx=n_seg[1])
+                return s2, c2, pack_report(s2)
+            self._segment_fn = jax.jit(_seg, donate_argnums=(2,))
+            self._segment_fns = {None: self._segment_fn}
         else:
             tables = self._constraint
 
@@ -892,6 +1012,8 @@ class ContinuousDecoder:
         self._slot_req.clear()
         self._admit_seg.clear()
         self._pos_ub.clear()
+        if self.admission == "device":
+            self._staged.clear()
         self._free = list(range(self.num_slots))
         self._in_flight.clear()
         self._stale_before = self._seg_counter + 1
@@ -1009,10 +1131,17 @@ class ContinuousDecoder:
         self.t_admit += t1 - t0
         if self._slot_req:
             n = self._pick_segment_len()
-            nc = self._nsteps_const.get(n)
-            if nc is None:  # device scalars are cached: a fresh jnp.int32
-                # costs a full tunnel RTT per segment (measured ~30 ms)
-                nc = self._nsteps_const.setdefault(n, jnp.int32(n))
+            if self.admission == "device":
+                # (n_steps, seg_idx): seg_idx changes every segment, so
+                # this is one fresh async upload per dispatch (the
+                # cached-constant trick below doesn't apply)
+                nc = jax.device_put(
+                    np.asarray([n, self._seg_counter + 1], np.int32))
+            else:
+                nc = self._nsteps_const.get(n)
+                if nc is None:  # device scalars are cached: a fresh
+                    # jnp.int32 costs a full tunnel RTT per segment
+                    nc = self._nsteps_const.setdefault(n, jnp.int32(n))
             seg_fn = self._segment_fn
             if self._seg_buckets is not None:
                 # smallest compiled chunk-count covering the highest
@@ -1184,6 +1313,23 @@ class ContinuousDecoder:
         h, w = image_shape or (self.cfg.img_h, self.cfg.img_w)
         pad = self._pad_image(h, w, image_dtype)
         scratch = self.num_slots
+        if self.admission == "device":
+            # the device path never runs bucketed inserts; warm the
+            # staging program and the pull-bearing segment instead
+            if self._stage_jit is None:
+                self._pending.append((-1, pad))
+                self._stage_pending()
+                # undo the bookkeeping of the warmup staging
+                _rid, slot, _ck, _cv = self._staged.pop()
+                self._slot_req.pop(slot, None)
+                self._admit_seg.pop(slot, None)
+                self._pos_ub.pop(slot, None)
+                heapq.heappush(self._free, slot)
+            self._small, self._cache, _rep = self._segment_fn(
+                self._seg_params, self._small, self._cache,
+                jnp.asarray([0, 0], jnp.int32))  # cache is donated
+            np.asarray(self._small.pos)  # force (see tail comment)
+            return
         for b in self.encode_buckets:
             slot_arr = jnp.asarray(np.full((b,), scratch, np.int32))
             self._small, self._cache = self._insert_fn(b)(
@@ -1233,7 +1379,73 @@ class ContinuousDecoder:
         # fetch 115-158 s with block_until_ready vs ~130 ms with this.
         np.asarray(self._small.pos)
 
+    def _stage_pending(self) -> None:
+        """Device-admission staging: encode + project cross-K/V for each
+        pending request with a free slot, fetch the rows to host memory,
+        and queue them for the in-loop pull (``_device_pull``). The slot
+        is assigned and bookkept NOW (so reports can't misattribute it),
+        but its device row only changes when a running segment pulls it."""
+        while self._pending and self._free:
+            rid, img = self._pending.pop(0)
+            slot = heapq.heappop(self._free)
+            if self._stage_jit is None:
+                cfg = self.cfg
+                L = cfg.num_decoder_layers
+                kv_dt = self._cache["cross_k_0"].dtype
+                pallas_block = self.pallas_encoder_block
+
+                def _stage(p, ms, image):
+                    imgs = image[None]
+                    if imgs.dtype == jnp.uint8:
+                        from ..data.preprocess import device_normalize
+
+                        imgs = device_normalize(imgs)
+                    memory, _ = model_mod.encode(
+                        p, ms, cfg, imgs, use_pallas_block=pallas_block)
+                    cross = decoder_mod.project_cross_kv(
+                        p["decoder"], cfg, memory)
+                    ck = jnp.stack([cross[f"cross_k_{i}"][0]
+                                    for i in range(L)])
+                    cv = jnp.stack([cross[f"cross_v_{i}"][0]
+                                    for i in range(L)])
+                    return ck.astype(kv_dt), cv.astype(kv_dt)
+                self._stage_jit = jax.jit(_stage)
+            ck, cv = self._stage_jit(self.params, self.model_state, img)
+            # host staging copy: one batched fetch (one tunnel RTT);
+            # correctness mode — on attached TPUs this D2H+H2D hop is the
+            # cost of letting running segments read new requests
+            ck_np, cv_np = jax.device_get([ck, cv])
+            self._slot_req[slot] = rid
+            self._pos_ub[slot] = 0
+            self._admit_seg[slot] = _NOT_PULLED
+            self._staged.append((rid, slot, np.asarray(ck_np),
+                                 np.asarray(cv_np)))
+
+    def _device_pull(self, seg, _step):
+        """io_callback target (jax runtime thread): pop one staged
+        admission for the executing segment ``seg``. Entries whose slot
+        was cancelled or reassigned while queued are skipped (their rid
+        no longer matches the slot's bookkeeping)."""
+        seg = int(np.asarray(seg))
+        while True:
+            try:
+                rid, slot, ck, cv = self._staged.popleft()
+            except IndexError:
+                return (np.int32(0), np.int32(self._scratch_idx),
+                        self._zero_kv, self._zero_kv)
+            if (self._slot_req.get(slot) != rid
+                    or self._admit_seg.get(slot) != _NOT_PULLED):
+                continue
+            # exact admission segment: reports from seg onward may
+            # harvest this slot; earlier ones still show the previous
+            # occupant and must not
+            self._admit_seg[slot] = seg
+            return (np.int32(1), np.int32(slot), ck, cv)
+
     def _admit(self) -> None:
+        if self.admission == "device":
+            self._stage_pending()
+            return
         n = min(len(self._pending), len(self._free))
         if n == 0:
             return

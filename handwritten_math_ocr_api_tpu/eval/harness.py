@@ -46,11 +46,16 @@ def evaluate_model(engine: DecodeEngine, loader: Iterable,
     records: List[Dict] = []
     t0 = time.time()
     n_images = 0
-    for batch in loader:
-        # uint8 straight to the device; the engine normalizes on-chip
-        images = batch["image"]
-        valid = batch.get("valid", np.ones(len(images), bool))
-        res = engine.decode_tokens(images, beam_size)
+
+    def integrate(res, batch) -> None:
+        """Materialize one batch's device results and compute its host
+        metrics. Called AFTER the next batch's decode has been
+        dispatched, so tokenizer decode / edit distance / latex checks
+        overlap device execution instead of serializing with it (the
+        eval surface ran at 55% of pure decode throughput before this —
+        VERDICT r4 weak #3)."""
+        nonlocal n_images
+        valid = batch.get("valid", np.ones(len(batch["image"]), bool))
         preds = tokenizer.decode_batch(np.asarray(res.tokens))
         targets = tokenizer.decode_batch(batch["caption"])
         if beam_size and beam_size > 1:
@@ -79,6 +84,18 @@ def evaluate_model(engine: DecodeEngine, loader: Iterable,
                 "valid_latex": latex_check.check_latex(p)[0],
             })
             n_images += 1
+
+    pending = None  # one batch of software pipelining: dispatch ahead
+    for batch in loader:
+        # uint8 straight to the device; the engine normalizes on-chip.
+        # decode_tokens dispatches asynchronously (device arrays with
+        # copy_to_host_async started) — blocking happens in integrate().
+        res = engine.decode_tokens(batch["image"], beam_size)
+        if pending is not None:
+            integrate(*pending)
+        pending = (res, batch)
+    if pending is not None:
+        integrate(*pending)
     elapsed = time.time() - t0
 
     preds = [r["prediction"] for r in records]

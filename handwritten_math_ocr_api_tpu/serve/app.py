@@ -164,6 +164,12 @@ class ServerState:
                     "SERVING_QUANTIZE requires SERVING_USE_FUSED in "
                     "continuous batching mode (in-kernel dequant); "
                     "serving bf16 weights")
+            admission = self.cfg.admission
+            if admission == "device" and mesh is not None:
+                logger.warning("SERVING_ADMISSION=device does not compose "
+                               "with SERVING_MESH_DATA>1; using host "
+                               "admission")
+                admission = "host"
             decoder = ContinuousDecoder(
                 params, model_state, model_cfg, self.tokenizer,
                 num_slots=self.cfg.num_slots,
@@ -174,7 +180,8 @@ class ServerState:
                 pallas_encoder_block=self.cfg.pallas_encoder_block,
                 segment_ring=self.cfg.segment_ring,
                 constrained=self.cfg.constrained_decode,
-                harvest_threads=self.cfg.harvest_threads)
+                harvest_threads=self.cfg.harvest_threads,
+                admission=admission)
             try:  # pre-compile insert buckets/segment so the first
                 decoder.warmup(image_dtype=(
                     np.uint8 if self.cfg.uint8_transfer else np.float32))

@@ -379,6 +379,29 @@ def test_continuous_mode_serving(model_dir):
                             num_slots=4, segment_steps=4), fn)
 
 
+def test_continuous_device_admission_serving(model_dir):
+    """Full HTTP path with SERVING_ADMISSION=device: requests are staged
+    host-side and pulled by running segments via the in-loop io_callback
+    (decode/continuous.py decode_segment ``pull``)."""
+    async def fn(client):
+        st = client.app["state"]
+        assert st.batcher.decoder.admission == "device"
+        b64 = base64.b64encode(_png_bytes()).decode()
+        rs = await asyncio.gather(*[
+            client.post("/predict", json={"image_data": b64})
+            for _ in range(5)
+        ])
+        assert all(r.status == 200 for r in rs)
+        bodies = [await r.json() for r in rs]
+        assert len({b["formula"] for b in bodies}) == 1
+        m = await (await client.get("/metrics")).json()
+        assert m["batching"]["mode"] == "continuous"
+
+    _with_client(_serve_cfg(model_dir, batching_mode="continuous",
+                            num_slots=4, segment_steps=4,
+                            admission="device"), fn)
+
+
 @pytest.mark.slow
 def test_continuous_mode_serving_meshed_64slots(model_dir):
     """BASELINE config 5 end-to-end: continuous engine with a 64-row slot
