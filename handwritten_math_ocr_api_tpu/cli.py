@@ -298,6 +298,21 @@ def cmd_extend_vocab(args) -> int:
     return 0
 
 
+def cmd_convert_gqa(args) -> int:
+    """Mean-pool a trained MHA checkpoint's self-attention K/V heads into
+    nhead_kv groups (GQA/MQA uptraining init; train/gqa_convert.py)."""
+    from .core.tokenizer import load_vocab
+    from .train.gqa_convert import convert_to_gqa
+
+    vocab, _ = load_vocab(os.path.join(args.checkpoint_dir, "vocab.json"))
+    mc = _model_config(args, len(vocab))
+    path, cfg_new = convert_to_gqa(args.checkpoint_dir, args.checkpoint,
+                                   args.out_dir, mc, args.nhead_kv)
+    print(f"GQA checkpoint -> {path} (nhead_kv={cfg_new.nhead_kv}, "
+          f"self-KV cache /{mc.nhead // cfg_new.kv_heads})")
+    return 0
+
+
 def cmd_convert(args) -> int:
     """Reference PyTorch .pth -> serving artifact directory."""
     from .compat.torch_convert import convert_checkpoint
@@ -574,6 +589,19 @@ def build_parser() -> argparse.ArgumentParser:
                          "environment inventory, data.synthetic.ENV_TOKENS)")
     xv.add_argument("--seed", type=int, default=0)
     xv.set_defaults(fn=cmd_extend_vocab)
+
+    gq = sub.add_parser("convert-gqa",
+                        help="mean-pool MHA K/V heads into nhead_kv "
+                             "groups for GQA fine-tuning")
+    gq.add_argument("--checkpoint-dir", required=True)
+    gq.add_argument("--checkpoint", default="best_model")
+    gq.add_argument("--out-dir", required=True)
+    gq.add_argument("--nhead-kv", type=int, required=True)
+    gq.add_argument("--encoder", default="swin_t",
+                    choices=["swin_t", "resnet18", "res18trans"])
+    gq.add_argument("--model-overrides", default=None,
+                    help="JSON ModelConfig overrides of the SOURCE model")
+    gq.set_defaults(fn=cmd_convert_gqa)
 
     cv = sub.add_parser("convert-checkpoint",
                         help="convert a reference PyTorch .pth to a "

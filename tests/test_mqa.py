@@ -145,3 +145,76 @@ def test_fused_variants_reject_unsupported_kv(variant, nhead_kv):
     with pytest.raises(NotImplementedError):
         greedy_decode_fused(params, stacked, cfg, memory, 8,
                             interpret=True, variant=variant)
+
+
+def test_gqa_convert_from_mha(tmp_path):
+    """MHA -> GQA mean-pool conversion (train/gqa_convert.py): pooling to
+    nhead groups is the identity (logits bit-equal), pooling to fewer
+    groups loads and runs at the converted kv_heads, and the EMA shadow
+    is pooled alongside."""
+    import jax
+
+    from handwritten_math_ocr_api_tpu.core.config import (
+        ModelConfig,
+        TrainConfig,
+    )
+    from handwritten_math_ocr_api_tpu.core.tokenizer import save_vocab
+    from handwritten_math_ocr_api_tpu.data.synthetic import grammar_vocab
+    from handwritten_math_ocr_api_tpu.models import model as model_mod
+    from handwritten_math_ocr_api_tpu.train.checkpoint import (
+        load_checkpoint,
+        save_checkpoint,
+    )
+    from handwritten_math_ocr_api_tpu.train.gqa_convert import (
+        convert_to_gqa,
+    )
+    from handwritten_math_ocr_api_tpu.train.step import create_train_state
+
+    vocab = grammar_vocab()
+    mc = ModelConfig(vocab_size=len(vocab), d_model=32, nhead=4,
+                     num_decoder_layers=2, dim_feedforward=64,
+                     encoder="resnet18", max_seq_len=16, img_h=32,
+                     img_w=64)
+    state, _ = create_train_state(jax.random.PRNGKey(1), mc,
+                                  TrainConfig(ema_decay=0.999))
+    src = tmp_path / "src"
+    src.mkdir()
+    save_vocab(vocab, str(src / "vocab.json"))
+    save_checkpoint(str(src), "best_model", state, epoch=3, metric=0.5)
+
+    imgs = np.zeros((1, 32, 64, 1), np.float32)
+    caps = np.array([[1, 5, 6, 2] + [0] * 12], np.int32)
+    ref_logits, _ = model_mod.forward(state.params, state.model_state,
+                                      mc, imgs, caps)
+
+    # identity case: nhead_kv == nhead (groups of 1)
+    path4, cfg4 = convert_to_gqa(str(src), "best_model",
+                                 str(tmp_path / "g4"), mc, 4)
+    t4, _ = create_train_state(jax.random.PRNGKey(0), cfg4,
+                               TrainConfig(ema_decay=0.999))
+    s4, _ = load_checkpoint(str(tmp_path / "g4"), "best_model", t4,
+                            params_only=True)
+    l4, _ = model_mod.forward(s4.params, s4.model_state, cfg4, imgs, caps)
+    np.testing.assert_array_equal(np.asarray(ref_logits), np.asarray(l4))
+
+    # real pooling: nhead_kv = 2
+    path2, cfg2 = convert_to_gqa(str(src), "best_model",
+                                 str(tmp_path / "g2"), mc, 2)
+    assert cfg2.kv_heads == 2
+    t2, _ = create_train_state(jax.random.PRNGKey(0), cfg2,
+                               TrainConfig(ema_decay=0.999))
+    s2, meta2 = load_checkpoint(str(tmp_path / "g2"), "best_model", t2,
+                                params_only=True)
+    assert meta2["epoch"] == 0
+    w = np.asarray(s2.params["decoder"]["layers"][0]["self_attn"]["w_qkv"])
+    assert w.shape[1] == mc.d_model + 2 * 2 * mc.head_dim
+    l2, _ = model_mod.forward(s2.params, s2.model_state, cfg2, imgs, caps)
+    assert np.isfinite(np.asarray(l2)).all()
+    assert s2.ema_params is not None
+    we = np.asarray(
+        s2.ema_params["decoder"]["layers"][0]["self_attn"]["w_qkv"])
+    assert we.shape == w.shape
+
+    with pytest.raises(ValueError):
+        convert_to_gqa(str(src), "best_model", str(tmp_path / "g3"),
+                       mc, 3)
