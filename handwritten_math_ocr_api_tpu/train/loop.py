@@ -170,8 +170,22 @@ def train_model(
         state = mesh_lib.commit_to_mesh(state, mesh)
 
     if resume_from:
-        state, meta = ckpt_lib.load_checkpoint(tc.checkpoint_dir,
-                                               resume_from, state)
+        try:
+            state, meta = ckpt_lib.load_checkpoint(tc.checkpoint_dir,
+                                                   resume_from, state)
+        except ValueError as e:
+            # optimizer-chain structure changed between the checkpoint
+            # and this run (e.g. warmup toggled, or an extend-vocab /
+            # convert-gqa artifact saved with the default chain):
+            # restore params+EMA only and start a fresh optimizer —
+            # standard fine-tune semantics, losing only Adam moments
+            log.warning("resume: checkpoint optimizer state does not "
+                        "match this run's optimizer chain (%s); "
+                        "restoring params only with a fresh optimizer",
+                        str(e).splitlines()[0])
+            state, meta = ckpt_lib.load_checkpoint(
+                tc.checkpoint_dir, resume_from, state, params_only=True)
+            state = state.replace(opt_state=optimizer.init(state.params))
         start_epoch = int(meta.get("epoch", 0))
         best_edit_dist = float(meta.get("metric_value", float("inf")))
         if meta.get("scheduler"):

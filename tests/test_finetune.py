@@ -160,3 +160,34 @@ def test_graft_skips_incompatible_subtrees(tmp_path, caplog):
     assert any("decoder" in r.message and "skipped" in r.message
                for r in caplog.records)
     assert state.params["decoder"]["fc_out"]["b"].shape[-1] == 20
+
+
+def test_resume_across_optimizer_chain_change(tmp_path):
+    """A checkpoint saved under one optimizer chain (no warmup — what
+    extend-vocab / convert-gqa artifacts carry) must resume into a run
+    whose chain differs (warmup on): params+EMA restore, the optimizer
+    starts fresh, training proceeds (train/loop.py resume fallback)."""
+    from handwritten_math_ocr_api_tpu.train.checkpoint import (
+        save_checkpoint,
+    )
+    from handwritten_math_ocr_api_tpu.train.step import create_train_state
+
+    rng = np.random.default_rng(0)
+    ckdir = str(tmp_path / "ck")
+    src, _ = create_train_state(jax.random.PRNGKey(5), TINY,
+                                TrainConfig(ema_decay=0.999))  # no warmup
+    save_checkpoint(ckdir, "best_model", src, epoch=0,
+                    metric=float("inf"))
+    marker = np.asarray(jax.device_get(
+        src.params["decoder"]["embedding"]["table"]))
+
+    cfg = Config(model=TINY, data=DataConfig(batch_size=8, num_workers=0),
+                 train=TrainConfig(checkpoint_dir=ckdir, epochs=1,
+                                   warmup_steps=100,  # different chain
+                                   ema_decay=0.999, checkpoint_every=100))
+    state = train_model(cfg, _batches(rng), _batches(rng),
+                        Tokenizer(_vocab()), resume_from="best_model")
+    got = np.asarray(jax.device_get(
+        state.params["decoder"]["embedding"]["table"]))
+    assert got.shape == marker.shape
+    assert not np.allclose(got, marker)  # it actually trained from there
