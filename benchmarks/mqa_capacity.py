@@ -30,7 +30,7 @@ import numpy as np  # noqa: E402
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _load_run(run_dir: str, nhead_kv, overrides=None):
+def _load_run(run_dir: str, nhead_kv, overrides=None, use_ema=False):
     import jax
 
     from handwritten_math_ocr_api_tpu.core.config import (
@@ -49,11 +49,15 @@ def _load_run(run_dir: str, nhead_kv, overrides=None):
         if "swin" in raw:
             cfg = cfg.replace(swin=SwinConfig(**raw.pop("swin")))
         cfg = cfg.replace(**raw)
-    state, _ = create_train_state(jax.random.PRNGKey(0), cfg,
-                                  Config().train)
+    tc = Config().train
+    if use_ema:
+        import dataclasses
+        tc = dataclasses.replace(tc, ema_decay=0.999)
+    state, _ = create_train_state(jax.random.PRNGKey(0), cfg, tc)
     state, _ = load_checkpoint(run_dir, "best_model", state,
                                params_only=True)
-    return state.params, state.model_state, cfg, Tokenizer(vocab, idx2char)
+    params = state.eval_params if use_ema else state.params
+    return params, state.model_state, cfg, Tokenizer(vocab, idx2char)
 
 
 def _cache_bytes(cfg, slots: int):
@@ -85,6 +89,13 @@ def main() -> None:
         ROOT, "runs", "stream_swin_r2"))
     ap.add_argument("--mqa-run", default=os.path.join(
         ROOT, "runs", "stream_swin_mqa"))
+    ap.add_argument("--mqa-kv", type=int, default=1,
+                    help="kv heads of the second arm's checkpoint (1 = "
+                         "MQA; 2/4 = the GQA midpoints, round 5)")
+    ap.add_argument("--arm-name", default=None,
+                    help="label for the second arm (default mqa/gqaN)")
+    ap.add_argument("--use-ema", action="store_true",
+                    help="evaluate the EMA shadow of --ema-decay runs")
     ap.add_argument("--renderer", default="typeset",
                     choices=["typeset", "stroke"],
                     help="render the probe images the way the checkpoints "
@@ -120,12 +131,15 @@ def main() -> None:
         img, _, _ = ds[i]
         images.append(img.astype(np.float32)[..., None] / 127.5 - 1.0)
 
+    arm2 = args.arm_name or ("mqa" if args.mqa_kv == 1
+                             else f"gqa{args.mqa_kv}")
     arms = [("mha", args.mha_run, None, args.mha_slots)]
-    arms += [("mqa", args.mqa_run, 1, int(s))
+    arms += [(arm2, args.mqa_run, args.mqa_kv, int(s))
              for s in args.mqa_slots.split(",")]
     results = []
     for name, run_dir, kv, slots in arms:
-        params, mstate, cfg, tok = _load_run(run_dir, kv, overrides)
+        params, mstate, cfg, tok = _load_run(run_dir, kv, overrides,
+                                             use_ema=args.use_ema)
         self_b, cross_b = _cache_bytes(cfg, slots)
 
         def make():
@@ -158,6 +172,13 @@ def main() -> None:
             "work_occupancy": round(st["work_occupancy"], 3),
             "segments": st["segments_run"],
             "nonempty_results": nonempty,
+            # phase attribution (VERDICT r5 item 6: where does the
+            # work-occupancy collapse at high slot counts come from?)
+            "t_admit_s": st.get("t_admit_s"),
+            "t_dispatch_s": st.get("t_dispatch_s"),
+            "t_harvest_wait_s": st.get("t_harvest_wait_s"),
+            "rows_scheduled": st.get("rows_scheduled"),
+            "tokens_emitted": st.get("tokens_emitted"),
         }
         results.append(row)
         print(json.dumps(row), flush=True)
@@ -173,10 +194,11 @@ def main() -> None:
     mha = results[0]
     best = max(results[1:], key=lambda r: r["img_per_s"])
     row = {
-        "metric": "mqa_capacity_continuous",
+        "metric": ("mqa_capacity_continuous" if args.mqa_kv == 1
+                   else f"gqa{args.mqa_kv}_capacity_continuous"),
         "value": best["img_per_s"],
         "unit": "images/sec",
-        "note": (f"trained MQA (nhead_kv=1) continuous engine at "
+        "note": (f"trained {arm2} (nhead_kv={args.mqa_kv}) continuous engine at "
                  f"{best['slots']} slots vs trained MHA at "
                  f"{mha['slots']} slots (equal self-KV cache HBM: "
                  f"{best['self_kv_mb']} MB); real-eos stroke renders, "
