@@ -77,12 +77,23 @@ def main() -> None:
                                 state, params_only=True)
     params = state.eval_params if args.use_ema else state.params
 
+    from handwritten_math_ocr_api_tpu.core.tokenizer import (
+        clean_latex_output,
+    )
+
     df = pd.read_csv(os.path.join(args.data_root, "test_labels.csv"))
     df = df.iloc[:args.n]
     img_dir = os.path.join(args.data_root, "test_formulas")
-    images = [preprocess_file(os.path.join(img_dir, r.image_filename), mc)
-              for r in df.itertuples()]
-    targets = [str(r.latex_label) for r in df.itertuples()]
+    images = [np.asarray(preprocess_file(
+        os.path.join(img_dir, r.image_filename), mc)).reshape(
+            mc.img_h, mc.img_w, 1)
+        for r in df.itertuples()]
+    # the continuous engine returns SERVING-cleaned LaTeX
+    # (clean_latex_output: '\\begin { matrix }' -> '\\begin{matrix}',
+    # app/src/utils.py:22-27) while labels are space-joined tokens —
+    # normalize targets through the same cleanup before comparing
+    targets = [clean_latex_output(str(r.latex_label))
+               for r in df.itertuples()]
     has_env = [("\\begin" in t) for t in targets]
 
     def run(constrained: bool):
