@@ -85,12 +85,18 @@ def evaluate_model(engine: DecodeEngine, loader: Iterable,
             })
             n_images += 1
 
+    # MATHOCR_EVAL_NO_PIPELINE=1 restores the serialized order (host
+    # metrics between decode dispatches) for A/B attribution
+    serialize = os.environ.get("MATHOCR_EVAL_NO_PIPELINE") == "1"
     pending = None  # one batch of software pipelining: dispatch ahead
     for batch in loader:
         # uint8 straight to the device; the engine normalizes on-chip.
         # decode_tokens dispatches asynchronously (device arrays with
         # copy_to_host_async started) — blocking happens in integrate().
         res = engine.decode_tokens(batch["image"], beam_size)
+        if serialize:
+            integrate(res, batch)
+            continue
         if pending is not None:
             integrate(*pending)
         pending = (res, batch)
