@@ -171,25 +171,44 @@ async def main_async(args) -> dict:
                     return
             try:
                 saw_final = False
+                cut_midstream = False
                 async with session.post(
                         url, json=payloads[i % 4],
-                        timeout=aiohttp.ClientTimeout(total=40)) as r:
+                        timeout=aiohttp.ClientTimeout(total=60)) as r:
                     if r.status != 200:
                         counters["retries"] += 1
                         await asyncio.sleep(0.3)
                         continue
-                    async for raw in r.content:
-                        line = raw.decode(errors="replace").strip()
-                        if line.startswith("data:"):
-                            evt = json.loads(line[5:])
-                            if evt.get("event") == "final" or \
-                                    "formula" in evt:
-                                saw_final = True
-                                if "confidence" in evt:
-                                    check_conf(evt)
+                    # SSE lines can split across transport chunks:
+                    # buffer and parse line-by-line
+                    buf = b""
+                    try:
+                        async for raw in r.content:
+                            buf += raw
+                            while b"\n" in buf:
+                                line_b, buf = buf.split(b"\n", 1)
+                                line = line_b.decode(
+                                    errors="replace").strip()
+                                if not line.startswith("data:"):
+                                    continue
+                                try:
+                                    evt = json.loads(line[5:])
+                                except ValueError:
+                                    continue
+                                if (evt.get("event") == "final"
+                                        or "formula" in evt):
+                                    saw_final = True
+                                    if "confidence" in evt:
+                                        check_conf(evt)
+                    except (aiohttp.ClientError, OSError):
+                        # connection cut mid-stream (worker recycling):
+                        # a retryable condition, not a protocol violation
+                        cut_midstream = True
                 if saw_final:
                     async with lock:
                         counters["stream"] += 1
+                elif cut_midstream:
+                    counters["retries"] += 1
                 else:
                     counters["invalid_stream"] += 1
             except (aiohttp.ClientError, asyncio.TimeoutError, OSError):
